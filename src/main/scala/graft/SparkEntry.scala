@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
+  /** Every registered engine operation, in SURVEY §2 order. */
+  def registry: Seq[Q] =
+    Marts.all ++ QualityTests.all ++ Analyses.all ++ EltOps.all ++
+      Relational.all ++ AsOf.all ++ EventOps.all ++ TextAnalysis.all ++
+      Dedup.all ++ Similarity.all ++ Multimodal.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Marts.starJoin.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
+  /** DuckDB-equivalent SQL for each SQL-expressible operator. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Subset timed by Bench. */
+  def headlines: Seq[Q] = {
+    val h = registry.filter(_.headline)
+    if (h.nonEmpty) h else registry
+  }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory. Tuned for local[32] testing but the settings are the
+  * ones you'd ship to a 1000-executor cluster: AQE on (runtime re-plan,
+  * skew-join splitting, partition coalescing), UTC, and a shuffle
+  * parallelism matched to the environment instead of the 200 default.
+  */
+object GraftSession {
+  def apply(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // events.parquet carries TIMESTAMP(NANOS); Spark's reader has no
+      // nanos timestamp type — read as Long nanos and convert explicitly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Parquet table loaders. Schema-on-read; column pruning + predicate
+  * pushdown reach the scan because we never materialize intermediates.
+  */
+object T {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
+
+/** Numeric conventions for engine-independent determinism.
+  *
+  * Money lives on a cent grid stored as double; floating aggregation is
+  * order-dependent and therefore non-deterministic under distributed
+  * partial aggregation. We normalize to exact integer cents
+  * (`round(x*100, 0)` never sits on a .5 tie because the source grid is
+  * within 1e-9 of an integer) and aggregate in Long — exact, associative,
+  * deterministic on any cluster size. Ratios come back to double via IEEE
+  * division of exact integers.
+  */
+object Num {
+  /** Exact integer cents from a cent-grid double. */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Whole seconds from a cent-grid double (positive), half-up. */
+  def secs(c: Column): Column = round(c, 0).cast("long")
+
+  /** 'HH:MM:SS' rendering of a second-of-day count (mod 24h) — the
+    * Spark-side equivalent of the reference's
+    * `time(timestamp_seconds(div(ms,1000)))`
+    * (reference: dbt/models/intermediate/int_join_spotify_uris.sql:131).
+    */
+  def hms(s: Column): Column = {
+    val sod = s % 86400L
+    val h = (sod / 3600L).cast("long")
+    val m = ((sod % 3600L) / 60L).cast("long")
+    val sec = (sod % 60L).cast("long")
+    concat_ws(":",
+      lpad(h.cast("string"), 2, "0"),
+      lpad(m.cast("string"), 2, "0"),
+      lpad(sec.cast("string"), 2, "0"))
+  }
+}
+
+/** Deterministic-output helpers. The driver hash-compares result sets; a
+  * total row order on both engines removes any dependence on how the
+  * comparator treats row order. Sorting by every output column
+  * (left-to-right, = DuckDB's ORDER BY ALL) is total up to fully-identical
+  * rows, which are permutation-invariant anyway.
+  */
+object Det {
+  def sortAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+}
+
+/** One registered engine operation: the Spark implementation plus (when
+  * SQL-expressible) a DuckDB oracle for the driver's hash-compare.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)

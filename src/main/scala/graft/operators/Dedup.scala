@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Q, T}
+
+/** Deduplication family for a training-data pipeline: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. Everything is expressed as
+  * shuffle-bounded joins over derived keys — never an O(n²) cross join —
+  * so the same plans run over a 100 TB corpus:
+  *
+  *  - exact:     one shuffle on content hash.
+  *  - ngram:     inverted-index self-join on shared shingles (candidates
+  *               only where at least one shingle collides).
+  *  - minhash:   banded signatures; candidate pairs only inside a band
+  *               bucket — the standard LSH bound on pair generation.
+  *  - simhash:   8-bit chunk blocking, hamming distance via bit_count.
+  */
+object Dedup {
+
+  private def words(c: Column): Column = split(c, " +")
+
+  /** Distinct 3-word shingles per document: (doc_id, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+        .as("s"))
+
+  /** G. Exact dedup: hash-groupBy on normalized content; every doc keeps
+    * its group size, keeper id (min doc_id), and dup flag.
+    */
+  val exact: Q = Q(
+    "q_dedup_exact",
+    (s, d) => {
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      val w = Window.partitionBy("content_hash")
+      T.documents(s, d)
+        .select(col("doc_id"), md5(norm).as("content_hash"))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("keeper_id", min(col("doc_id")).over(w))
+        .withColumn("is_dup", col("doc_id") =!= col("keeper_id"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+            |  FROM documents
+            |)
+            |SELECT doc_id, content_hash,
+            |       COUNT(*) OVER (PARTITION BY content_hash) AS group_size,
+            |       MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper_id,
+            |       doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+            |FROM t ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. n-gram Jaccard near-dup pairs via shared-shingle inverted-index
+    * join. |∩| from the join, |∪| = nA + nB − |∩|; the Jaccard ratio is
+    * IEEE division of exact counts.
+    */
+  val ngramJaccard: Q = Q(
+    "q_dedup_ngram",
+    (s, d) => {
+      val sh = shingles(s, d)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("ca.nsh") + col("cb.nsh") - col("inter")).as("uni"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+        .where(col("inter") >= 3)
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
+            |), sh AS (
+            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+            |), cnt AS (
+            |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+            |), pairs AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2
+            |)
+            |SELECT p.doc_a, p.doc_b, p.inter,
+            |       ca.nsh + cb.nsh - p.inter AS uni,
+            |       CAST(p.inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - p.inter AS DOUBLE) AS jaccard
+            |FROM pairs p
+            |JOIN cnt ca ON p.doc_a = ca.doc_id
+            |JOIN cnt cb ON p.doc_b = cb.doc_id
+            |WHERE p.inter >= 3
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. MinHash+LSH: 16 minhashes (min of seeded xxhash64 over shingles),
+    * 4 bands × 4 rows; candidate pairs = docs sharing a band bucket.
+    * Approximate by construction ⇒ rows-only driver check; the planted-
+    * duplicate ScalaTest proves recall.
+    */
+  val minhashLsh: Q = Q(
+    "q_dedup_minhash",
+    (s, d) => {
+      val sh = shingles(s, d)
+      val mins = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+      val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = sigs.select(col("doc_id"), posexplode(array(
+        (0 until 4).map(b => xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+          col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))): _*)).as(Seq("band_idx", "band_hash")))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("bands_matching"))
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  /** G. SimHash: 64-bit signature from per-bit token-hash majority vote;
+    * blocking on 8-bit chunks; exact hamming via bit_count(xor).
+    * Approximate blocking ⇒ rows-only driver check + planted-dup spec.
+    */
+  val simhash: Q = Q(
+    "q_dedup_simhash",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
+      val sigs = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+            .reduce(_ bitwiseOR _))
+        .select("doc_id", "simhash")
+      val chunks = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
+        (0 until 8).map(c => shiftright(col("simhash"), 8 * c).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .distinct()
+        .withColumn("is_near", col("hamming") <= 12)
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash)
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Det, Num, Q, T}
+import graft.functions.Text
+
+/** The reference's Python-ELT compute re-expressed as distributed,
+  * codegen'd column pipelines.
+  *
+  * Reference shapes:
+  *  - regex title normalization: dags/scripts/spotify_elt.py:160-212
+  *  - argmin-|duration-difference| candidate matching with tolerance:
+  *    dags/scripts/spotify_elt.py:249-308 (qsearch_track),
+  *    397-490 (qsearch_album)
+  *  - substring-containment match counting:
+  *    dags/scripts/spotify_elt.py:429 (`track["name"].lower() in description`)
+  *  - ISO-8601 duration parsing: dags/scripts/youtube_elt.py (aniso8601)
+  */
+object EltOps {
+
+  /** E. Regex normalization chain over synthesized messy titles. */
+  val normalizeTitle: Q = Q(
+    "q_normalize_title",
+    (s, d) => {
+      val p = T.part(s, d)
+      val raw = concat(
+        col("p_name"), lit(" ("), col("p_brand"), lit(") ["), col("p_type"),
+        lit("] -remaster- "),
+        (lit(1990) + col("p_size") % 30).cast("string"),
+        lit(" OST | Full Album"))
+      p.select(col("p_partkey"), raw.as("raw_title"),
+          Text.normalizeTitle(raw).as("normalized"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT p_partkey,
+            |         p_name || ' (' || p_brand || ') [' || p_type || '] -remaster- '
+            |           || CAST(1990 + p_size % 30 AS VARCHAR) || ' OST | Full Album' AS raw_title
+            |  FROM part
+            |)
+            |SELECT p_partkey, raw_title,
+            |  lower(trim(regexp_replace(
+            |    regexp_replace(
+            |      regexp_replace(
+            |        regexp_replace(
+            |          regexp_replace(
+            |            regexp_replace(
+            |              regexp_replace(
+            |                regexp_replace(raw_title, '(\((.*?)\)|\[(.*?)\])', '', 'g'),
+            |              '( -)(.*?)(- )', ' ', 'g'),
+            |            '\|', '', 'g'),
+            |          ':', ' ', 'g'),
+            |        '\bOST\b', ' ', 'g'),
+            |      '\b(19|20)\d{2}\b', '', 'g'),
+            |    '(?i)Full Album', '', 'g'),
+            |  ' +', ' ', 'g'))) AS normalized
+            |FROM t ORDER BY ALL""".stripMargin)
+  )
+
+  /** E. Best-candidate match: per order, the lineitem minimizing
+    * |price − target| within a tolerance window, deterministic tiebreak.
+    * One shuffle (window partition by key); at scale this is the standard
+    * argmin-per-key pattern, no cross join.
+    */
+  val bestMatch: Q = Q(
+    "q_best_match",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = T.lineitem(s, d)
+      val o = T.orders(s, d)
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(l("l_orderkey"), l("l_linenumber"), l("l_partkey"),
+          Num.cents(l("l_extendedprice")).as("price_cents"),
+          expr("CAST(ROUND(o_totalprice*100,0) AS LONG) div 4").as("target_cents"))
+        .withColumn("diff_cents", abs(col("price_cents") - col("target_cents")))
+      // (orderkey, linenumber) is not unique in the synthetic data — the
+      // tiebreak must reach a fully distinguishing column set.
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("diff_cents", "l_linenumber", "l_partkey", "price_cents")
+      joined.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("diff_cents") <= 500000L)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "diff_cents")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH j AS (
+            |  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+            |         CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT) AS price_cents,
+            |         CAST(ROUND(o.o_totalprice*100,0) AS BIGINT) // 4 AS target_cents
+            |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |), r AS (
+            |  SELECT l_orderkey, l_linenumber, l_partkey,
+            |         abs(price_cents - target_cents) AS diff_cents,
+            |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            |             ORDER BY abs(price_cents - target_cents), l_linenumber, l_partkey, price_cents) AS rn
+            |  FROM j
+            |)
+            |SELECT l_orderkey, l_linenumber, l_partkey, diff_cents
+            |FROM r WHERE rn = 1 AND diff_cents <= 500000
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** E. Substring-containment scoring: count dictionary hits per document.
+    * The dictionary is broadcast; the scan is a narrow map — at 100 TB the
+    * cost is one pass over the corpus.
+    */
+  val substringScore: Q = Q(
+    "q_substring_score",
+    (s, d) => {
+      val words = Seq("spark", "table", "hash", "merge", "sort", "window",
+        "row", "scan")
+      val dict = s.createDataFrame(words.map(Tuple1(_))).toDF("w")
+      T.documents(s, d).crossJoin(broadcast(dict))
+        .groupBy("doc_id")
+        .agg(sum(when(instr(col("text"), col("w")) > 0, 1L).otherwise(0L)).as("dict_hits"))
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT d.doc_id,
+            |       CAST(SUM(CASE WHEN position(t.w IN d.text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dict_hits
+            |FROM documents d
+            |CROSS JOIN (VALUES ('spark'),('table'),('hash'),('merge'),('sort'),('window'),('row'),('scan')) t(w)
+            |GROUP BY d.doc_id ORDER BY ALL""".stripMargin)
+  )
+
+  /** E. ISO-8601 duration round-trip: synthesize PT…H…M…S strings, parse
+    * back to milliseconds with the regexp-composed parser, and verify.
+    */
+  val iso8601: Q = Q(
+    "q_iso8601",
+    (s, d) => {
+      val l = T.lineitem(s, d)
+      val h = col("l_linenumber").cast("long")
+      val m = col("l_quantity").cast("long")
+      val sec = (col("l_partkey") % 60).cast("long")
+      val iso = when(col("l_linenumber") % 2 === 0,
+        concat(lit("PT"), h.cast("string"), lit("H"), m.cast("string"),
+          lit("M"), sec.cast("string"), lit("S")))
+        .otherwise(concat(lit("PT"), m.cast("string"), lit("M"),
+          sec.cast("string"), lit("S")))
+      val expected = when(col("l_linenumber") % 2 === 0,
+        (h * 3600L + m * 60L + sec) * 1000L)
+        .otherwise((m * 60L + sec) * 1000L)
+      l.select(col("l_orderkey"), col("l_linenumber"), iso.as("iso"),
+          Text.iso8601Ms(iso).as("parsed_ms"), expected.as("expected_ms"))
+        .withColumn("ok", col("parsed_ms") === col("expected_ms"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT l_orderkey, l_linenumber,
+            |         CASE WHEN l_linenumber % 2 = 0
+            |           THEN 'PT' || CAST(l_linenumber AS VARCHAR) || 'H' ||
+            |                CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || 'M' ||
+            |                CAST(l_partkey % 60 AS VARCHAR) || 'S'
+            |           ELSE 'PT' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || 'M' ||
+            |                CAST(l_partkey % 60 AS VARCHAR) || 'S'
+            |         END AS iso,
+            |         CASE WHEN l_linenumber % 2 = 0
+            |           THEN (l_linenumber*3600 + CAST(l_quantity AS BIGINT)*60 + l_partkey % 60) * 1000
+            |           ELSE (CAST(l_quantity AS BIGINT)*60 + l_partkey % 60) * 1000
+            |         END AS expected_ms
+            |  FROM lineitem
+            |)
+            |SELECT l_orderkey, l_linenumber, iso,
+            |       (COALESCE(CAST(NULLIF(regexp_extract(iso, '(\d+)H', 1), '') AS BIGINT), 0) * 3600
+            |      + COALESCE(CAST(NULLIF(regexp_extract(iso, '(\d+)M', 1), '') AS BIGINT), 0) * 60
+            |      + COALESCE(CAST(NULLIF(regexp_extract(iso, '(\d+)S', 1), '') AS BIGINT), 0)) * 1000 AS parsed_ms,
+            |       expected_ms,
+            |       ((COALESCE(CAST(NULLIF(regexp_extract(iso, '(\d+)H', 1), '') AS BIGINT), 0) * 3600
+            |       + COALESCE(CAST(NULLIF(regexp_extract(iso, '(\d+)M', 1), '') AS BIGINT), 0) * 60
+            |       + COALESCE(CAST(NULLIF(regexp_extract(iso, '(\d+)S', 1), '') AS BIGINT), 0)) * 1000 = expected_ms) AS ok
+            |FROM t ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(normalizeTitle, bestMatch, substringScore, iso8601)
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Num, Q, T}
+
+/** Batch event-log operators: time-bucketed aggregation and gap-based
+  * sessionization. These are the batch twins of graft.streaming.Events —
+  * same semantics, same single shuffle by user/bucket; Structured
+  * Streaming variants live in the streaming package and are covered by
+  * ScalaTest (MemoryStream) rather than the DuckDB oracle.
+  */
+object EventOps {
+
+  /** F. Time-bucketed windowed aggregation (hour buckets × event type).
+    * Bucket rendered as epoch millis so the result is engine-neutral.
+    */
+  val windowEvents: Q = Q(
+    "q_window_events",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(
+          expr("((ts div 1000000) div 3600000) * 3600000").as("bucket_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("events"),
+          sum(Num.cents(col("value"))).as("value_cents"),
+          countDistinct(col("user_id")).as("users"))
+        .transform(Det.sortAll),
+    Some("""SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, event_type,
+            |       COUNT(*) AS events,
+            |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents,
+            |       COUNT(DISTINCT user_id) AS users
+            |FROM events GROUP BY 1, 2 ORDER BY ALL""".stripMargin),
+    headline = true
+  )
+
+  /** F. Gap-based sessionization (30-minute inactivity gap): lag → flag →
+    * running sum → per-session rollup. One shuffle by user; each user's
+    * timeline streams through the window operator once — the pattern holds
+    * at any log size because state is O(1) per key.
+    */
+  val sessionize: Q = Q(
+    "q_sessionize",
+    (s, d) => {
+      val e = T.events(s, d).select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"),
+        Num.cents(col("value")).as("value_cents"))
+      val wOrder = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_ts", lag(col("ts_ms"), 1).over(wOrder))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("start_ms"),
+          max(col("ts_ms")).as("end_ms"),
+          sum(col("value_cents")).as("session_value_cents"))
+        .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+            |         CAST(ROUND(value*100,0) AS BIGINT) AS value_cents,
+            |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ts
+            |  FROM events
+            |), f AS (
+            |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END AS is_new
+            |  FROM t
+            |), sess AS (
+            |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            |  FROM f
+            |)
+            |SELECT user_id, session_id, COUNT(*) AS n_events,
+            |       MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+            |       CAST(SUM(value_cents) AS BIGINT) AS session_value_cents,
+            |       MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+            |FROM sess GROUP BY user_id, session_id ORDER BY ALL""".stripMargin),
+    headline = true
+  )
+
+  val all: Seq[Q] = Seq(windowEvents, sessionize)
+}

@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Num, Q, T}
+
+/** Staging, intermediate, and mart operators — the reference's dbt model
+  * graph re-expressed Spark-first over the driver's star schema.
+  *
+  * Reference shapes:
+  *  - staging projections: dbt/models/staging/stg__*.sql
+  *  - 6-way star join + CASE dispatch + COALESCE entity resolution +
+  *    derived metrics: dbt/models/intermediate/int_join_spotify_uris.sql
+  *  - 3-way join + threshold bucketing:
+  *    dbt/models/intermediate/int_useful_youtube_library.sql
+  *  - conditional split / grouped branch / UNION ALL / row_number id:
+  *    dbt/models/marts/log_for_tableau.sql
+  *  - per-row + grouped-string_agg union: dbt/models/marts/log_found_videos.sql
+  *  - left anti join: dbt/models/marts/log_not_found_videos.sql
+  *
+  * All money flows through exact integer cents (see graft.Num) so results
+  * are bit-identical regardless of partial-aggregation order — the property
+  * that makes the operator deterministic on a 1000-executor cluster, not
+  * just on one thread.
+  */
+object Marts {
+
+  /** A. Column-pruned staging projection with a pushed-down predicate.
+    * The filter and the 7-column projection both reach the parquet scan
+    * (PushedFilters + ReadSchema) — nothing else is read.
+    */
+  val stgProjection: Q = Q(
+    "q_stg_projection",
+    (s, d) => {
+      T.lineitem(s, d)
+        .where(col("l_quantity") > 10)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_returnflag", "l_linestatus")
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+            |       l_quantity, l_returnflag, l_linestatus
+            |FROM lineitem WHERE l_quantity > 10
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** B. The flagship 6-way star join. Fact-to-fact (lineitem↔orders)
+    * shuffles on the key; every dimension is broadcast — at 100 TB only
+    * the single fact↔fact shuffle remains, dims stay map-side.
+    */
+  val starJoin: Q = Q(
+    "q_star_join",
+    (s, d) => {
+      val l = T.lineitem(s, d)
+      val o = T.orders(s, d)
+      val c = T.customer(s, d)
+      val n = T.nation(s, d)
+      val r = T.region(s, d)
+      val p = T.part(s, d)
+      val sup = T.supplier(s, d)
+      val discPct = Num.cents(l("l_discount")) // 0.05 -> 5
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+        .join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"), "left")
+        .select(
+          l("l_orderkey"), l("l_linenumber"), o("o_custkey"),
+          c("c_name"), n("n_name"), r("r_name"),
+          when(l("l_returnflag") === "A", "Album")
+            .when(l("l_returnflag") === "R", "Return")
+            .otherwise("Track").as("item_type"),
+          coalesce(p("p_name"), sup("s_name"), c("c_name")).as("resolved_name"),
+          coalesce(p("p_brand"), sup("s_name"), o("o_orderstatus")).as("resolved_source"),
+          Num.cents(l("l_extendedprice")).as("price_cents"),
+          Num.cents(o("o_totalprice")).as("order_cents"),
+          (Num.cents(l("l_extendedprice")) * (lit(100L) - discPct)).as("gross_e4"),
+          (l("l_quantity") * lit(100.0) / o("o_totalprice")).as("qty_pct_of_order"),
+          Num.hms(Num.secs(l("l_extendedprice"))).as("price_hms"),
+          (Num.cents(o("o_totalprice")) - Num.cents(l("l_extendedprice"))).as("difference_cents"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH j AS (
+            |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+            |         c.c_name, n.n_name, r.r_name,
+            |         CASE WHEN l.l_returnflag='A' THEN 'Album'
+            |              WHEN l.l_returnflag='R' THEN 'Return'
+            |              ELSE 'Track' END AS item_type,
+            |         COALESCE(p.p_name, s.s_name, c.c_name) AS resolved_name,
+            |         COALESCE(p.p_brand, s.s_name, o.o_orderstatus) AS resolved_source,
+            |         CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT) AS price_cents,
+            |         CAST(ROUND(o.o_totalprice*100,0) AS BIGINT) AS order_cents,
+            |         CAST(ROUND(l.l_discount*100,0) AS BIGINT) AS disc_pct,
+            |         l.l_quantity * CAST(100 AS DOUBLE) / o.o_totalprice AS qty_pct_of_order,
+            |         CAST(ROUND(l.l_extendedprice,0) AS BIGINT) % 86400 AS sod
+            |  FROM lineitem l
+            |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            |  JOIN customer c ON o.o_custkey  = c.c_custkey
+            |  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            |  LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+            |  LEFT JOIN part p     ON l.l_partkey = p.p_partkey
+            |  LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            |)
+            |SELECT l_orderkey, l_linenumber, o_custkey, c_name, n_name, r_name,
+            |       item_type, resolved_name, resolved_source,
+            |       price_cents, order_cents,
+            |       price_cents * (100 - disc_pct) AS gross_e4,
+            |       qty_pct_of_order,
+            |       concat_ws(':', lpad(CAST(sod//3600 AS VARCHAR),2,'0'),
+            |                      lpad(CAST((sod%3600)//60 AS VARCHAR),2,'0'),
+            |                      lpad(CAST(sod%60 AS VARCHAR),2,'0')) AS price_hms,
+            |       order_cents - price_cents AS difference_cents
+            |FROM j ORDER BY ALL""".stripMargin),
+    headline = true
+  )
+
+  /** B. 3-way join + duration-threshold CASE bucketing
+    * (int_useful_youtube_library.sql:22 — `duration_ms < threshold`).
+    */
+  val enrichedLibrary: Q = Q(
+    "q_enriched_library",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val c = T.customer(s, d)
+      val n = T.nation(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(
+          o("o_orderkey"), o("o_custkey"), c("c_name"), n("n_name"),
+          Num.cents(o("o_totalprice")).as("price_cents"),
+          when(o("o_totalprice") < 200000.0, "Track")
+            .otherwise("Album/Playlist").as("estimated_type"))
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT o.o_orderkey, o.o_custkey, c.c_name, n.n_name,
+            |       CAST(ROUND(o.o_totalprice*100,0) AS BIGINT) AS price_cents,
+            |       CASE WHEN o.o_totalprice < 200000.0 THEN 'Track'
+            |            ELSE 'Album/Playlist' END AS estimated_type
+            |FROM orders o
+            |JOIN customer c ON o.o_custkey = c.c_custkey
+            |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** B. Left anti join (log_not_found_videos.sql — rows with no match). */
+  val notFound: Q = Q(
+    "q_not_found",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val l = T.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+            |FROM orders o
+            |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** B. Conditional split → per-row branch + grouped branch → UNION ALL →
+    * deterministic row_number id + log-scale zero fixup
+    * (log_for_tableau.sql). The row_number window is the only single-task
+    * stage; everything feeding it is fully parallel.
+    */
+  val martUnion: Q = Q(
+    "q_mart_union",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val c = T.customer(s, d)
+      val base = o.join(c, o("o_custkey") === c("c_custkey"))
+      val perRow = base.where(c("c_mktsegment") === "BUILDING").select(
+        o("o_orderkey").as("log_id"),
+        c("c_custkey"),
+        o("o_orderpriority"),
+        o("o_orderstatus").as("status_type"),
+        Num.cents(o("o_totalprice")).as("price_cents"),
+        lit(1L).as("cnt"))
+      val grouped = base.where(c("c_mktsegment") =!= "BUILDING")
+        .groupBy(c("c_custkey"), o("o_orderpriority"))
+        .agg(sum(Num.cents(o("o_totalprice"))).as("price_cents"),
+          count(lit(1)).as("cnt"))
+        .select(
+          lit(null).cast("long").as("log_id"),
+          col("c_custkey"), col("o_orderpriority"),
+          lit("GROUPED").as("status_type"),
+          col("price_cents"), col("cnt"))
+      val unioned = perRow.unionByName(grouped)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_orderpriority"),
+        coalesce(col("log_id"), lit(-1L)), col("c_custkey"))
+      unioned
+        .withColumn("id", row_number().over(w))
+        .withColumn("price_cents_fixed",
+          when(col("price_cents") === 0L, 1L).otherwise(col("price_cents")))
+        .select("id", "log_id", "c_custkey", "o_orderpriority", "status_type",
+          "price_cents", "price_cents_fixed", "cnt")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH per_row AS (
+            |  SELECT o.o_orderkey AS log_id, c.c_custkey, o.o_orderpriority,
+            |         o.o_orderstatus AS status_type,
+            |         CAST(ROUND(o.o_totalprice*100,0) AS BIGINT) AS price_cents,
+            |         CAST(1 AS BIGINT) AS cnt
+            |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            |  WHERE c.c_mktsegment = 'BUILDING'
+            |), grouped AS (
+            |  SELECT CAST(NULL AS BIGINT) AS log_id, c.c_custkey, o.o_orderpriority,
+            |         'GROUPED' AS status_type,
+            |         CAST(SUM(CAST(ROUND(o.o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents,
+            |         COUNT(*) AS cnt
+            |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            |  WHERE c.c_mktsegment <> 'BUILDING'
+            |  GROUP BY c.c_custkey, o.o_orderpriority
+            |), unioned AS (
+            |  SELECT * FROM per_row UNION ALL SELECT * FROM grouped
+            |)
+            |SELECT ROW_NUMBER() OVER (ORDER BY o_orderpriority, COALESCE(log_id,-1), c_custkey) AS id,
+            |       log_id, c_custkey, o_orderpriority, status_type, price_cents,
+            |       CASE WHEN price_cents = 0 THEN 1 ELSE price_cents END AS price_cents_fixed,
+            |       cnt
+            |FROM unioned
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** B. Per-row branch + grouped branch with sorted-distinct string_agg and
+    * summed duration → UNION ALL (log_found_videos.sql:44 `string_agg
+    * (DISTINCT video_author, '; ')`). Sorting the collected set makes the
+    * aggregation deterministic under any shuffle order.
+    */
+  val foundAgg: Q = Q(
+    "q_found_agg",
+    (s, d) => {
+      val l = T.lineitem(s, d)
+      val o = T.orders(s, d)
+      val sup = T.supplier(s, d)
+      val base = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      val perRow = base.where(o("o_orderstatus") === "F").select(
+        l("l_orderkey"),
+        sup("s_name").as("suppliers"),
+        Num.cents(l("l_extendedprice")).as("price_cents"),
+        lit(1L).as("items"))
+      val grouped = base.where(o("o_orderstatus") =!= "F")
+        .groupBy(l("l_orderkey"))
+        .agg(
+          array_join(array_sort(collect_set(sup("s_name"))), "; ").as("suppliers"),
+          sum(Num.cents(l("l_extendedprice"))).as("price_cents"),
+          count(lit(1)).as("items"))
+        .select(col("l_orderkey"), col("suppliers"), col("price_cents"), col("items"))
+      perRow.unionByName(grouped)
+        .transform(Det.sortAll)
+    },
+    Some("""WITH per_row AS (
+            |  SELECT l.l_orderkey, s.s_name AS suppliers,
+            |         CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT) AS price_cents,
+            |         CAST(1 AS BIGINT) AS items
+            |  FROM lineitem l
+            |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            |  WHERE o.o_orderstatus = 'F'
+            |), grouped AS (
+            |  SELECT l.l_orderkey,
+            |         array_to_string(list_sort(list(DISTINCT s.s_name)), '; ') AS suppliers,
+            |         CAST(SUM(CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents,
+            |         COUNT(*) AS items
+            |  FROM lineitem l
+            |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            |  WHERE o.o_orderstatus <> 'F'
+            |  GROUP BY l.l_orderkey
+            |)
+            |SELECT * FROM (SELECT * FROM per_row UNION ALL SELECT * FROM grouped)
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(stgProjection, starJoin, enrichedLibrary, notFound,
+    martUnion, foundAgg)
+}

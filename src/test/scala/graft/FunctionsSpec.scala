@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Num.cents is exact on the cent grid including negatives") {
+    val df = Seq(68423.46, 0.01, -994.28, 33.15, 0.0).toDF("x")
+      .select(Num.cents(col("x")).as("c"))
+    assert(df.as[Long].collect().toSeq == Seq(6842346L, 1L, -99428L, 3315L, 0L))
+  }
+
+  test("Num.hms renders seconds-of-day") {
+    val df = Seq(0L, 59L, 3661L, 86400L + 61L).toDF("s")
+      .select(Num.hms(col("s")).as("h"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("00:00:00", "00:00:59", "01:01:01", "00:01:01"))
+  }
+
+  test("normalizeTitle mirrors the reference fix_title chain") {
+    val cases = Seq(
+      "Song (Live) [2019 Remaster]" -> "song",
+      "Album | Part -tag- 2 OST" -> "album part 2",
+      "Great Hits 1999 Full Album" -> "great hits",
+      "A:B" -> "a b")
+    val df = cases.map(_._1).toDF("t").select(Text.normalizeTitle(col("t")))
+    assert(df.as[String].collect().toSeq == cases.map(_._2))
+  }
+
+  test("iso8601Ms parses PTnHnMnS with optional components") {
+    val df = Seq("PT1H2M3S", "PT45M10S", "PT7S", "PT2H", "").toDF("t")
+      .select(Text.iso8601Ms(col("t")))
+    assert(df.as[Long].collect().toSeq ==
+      Seq(3723000L, 2710000L, 7000L, 7200000L, 0L))
+  }
+
+  test("Vectors.cosine matches a hand computation") {
+    val df = Seq((Array(1.0, 0.0, 2.0), Array(2.0, 1.0, 4.0))).toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].head()
+    val want = 10.0 / (math.sqrt(5.0) * math.sqrt(21.0))
+    assert(math.abs(got - want) < 1e-12)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registry names are unique and every oracle key has a query") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs non-empty at sf0.001") {
+    val allowEmpty = Set("q_sum_match") // mismatch finders may find none
+    SparkEntry.registry.foreach { q =>
+      val n = q.run(spark, sfDir).count()
+      assert(allowEmpty(q.name) || n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("anti join + semi join reconcile to the total") {
+    val row = QualityTests.reconcile.run(spark, sfDir).head()
+    assert(row.getAs[Boolean]("ok"))
+    assert(row.getAs[Long]("total_cnt") ==
+      row.getAs[Long]("matched_cnt") + row.getAs[Long]("unmatched_cnt"))
+  }
+
+  test("best match picks the argmin |price - target| per order") {
+    val df = EltOps.bestMatch.run(spark, sfDir)
+    // one row per surviving order, diff within tolerance
+    assert(df.groupBy("l_orderkey").count().where(col("count") > 1).count() == 0)
+    assert(df.where(col("diff_cents") > 500000L).count() == 0)
+  }
+
+  test("exact dedup flags planted duplicates") {
+    val docs = Seq(
+      (1L, "the same exact text"),
+      (2L, "the same exact text"),
+      (3L, "a different text entirely")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("__docs")
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val out = docs.select(col("doc_id"), md5(norm).as("h"))
+      .withColumn("keeper", min("doc_id").over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keeper"))
+    val dups = out.where(col("is_dup")).select("doc_id").as[Long].collect().toSet
+    assert(dups == Set(2L))
+  }
+
+  test("minhash LSH surfaces a planted near-duplicate pair") {
+    // Two docs sharing almost all shingles must collide in >=1 band.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftspec").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashLsh.run(spark, tmp)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash hamming distance is small for near-dup, large for far") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " aa bb"
+    val far = (200 to 260).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftspec2").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.simhash.run(spark, tmp)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    val nearPair = out.find(r => r._1 == 1L && r._2 == 2L)
+    assert(nearPair.exists(_._3 <= 12), s"near pair missing or distant: ${out.toSeq}")
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates by bucket") {
+    val lsh = Similarity.annLsh.run(spark, sfDir)
+    // every neighbor actually shares the query bucket (structural property)
+    assert(lsh.where(col("rn") > 5).count() == 0)
+    assert(lsh.groupBy("query_id").count().where(col("count") > 5).count() == 0)
+  }
+
+  test("as-of join never matches a later purchase") {
+    val df = AsOf.asofJoin.run(spark, sfDir)
+    assert(df.where(col("matched_p_ts_ms") > col("ts_ms")).count() == 0)
+  }
+
+  test("sessionization gaps exceed the threshold between sessions") {
+    val df = EventOps.sessionize.run(spark, sfDir)
+    // within a user, sessions ordered by session_id must not overlap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_id")
+    val bad = df.withColumn("prev_end", lag("end_ms", 1).over(w))
+      .where(col("prev_end").isNotNull &&
+        col("start_ms") - col("prev_end") <= 1800000L)
+    assert(bad.count() == 0)
+  }
+}

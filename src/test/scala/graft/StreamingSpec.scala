@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Ev, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class RawEv(ts: Timestamp, event_type: String, value_cents: Long)
+
+  test("windowed counts aggregate by hour with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEv]
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    val h0 = Timestamp.valueOf("2024-01-01 10:05:00")
+    val h0b = Timestamp.valueOf("2024-01-01 10:55:00")
+    val h1 = Timestamp.valueOf("2024-01-01 11:10:00")
+    mem.addData(RawEv(h0, "view", 100L), RawEv(h0b, "view", 50L), RawEv(h1, "click", 10L))
+    q.processAllAvailable()
+    // advance watermark far enough to close both windows
+    mem.addData(RawEv(Timestamp.valueOf("2024-01-01 14:00:00"), "view", 1L))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select("event_type", "events", "value_cents")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows.contains(("view", 2L, 150L)), s"got $rows")
+    assert(rows.contains(("click", 1L, 10L)), s"got $rows")
+  }
+
+  test("stateful sessionization closes sessions on gap and emits on later batch") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // user 1: two events 10s apart (one session), then one event 10min later
+    def ts(ms: Long) = new Timestamp(ms)
+    mem.addData(Ev(1L, 1L, ts(1000L), 5L), Ev(1L, 2L, ts(11000L), 7L))
+    q.processAllAvailable()
+    mem.addData(Ev(1L, 3L, ts(700000L), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").as[SessionOut].collect().toSeq
+    q.stop()
+    // the first session must be closed by the third event
+    assert(rows.contains(SessionOut(1L, 1000L, 11000L, 2L, 12L)), s"got $rows")
+  }
+}

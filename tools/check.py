@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (dev tool, not part of the
+shipped library): run graft.Verify at a given SF, execute each oracle SQL in
+DuckDB over the same parquet tables, and compare result sets exactly.
+
+Usage: python3 tools/check.py [sfdir] [--no-verify] [query ...]
+"""
+import json, sys, subprocess, glob, os
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') else '/root/testdata/sf0.01'
+OUT = '/tmp/graft_verify'
+ONLY = [a for a in sys.argv[2:] if not a.startswith('-')]
+
+if '--no-verify' not in sys.argv:
+    r = subprocess.run(['sbt', '-batch', f'runMain graft.Verify {SF} {OUT}'],
+                       capture_output=True, text=True, cwd='/root/repo')
+    if 'success' not in r.stdout:
+        print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
+    for line in r.stdout.splitlines():
+        if '[verify]' in line:
+            print(line)
+
+con = duckdb.connect()
+for p in glob.glob(f'{SF}/*.parquet'):
+    name = os.path.basename(p).replace('.parquet', '')
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f'{OUT}/oracle_sql.json'))
+fails = []
+for name, sql in sorted(oracle.items()):
+    if ONLY and name not in ONLY:
+        continue
+    spark_dir = f'{OUT}/{name}'
+    if not glob.glob(f'{spark_dir}/*.parquet'):
+        print(f'FAIL {name}: no spark output'); fails.append(name); continue
+    try:
+        got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+        want = con.execute(sql).df()
+    except Exception as e:
+        print(f'FAIL {name}: {e}'); fails.append(name); continue
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        print(f'FAIL {name}: columns {gc} vs {wc}'); fails.append(name); continue
+    got, want = got[gc], want[wc]
+    if len(got) != len(want):
+        print(f'FAIL {name}: rows {len(got)} vs {len(want)}'); fails.append(name); continue
+    g = got.sort_values(gc, kind='mergesort').reset_index(drop=True)
+    w = want.sort_values(wc, kind='mergesort').reset_index(drop=True)
+    bad = []
+    for c in gc:
+        a, b = g[c], w[c]
+        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            a, b = a.astype('float64'), b.astype('float64')
+            eq = (a == b) | (a.isna() & b.isna())
+        else:
+            eq = (a.astype(object).where(pd.notna(a), None)
+                  == b.astype(object).where(pd.notna(b), None)) | (a.isna() & b.isna())
+        if not bool(eq.all()):
+            i = int((~eq).idxmax())
+            bad.append(f'{c}[row {i}]: {g[c][i]!r} vs {w[c][i]!r} '
+                       f'(dtypes {got[c].dtype}/{want[c].dtype}, {int((~eq).sum())} diffs)')
+    if bad:
+        print(f'FAIL {name}: ' + ' | '.join(bad[:3])); fails.append(name)
+    else:
+        print(f'ok   {name} ({len(got)} rows)')
+
+print(f'\n{len(oracle) - len(fails)}/{len(oracle)} matched' + (f'; FAILURES: {fails}' if fails else ''))
+sys.exit(1 if fails else 0)
