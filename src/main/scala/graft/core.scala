@@ -23,6 +23,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); Spark's reader has no
       // nanos timestamp type — read as Long nanos and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // collect_set/collect_list aggregations: the default sort-based
+      // fallback fires at 128 in-memory groups, turning large grouped
+      // string-aggs into external sorts; with executor memory sized for
+      // the partition count this stays hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

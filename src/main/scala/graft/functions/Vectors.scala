@@ -3,19 +3,21 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector kernels over Array[Float]/Array[Double] columns, composed from
-  * Spark's higher-order functions (`zip_with` + `aggregate`) — left-to-right
-  * accumulation, so the result is bit-identical to any engine that sums in
-  * index order. No UDF, no driver-side math.
+/** Vector kernels over Array[Float]/Array[Double] columns. The dot product
+  * is a native codegen'd Catalyst expression (graft.expressions.DotProduct)
+  * with left-to-right accumulation — bit-identical to the higher-order
+  * `aggregate(zip_with(...))` encoding and to DuckDB's list_inner_product,
+  * but a tight compiled loop instead of two lambdas per element.
+  * No UDF, no driver-side math.
   */
 object Vectors {
 
   /** Cast an Array[Float] column to Array[Double] for stable math. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Σ aᵢ·bᵢ in index order. */
+  /** Σ aᵢ·bᵢ in index order (native codegen kernel). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExpressions.dot(a, b)
 
   /** ‖v‖₂ */
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -21,9 +21,13 @@ object Dedup {
 
   private def words(c: Column): Column = split(c, " +")
 
-  /** Distinct 3-word shingles per document: (doc_id, shingle). */
+  /** Distinct 3-word shingles per document: (doc_id, shingle).
+    * The corpus lands as one file = one partition; shingling is the
+    * CPU-heavy narrow stage, so spread it before exploding.
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
@@ -107,8 +111,11 @@ object Dedup {
   val minhashLsh: Q = Q(
     "q_dedup_minhash",
     (s, d) => {
-      val sh = shingles(s, d)
-      val mins = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+      // hash each shingle string once, then derive the 16 seeded hashes by
+      // re-mixing the 8-byte value — O(len) work happens once per shingle,
+      // not 16 times
+      val sh = shingles(s, d).withColumn("hs", xxhash64(col("s")))
+      val mins = (0 until 16).map(i => min(xxhash64(col("hs"), lit(i))).as(s"h$i"))
       val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       val bands = sigs.select(col("doc_id"), posexplode(array(
         (0 until 4).map(b => xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),

@@ -24,6 +24,10 @@ object Similarity {
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
+      // the table lands as one parquet file = one partition; the pair
+      // joins below are nested-loop joins that preserve the streamed
+      // side's partitioning, so spread the corpus across the cluster first
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
 
@@ -37,7 +41,7 @@ object Similarity {
     "q_dedup_embed",
     (s, d) => {
       val e = vecs(s, d)
-      e.as("a")
+      broadcast(e.as("a"))
         .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           cos.as("cosine"))

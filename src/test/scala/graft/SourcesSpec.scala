@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("csv round-trips with explicit schema") {
+    val tmp = Files.createTempDirectory("graftcsv").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    df.write.option("header", "true").csv(s"$tmp/data")
+    val back = Sources.csv(spark, s"$tmp/data", schema)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("json lines round-trips with explicit schema") {
+    val tmp = Files.createTempDirectory("graftjson").toString
+    Seq((1L, "x", 0.5)).toDF("id", "name", "score").write.json(s"$tmp/data")
+    val back = Sources.jsonLines(spark, s"$tmp/data", schema)
+    assert(back.count() == 1 && back.head().getAs[String]("name") == "x")
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val tmp = Files.createTempDirectory("graftpart").toString
+    val df = Seq((1L, "de"), (2L, "en"), (3L, "en")).toDF("id", "lang")
+    Sources.writePartitioned(df, s"$tmp/docs", Seq("lang"))
+    val pruned = Sources.parquet(spark, s"$tmp/docs").where(col("lang") === "en")
+    assert(pruned.count() == 2)
+    // physical proof of pruning: only the lang=en directory is scanned
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("lang=de"), s"unpruned scan: $scan")
+  }
+
+  test("bucketed table join plans without a shuffle on the bucket key") {
+    // force SMJ so the only possible exchange is a shuffle (a broadcast
+    // join would trivially contain no shuffle Exchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val a = (1L to 100L).map(i => (i, s"n$i")).toDF("k", "va")
+    val b = (1L to 100L).map(i => (i, i * 2)).toDF("k", "vb")
+    Sources.writeBucketed(a, "bucket_a", "k", 4)
+    Sources.writeBucketed(b, "bucket_b", "k", 4)
+    val joined = spark.table("bucket_a").join(spark.table("bucket_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucket join still shuffles:\n$plan")
+    assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
+  }
+}
