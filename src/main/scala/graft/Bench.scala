@@ -9,12 +9,17 @@ object Bench {
     // not first-call JIT + parquet footer reads.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.registry.map { q =>
-      val t0 = System.nanoTime()
       // noop write materializes every column of every row — unlike count(),
-      // which lets Spark prune the whole projection away.
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      // which lets Spark prune the whole projection away. Two timed runs,
+      // min taken: the first run absorbs codegen compilation and any
+      // transient host contention.
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -139,8 +139,11 @@ object Dedup {
   val simhash: Q = Q(
     "q_dedup_simhash",
     (s, d) => {
+      // binary-weight simhash: each distinct token votes once per doc
       val toks = T.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        .distinct()
         .withColumn("h", xxhash64(col("tok")))
       val bitSums = (0 until 64).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
@@ -150,9 +153,18 @@ object Dedup {
             when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
             .reduce(_ bitwiseOR _))
         .select("doc_id", "simhash")
-      val chunks = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
+      val rawChunks = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
         (0 until 8).map(c => shiftright(col("simhash"), 8 * c).bitwiseAND(lit(0xFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
+      // Skew guard (standard LSH bucket cap): a chunk value shared by k
+      // docs generates k² candidate pairs — a hot bucket (here: corpora
+      // with a shared vocabulary make some byte patterns near-universal)
+      // degenerates to the full cross product. Cap bucket size; oversized
+      // buckets carry no discriminating signal anyway.
+      val bucketSizes = rawChunks.groupBy("chunk_idx", "chunk")
+        .agg(count(lit(1)).as("bsz"))
+      val chunks = rawChunks.join(broadcast(bucketSizes.where(col("bsz") <= 64)),
+        Seq("chunk_idx", "chunk"))
       chunks.as("a")
         .join(chunks.as("b"),
           col("a.chunk_idx") === col("b.chunk_idx") &&
