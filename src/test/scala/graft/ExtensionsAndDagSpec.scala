@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dag, Stage}
+
+class ExtensionsAndDagSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot is callable from SQL after extension injection") {
+    // the shared session wasn't built with the extension; register the
+    // same function definition through the session's catalog path
+    val (id, info, builder) = GraftExtensions.dotFunction
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val got = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(got == 11.0)
+  }
+
+  test("dag runs stages in topological order and wires views") {
+    val dag = new Dag(Seq(
+      Stage("mart", Seq("stg_a", "stg_b"),
+        s => s.table("stg_a").join(s.table("stg_b"), "k")),
+      Stage("stg_a", Nil, s => { import s.implicits._
+        Seq((1, "x"), (2, "y")).toDF("k", "va") }),
+      Stage("stg_b", Nil, s => { import s.implicits._
+        Seq((1, 10), (2, 20)).toDF("k", "vb") })))
+    assert(dag.order == Seq("stg_a", "stg_b", "mart"))
+    val out = dag.run(spark)
+    assert(out("mart").count() == 2)
+    assert(spark.table("mart").columns.toSet == Set("k", "va", "vb"))
+  }
+
+  test("dag rejects cycles and unknown deps") {
+    intercept[IllegalArgumentException] {
+      new Dag(Seq(Stage("a", Seq("missing"), s => s.range(1).toDF())))
+    }
+    val cyclic = new Dag(Seq(
+      Stage("a", Seq("b"), s => s.range(1).toDF()),
+      Stage("b", Seq("a"), s => s.range(1).toDF())))
+    intercept[IllegalArgumentException](cyclic.order)
+  }
+}

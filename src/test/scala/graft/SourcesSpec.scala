@@ -40,6 +40,19 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("bucketed table join plans without a shuffle on the bucket key") {
+    // the in-memory catalog is fresh per JVM but the warehouse directory
+    // persists on disk — clear both before re-creating the tables
+    Seq("bucket_a", "bucket_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     // force SMJ so the only possible exchange is a shuffle (a broadcast
     // join would trivially contain no shuffle Exchange)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
