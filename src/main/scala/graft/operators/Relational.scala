@@ -232,6 +232,37 @@ object Relational {
             |FROM lineitem GROUP BY l_returnflag ORDER BY ALL""".stripMargin)
   )
 
+  /** F. Two-phase salted aggregation: explicit skew mitigation for
+    * low-cardinality hot grouping keys. Phase 1 aggregates on
+    * (key, salt=hash(row)%16) so a hot key's rows spread over 16 reducers;
+    * phase 2 merges the 16 partials per key. Bit-identical to the direct
+    * groupBy because every aggregate is an exact integer — which is the
+    * point of Num's conventions: re-association is free.
+    */
+  val saltedAgg: Q = Q(
+    "q_salted_agg",
+    (s, d) => {
+      val l = T.lineitem(s, d)
+      val salted = l.withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey")), lit(16)))
+      salted
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity").cast("long")).as("p_qty"),
+          sum(Num.cents(col("l_extendedprice"))).as("p_cents"),
+          count(lit(1)).as("p_cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("p_qty")).as("sum_qty"),
+          sum(col("p_cents")).as("sum_cents"),
+          sum(col("p_cnt")).as("orders"))
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT l_returnflag,
+            |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+            |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
+            |       COUNT(*) AS orders
+            |FROM lineitem GROUP BY l_returnflag ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopK, topKPerGroup, rollup, pivot,
-    distinctCount, approxDistinct, percentile)
+    distinctCount, approxDistinct, percentile, saltedAgg)
 }

@@ -121,5 +121,45 @@ object Similarity {
     None
   )
 
-  val all: Seq[Q] = Seq(dedupEmbed, annTopK, annLsh)
+  /** G. IVF-style ANN: coarse quantization to a small centroid set, probe
+    * the closest nprobe=4 cells per query, score only those candidates.
+    * The centroid "codebook" here is a deterministic sample (first 16
+    * vectors) standing in for a k-means training job — the assignment /
+    * probe / rescore dataflow is the real scale path: corpus assignment is
+    * one narrow pass against a broadcast codebook, and the candidate join
+    * is equi on cluster_id. Approximate ⇒ rows-only driver check.
+    */
+  val annIvf: Q = Q(
+    "q_ann_ivf",
+    (s, d) => {
+      val e = vecs(s, d)
+      val centroids = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val centCos = Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+      // assignment: argmax-cosine centroid per vector
+      def assign(df: DataFrame, k: Int, outPrefix: String): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+        df.crossJoin(broadcast(centroids))
+          .withColumn("ccos", centCos)
+          .withColumn("crank", row_number().over(w))
+          .where(col("crank") <= k)
+          .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as(s"${outPrefix}cluster"))
+      }
+      val corpus = assign(e, 1, "")
+      val queries = assign(e.where(col("vec_id") < 20), 4, "q")
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      queries.join(corpus, col("qcluster") === col("cluster") &&
+          col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cluster"),
+          (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(dedupEmbed, annTopK, annLsh, annIvf)
 }

@@ -87,6 +87,24 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.groupBy("query_id").count().where(col("count") > 5).count() == 0)
   }
 
+  test("IVF ANN returns at most k neighbors per query from probed cells") {
+    val ivf = Similarity.annIvf.run(spark, sfDir)
+    assert(ivf.count() > 0)
+    assert(ivf.groupBy("query_id").count().where(col("count") > 5).count() == 0)
+  }
+
+  test("salted aggregation equals the direct group-by") {
+    val direct = T.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = Relational.saltedAgg.run(spark, sfDir)
+      .select("l_returnflag", "sum_qty")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted == direct)
+  }
+
   test("as-of join never matches a later purchase") {
     val df = AsOf.asofJoin.run(spark, sfDir)
     assert(df.where(col("matched_p_ts_ms") > col("ts_ms")).count() == 0)
