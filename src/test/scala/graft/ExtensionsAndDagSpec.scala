@@ -31,6 +31,12 @@ class ExtensionsAndDagSpec extends SparkSpec {
     assert(spark.table("mart").columns.toSet == Set("k", "va", "vb"))
   }
 
+  test("mart pipeline builds the whole model graph and passes its data test") {
+    assert(graft.pipeline.MartPipeline.build(spark, sfDir))
+    assert(spark.table("int_star").count() > 0)
+    assert(spark.table("mart_tableau").count() > 0)
+  }
+
   test("dag rejects cycles and unknown deps") {
     intercept[IllegalArgumentException] {
       new Dag(Seq(Stage("a", Seq("missing"), s => s.range(1).toDF())))
