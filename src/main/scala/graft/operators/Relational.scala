@@ -263,6 +263,68 @@ object Relational {
             |FROM lineitem GROUP BY l_returnflag ORDER BY ALL""".stripMargin)
   )
 
+  /** F. Ranking-function suite: rank / dense_rank / percent_rank over a
+    * bucketed order key (buckets make ties real, and rank functions are
+    * tie-stable: equal keys get equal ranks regardless of row order).
+    */
+  val rankFuncs: Q = Q(
+    "q_rank_funcs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = T.customer(s, d)
+      val bucket = (Num.cents(col("c_acctbal")) / 100000L).cast("long")
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("bal_bucket").desc)
+      c.select(col("c_custkey"), col("c_mktsegment"), bucket.as("bal_bucket"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prnk", percent_rank().over(w))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT c_custkey, c_mktsegment,
+            |         CAST(ROUND(c_acctbal*100,0) AS BIGINT) // 100000 AS bal_bucket
+            |  FROM customer
+            |)
+            |SELECT c_custkey, c_mktsegment, bal_bucket,
+            |       CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY bal_bucket DESC) AS BIGINT) AS rnk,
+            |       CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY bal_bucket DESC) AS BIGINT) AS drnk,
+            |       PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY bal_bucket DESC) AS prnk
+            |FROM t ORDER BY ALL""".stripMargin)
+  )
+
+  /** F. Explicit semi join (EXISTS with a correlated predicate). */
+  val existsSemi: Q = Q(
+    "q_exists_semi",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val big = T.lineitem(s, d).where(col("l_quantity") > 45)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), Num.cents(col("o_totalprice")).as("price_cents"))
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT o_orderkey, CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS price_cents
+            |FROM orders o
+            |WHERE EXISTS (SELECT 1 FROM lineitem l
+            |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** F. Calendar rollup: orders per month with revenue. */
+  val monthAgg: Q = Q(
+    "q_month_agg",
+    (s, d) =>
+      T.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("orders"),
+          sum(Num.cents(col("o_totalprice"))).as("revenue_cents"))
+        .transform(Det.sortAll),
+    Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+            |       COUNT(*) AS orders,
+            |       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+            |FROM orders GROUP BY 1 ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopK, topKPerGroup, rollup, pivot,
-    distinctCount, approxDistinct, percentile, saltedAgg)
+    distinctCount, approxDistinct, percentile, saltedAgg, rankFuncs,
+    existsSemi, monthAgg)
 }
