@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Det, Q, T}
 
@@ -41,6 +42,42 @@ object Multimodal {
             |       CAST(octet_length(text::BLOB) % 24 + 1 AS BIGINT) AS frames
             |FROM documents ORDER BY ALL""".stripMargin)
   )
+
+  /** Typed decode output: the schema a real media decoder would emit. */
+  case class MediaMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
+      frames: Int, sha256_hex: String)
+
+  /** STUB decode kernel — the seam where a real codec (JNI/FFI image or
+    * audio library, absent in this container) would process one partition's
+    * batch of payloads. Batch shape is the real contract: the decoder gets
+    * an iterator per partition so a native codec can amortize init across
+    * the batch; output is a typed row per media object. The fake decode is
+    * deterministic in the payload bytes.
+    */
+  def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta] = {
+    // >>> real codec init would happen here, once per partition <<<
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    batch.map { case (id, bytes) =>
+      val n = bytes.length.toLong
+      val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+      digest.reset()
+      MediaMeta(id, n, (n % 640 + 16).toInt, (n % 480 + 16).toInt,
+        (n % 24 + 1).toInt, sha)
+    }
+  }
+
+  /** G. mapPartitions batch-decode pipeline over the binary payload
+    * column — partitioning and batch shape are what a 100 TB media corpus
+    * needs (one codec init per partition, streaming rows through).
+    */
+  def decodeDataset(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    T.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(decodeBatch)
+  }
 
   val all: Seq[Q] = Seq(multimodalMeta)
 }

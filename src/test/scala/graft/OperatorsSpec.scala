@@ -105,6 +105,17 @@ class OperatorsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("multimodal batch decode agrees with the column pipeline") {
+    val decoded = Multimodal.decodeDataset(spark, sfDir)
+    val cols = Multimodal.multimodalMeta.run(spark, sfDir)
+    val a = decoded.select("doc_id", "byte_len", "width", "height", "frames", "sha256_hex")
+      .collect().map(_.toSeq).toSet
+    val b = cols.select(col("doc_id"), col("byte_len"), col("width").cast("int"),
+        col("height").cast("int"), col("frames").cast("int"), col("sha256_hex"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("as-of join never matches a later purchase") {
     val df = AsOf.asofJoin.run(spark, sfDir)
     assert(df.where(col("matched_p_ts_ms") > col("ts_ms")).count() == 0)
