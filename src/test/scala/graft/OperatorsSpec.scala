@@ -43,7 +43,6 @@ class OperatorsSpec extends SparkSpec {
       (1L, "the same exact text"),
       (2L, "the same exact text"),
       (3L, "a different text entirely")).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("__docs")
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val out = docs.select(col("doc_id"), md5(norm).as("h"))
