@@ -66,10 +66,13 @@ object Dedup {
   val ngramJaccard: Q = Q(
     "q_dedup_ngram",
     (s, d) => {
-      val sh = shingles(s, d)
+      // shuffle 8-byte shingle hashes, not strings: the inverted-index
+      // join and intersection counts are identical (64-bit collisions are
+      // ~1e-10 at this corpus size and the oracle would catch one)
+      val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("s")).as("hs"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .join(sh.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       pairs
