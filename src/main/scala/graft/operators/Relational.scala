@@ -324,7 +324,31 @@ object Relational {
             |FROM orders GROUP BY 1 ORDER BY ALL""".stripMargin)
   )
 
+  /** F. SQL surface: the same engine through `spark.sql` over registered
+    * views — users of the reference's BigQuery SQL layer get a textual
+    * entry point, same Catalyst plans underneath.
+    */
+  val sqlSurface: Q = Q(
+    "q_sql_surface",
+    (s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      T.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o.o_orderpriority,
+              |       CAST(SUM(CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS rev_cents,
+              |       COUNT(*) AS items
+              |FROM lineitem_v l JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+              |GROUP BY o.o_orderpriority
+              |ORDER BY ALL""".stripMargin)
+    },
+    Some("""SELECT o.o_orderpriority,
+            |       CAST(SUM(CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS rev_cents,
+            |       COUNT(*) AS items
+            |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |GROUP BY o.o_orderpriority
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopK, topKPerGroup, rollup, pivot,
     distinctCount, approxDistinct, percentile, saltedAgg, rankFuncs,
-    existsSemi, monthAgg)
+    existsSemi, monthAgg, sqlSurface)
 }
