@@ -24,14 +24,33 @@ object Dedup {
   /** Distinct 3-word shingles per document: (doc_id, shingle).
     * The corpus lands as one file = one partition; shingling is the
     * CPU-heavy narrow stage, so spread it before exploding.
+    * Documents under 3 words have no 3-shingle — they are filtered before
+    * the sequence() so it never runs with start > stop (which would count
+    * descending and index the array at -1 under ANSI mode). The DuckDB
+    * oracle's range(1, len-1) is empty for them, so both engines agree.
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
         .as("s"))
+
+  /** Bucket-size skew guard shared by the whole candidate-join family: keep
+    * only rows whose bucket (the join key) holds ≤ cap members. A bucket of
+    * k rows generates k² candidate pairs, so one corpus-common key (a
+    * stop-phrase shingle, a universal simhash byte, a hot LSH band) turns
+    * the self-join quadratic; past `cap` members a bucket carries no
+    * discriminating signal anyway. Implemented as a count-window over the
+    * key — one shuffle that the following self-join on the same key reuses
+    * (no second Exchange), and no broadcast of an unbounded bucket table.
+    */
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    df.withColumn("bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .where(col("bsz") <= cap)
+      .drop("bsz")
 
   /** G. Exact dedup: hash-groupBy on normalized content; every doc keeps
     * its group size, keeper id (min doc_id), and dup flag.
@@ -62,6 +81,13 @@ object Dedup {
   /** G. n-gram Jaccard near-dup pairs via shared-shingle inverted-index
     * join. |∩| from the join, |∪| = nA + nB − |∩|; the Jaccard ratio is
     * IEEE division of exact counts.
+    *
+    * Similarity is defined over the document-frequency-capped shingle
+    * vocabulary: shingles appearing in > 128 documents are stop-phrases —
+    * they contribute k² candidate pairs for k sharers while carrying no
+    * near-dup signal, and at web-corpus scale they dominate the join. Both
+    * |∩| and |∪| count capped shingles only, and the DuckDB oracle applies
+    * the identical cap, so the hash gate still decides.
     */
   val ngramJaccard: Q = Q(
     "q_dedup_ngram",
@@ -69,7 +95,9 @@ object Dedup {
       // shuffle 8-byte shingle hashes, not strings: the inverted-index
       // join and intersection counts are identical (64-bit collisions are
       // ~1e-10 at this corpus size and the oracle would catch one)
-      val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      val sh = capBuckets(
+        shingles(s, d).select(col("doc_id"), xxhash64(col("s")).as("hs")),
+        Seq("hs"), 128)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val pairs = sh.as("a")
         .join(sh.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
@@ -86,9 +114,13 @@ object Dedup {
     },
     Some("""WITH w AS (
             |  SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
-            |), sh AS (
+            |), sh0 AS (
             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
             |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+            |), sh AS (
+            |  SELECT doc_id, s FROM (
+            |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0
+            |  ) WHERE df <= 128
             |), cnt AS (
             |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
             |), pairs AS (
@@ -107,7 +139,9 @@ object Dedup {
   )
 
   /** G. MinHash+LSH: 16 minhashes (min of seeded xxhash64 over shingles),
-    * 4 bands × 4 rows; candidate pairs = docs sharing a band bucket.
+    * 4 bands × 4 rows; candidate pairs = docs sharing a band bucket, with
+    * the ≤64 bucket cap (a mass of identical docs lands whole bands in one
+    * bucket — the common web-corpus case — and would go quadratic).
     * Approximate by construction ⇒ rows-only driver check; the planted-
     * duplicate ScalaTest proves recall.
     */
@@ -120,9 +154,11 @@ object Dedup {
       val sh = shingles(s, d).withColumn("hs", xxhash64(col("s")))
       val mins = (0 until 16).map(i => min(xxhash64(col("hs"), lit(i))).as(s"h$i"))
       val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands = sigs.select(col("doc_id"), posexplode(array(
-        (0 until 4).map(b => xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
-          col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))): _*)).as(Seq("band_idx", "band_hash")))
+      val bands = capBuckets(
+        sigs.select(col("doc_id"), posexplode(array(
+          (0 until 4).map(b => xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+            col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))): _*)).as(Seq("band_idx", "band_hash"))),
+        Seq("band_idx", "band_hash"), 64)
       bands.as("a")
         .join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -159,15 +195,9 @@ object Dedup {
       val rawChunks = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
         (0 until 8).map(c => shiftright(col("simhash"), 8 * c).bitwiseAND(lit(0xFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
-      // Skew guard (standard LSH bucket cap): a chunk value shared by k
-      // docs generates k² candidate pairs — a hot bucket (here: corpora
-      // with a shared vocabulary make some byte patterns near-universal)
-      // degenerates to the full cross product. Cap bucket size; oversized
-      // buckets carry no discriminating signal anyway.
-      val bucketSizes = rawChunks.groupBy("chunk_idx", "chunk")
-        .agg(count(lit(1)).as("bsz"))
-      val chunks = rawChunks.join(broadcast(bucketSizes.where(col("bsz") <= 64)),
-        Seq("chunk_idx", "chunk"))
+      // Skew guard: corpora with a shared vocabulary make some byte
+      // patterns near-universal; see capBuckets.
+      val chunks = capBuckets(rawChunks, Seq("chunk_idx", "chunk"), 64)
       chunks.as("a")
         .join(chunks.as("b"),
           col("a.chunk_idx") === col("b.chunk_idx") &&

@@ -188,10 +188,31 @@ object Marts {
           col("price_cents"), col("cnt"))
       val unioned = perRow.unionByName(grouped)
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_orderpriority"),
+      // Two-phase global numbering. A bare Window.orderBy would funnel the
+      // whole mart through one task (WindowExec: No Partition Defined); the
+      // reference's row_number() over (order by …) gets away with it only
+      // because BigQuery reshuffles internally (log_for_tableau.sql:97).
+      // Instead: range-partition on the sort key, number within each range
+      // partition in parallel, then shift by the per-partition row-count
+      // prefix sums — a tiny (numPartitions-row) aggregate joined back in.
+      // The sort key (priority, log_id|-1, custkey) is a unique total
+      // order, so the composed numbering equals the global row_number.
+      val sortKeys = Seq(col("o_orderpriority"),
         coalesce(col("log_id"), lit(-1L)), col("c_custkey"))
-      unioned
-        .withColumn("id", row_number().over(w))
+      val ranged = unioned
+        .repartitionByRange(sortKeys: _*)
+        .withColumn("part_id", spark_partition_id())
+      val wLocal = Window.partitionBy("part_id").orderBy(sortKeys: _*)
+      val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
+      val partCounts = local.groupBy("part_id").agg(count(lit(1)).as("n"))
+      // prefix sum over ≤ shuffle.partitions rows — self-join, no window
+      val offsets = partCounts.as("a")
+        .join(partCounts.as("b"), col("b.part_id") < col("a.part_id"), "left")
+        .groupBy(col("a.part_id").as("part_id"))
+        .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+      local
+        .join(broadcast(offsets), Seq("part_id"))
+        .withColumn("id", (col("local_rn") + col("off")).cast("int"))
         .withColumn("price_cents_fixed",
           when(col("price_cents") === 0L, 1L).otherwise(col("price_cents")))
         .select("id", "log_id", "c_custkey", "o_orderpriority", "status_type",
