@@ -2,11 +2,11 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst dot product over two Array[Double] columns.
   *
@@ -66,9 +66,88 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Banded random-hyperplane LSH signature over an Array[Double] column.
+  *
+  * Returns `bands` Long codes; code i packs the sign bits of the vector's
+  * dot products with `bits` pseudo-random hyperplanes. Two vectors at angle
+  * θ agree on one plane's bit with probability 1 − θ/π, so sharing a band
+  * code is the classic SimHash/hyperplane-LSH collision event — the
+  * candidate-generation key for cosine similarity joins.
+  *
+  * Plane components are derived on the fly from a splitmix64 mix of
+  * (seed, band, bit, dim): no plane matrix is stored, broadcast, or
+  * embedded in the plan (a 72-band × 6-bit × 64-dim literal would be a
+  * 27k-node expression tree), and the signature is deterministic across
+  * runs and cluster layouts. Interpreted and codegen paths share the one
+  * static kernel, so whole-stage codegen keeps a single tight loop.
+  */
+case class HyperplaneSig(child: Expression, seed: Long, bands: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> argument, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSig.compute(v.asInstanceOf[ArrayData], seed, bands, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.HyperplaneSig.compute($v, ${seed}L, $bands, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  /** splitmix64 finalizer → uniform double in [-0.5, 0.5). */
+  private def mixToDouble(x: Long): Double = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11) * 1.1102230246251565e-16 - 0.5 // 2^-53
+  }
+
+  /** Shared interpreted/codegen kernel. */
+  def compute(v: ArrayData, seed: Long, bands: Int, bits: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Long](bands)
+    var band = 0
+    while (band < bands) {
+      var code = 0L
+      var bit = 0
+      while (bit < bits) {
+        val planeId = seed + (band.toLong * bits + bit) * 0x632BE59BD9B4E019L
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          dot += v.getDouble(d) * mixToDouble(planeId + d * 0xFF51AFD7ED558CCDL)
+          d += 1
+        }
+        code = (code << 1) | (if (dot > 0) 1L else 0L)
+        bit += 1
+      }
+      out(band) = code
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   /** Column API for the native kernel. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the banded hyperplane-LSH signature. */
+  def hyperplaneSig(v: Column, seed: Long, bands: Int, bits: Int): Column =
+    ColumnBridge.column(HyperplaneSig(
+      ColumnBridge.expression(v), seed, bands, bits))
 }

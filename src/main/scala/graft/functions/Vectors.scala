@@ -26,4 +26,10 @@ object Vectors {
     * dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))).
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Banded hyperplane-LSH band codes (native codegen kernel):
+    * array of `bands` Longs, each packing `bits` sign bits.
+    */
+  def hyperplaneBands(v: Column, seed: Long, bands: Int, bits: Int): Column =
+    graft.expressions.VectorExpressions.hyperplaneSig(v, seed, bands, bits)
 }

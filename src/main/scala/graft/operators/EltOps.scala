@@ -18,43 +18,80 @@ import graft.functions.Text
   */
 object EltOps {
 
-  /** E. Regex normalization chain over synthesized messy titles. */
+  /** E. Full-fidelity fix_title chain (spotify_elt.py:159-212) over
+    * synthesized messy titles. The 8 input shapes exercise every step and
+    * the per-step empty-undo backstop: "(1990)"-style titles empty step 1
+    * and are reset to the original (the year step later yields "()"),
+    * "【Complete】" and "[Full Album]" likewise, a bare year survives its
+    * own removal. Output carries both the raw reference-faithful
+    * fixed_title and graft's lower/collapse canonical form.
+    */
   val normalizeTitle: Q = Q(
     "q_normalize_title",
     (s, d) => {
       val p = T.part(s, d)
-      val raw = concat(
-        col("p_name"), lit(" ("), col("p_brand"), lit(") ["), col("p_type"),
-        lit("] -remaster- "),
-        (lit(1990) + col("p_size") % 30).cast("string"),
-        lit(" OST | Full Album"))
+      val year = (lit(1990) + col("p_size") % 30).cast("string")
+      val m = col("p_partkey") % 8
+      val raw = when(m === 0, concat(
+          col("p_name"), lit(" ("), col("p_brand"), lit(") ["), col("p_type"),
+          lit("] -remaster- "), year, lit(" OST | Full Album")))
+        .when(m === 1, concat(lit("("), year, lit(")")))
+        .when(m === 2, lit("【Complete】"))
+        .when(m === 3, lit("[Full Album]"))
+        .when(m === 4, concat(col("p_name"), lit(" ‘"), col("p_brand"),
+          lit("‘ x:y |a| -live- mix")))
+        .when(m === 5, concat(col("p_name"), lit(" - "), col("p_brand"),
+          lit(" - "), year, lit(" OST")))
+        .when(m === 6, concat(col("p_name"), lit(" - "), col("p_brand")))
+        .otherwise(year)
       p.select(col("p_partkey"), raw.as("raw_title"),
+          Text.fixTitle(raw).as("fixed_title"),
           Text.normalizeTitle(raw).as("normalized"))
         .transform(Det.sortAll)
     },
-    Some("""WITH t AS (
-            |  SELECT p_partkey,
-            |         p_name || ' (' || p_brand || ') [' || p_type || '] -remaster- '
-            |           || CAST(1990 + p_size % 30 AS VARCHAR) || ' OST | Full Album' AS raw_title
-            |  FROM part
-            |)
-            |SELECT p_partkey, raw_title,
-            |  lower(trim(regexp_replace(
-            |    regexp_replace(
-            |      regexp_replace(
-            |        regexp_replace(
-            |          regexp_replace(
-            |            regexp_replace(
-            |              regexp_replace(
-            |                regexp_replace(raw_title, '(\((.*?)\)|\[(.*?)\])', '', 'g'),
-            |              '( -)(.*?)(- )', ' ', 'g'),
-            |            '\|', '', 'g'),
-            |          ':', ' ', 'g'),
-            |        '\bOST\b', ' ', 'g'),
-            |      '\b(19|20)\d{2}\b', '', 'g'),
-            |    '(?i)Full Album', '', 'g'),
-            |  ' +', ' ', 'g'))) AS normalized
-            |FROM t ORDER BY ALL""".stripMargin)
+    Some {
+      // the reference chain: step k, then undo-to-original if emptied
+      val steps = Seq(
+        ("""(\((.*?)\)|\[(.*?)\]|【(.*?)】)""", ""),
+        ("""( -)(.*?)(- )""", " "),
+        ("""\|""", ""),
+        (""":""", " "),
+        ("""‘""", "'"),
+        ("""\B-\B""", ""),
+        ("""\bOST\b""", " "),
+        ("""\b(19|20)\d{2}\b""", ""),
+        ("""(?i)Full Album""", ""))
+      val chain = steps.zipWithIndex.map { case ((pat, rep), i) =>
+        val sqlRep = rep.replace("'", "''")
+        s"""t${i + 1} AS (
+           |  SELECT p_partkey, raw_title,
+           |         CASE WHEN trim(regexp_replace(s, '$pat', '$sqlRep', 'g')) = ''
+           |              THEN raw_title
+           |              ELSE regexp_replace(s, '$pat', '$sqlRep', 'g') END AS s
+           |  FROM ${if (i == 0) "t0s" else s"t$i"}
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t0 AS (
+         |  SELECT p_partkey,
+         |         CASE p_partkey % 8
+         |           WHEN 0 THEN p_name || ' (' || p_brand || ') [' || p_type || '] -remaster- '
+         |                       || CAST(1990 + p_size % 30 AS VARCHAR) || ' OST | Full Album'
+         |           WHEN 1 THEN '(' || CAST(1990 + p_size % 30 AS VARCHAR) || ')'
+         |           WHEN 2 THEN '【Complete】'
+         |           WHEN 3 THEN '[Full Album]'
+         |           WHEN 4 THEN p_name || ' ‘' || p_brand || '‘ x:y |a| -live- mix'
+         |           WHEN 5 THEN p_name || ' - ' || p_brand || ' - '
+         |                       || CAST(1990 + p_size % 30 AS VARCHAR) || ' OST'
+         |           WHEN 6 THEN p_name || ' - ' || p_brand
+         |           ELSE CAST(1990 + p_size % 30 AS VARCHAR)
+         |         END AS raw_title
+         |  FROM part
+         |), t0s AS (SELECT p_partkey, raw_title, raw_title AS s FROM t0),
+         |$chain
+         |SELECT p_partkey, raw_title, s AS fixed_title,
+         |       lower(trim(regexp_replace(s, ' +', ' ', 'g'))) AS normalized
+         |FROM t9 ORDER BY ALL""".stripMargin
+    }
   )
 
   /** E. Best-candidate match: per order, the lineitem minimizing

@@ -29,6 +29,20 @@ class FunctionsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == cases.map(_._2))
   }
 
+  test("fixTitle per-step backstop and loose-dash/apostrophe fidelity") {
+    // cases from the reference docstring (spotify_elt.py:163-165): a title
+    // emptied by a step is reset to the ORIGINAL, later steps still apply
+    val cases = Seq(
+      "[Full Album]" -> "[]", // step 1 undone, step 9 leaves the brackets
+      "(2021)" -> "()", // step 1 undone, year stripped inside parens
+      "【Complete】" -> "【Complete】", // step 1 undone, nothing else matches
+      "Track ‘quoted‘ remix" -> "Track 'quoted' remix",
+      "a - b" -> "a  b", // \B-\B loose dash, no -…- divider span
+      "1999" -> "1999") // a bare year survives its own removal step
+    val df = cases.map(_._1).toDF("t").select(Text.fixTitle(col("t")))
+    assert(df.as[String].collect().toSeq == cases.map(_._2))
+  }
+
   test("iso8601Ms parses PTnHnMnS with optional components") {
     val df = Seq("PT1H2M3S", "PT45M10S", "PT7S", "PT2H", "").toDF("t")
       .select(Text.iso8601Ms(col("t")))

@@ -79,6 +79,19 @@ class OperatorsSpec extends SparkSpec {
     assert(nearPair.exists(_._3 <= 12), s"near pair missing or distant: ${out.toSeq}")
   }
 
+  test("LSH embed dedup: exact precision and >=0.95 recall vs brute force") {
+    // sf0.01 (500 vecs, 271 qualifying pairs) — large enough that the
+    // 98%-per-pair design target can't flake the 0.95 assertion.
+    val dir = "/root/testdata/sf0.01"
+    val lsh = Similarity.dedupEmbed.run(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForcePairs(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "rescored pairs must all pass the exact threshold")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall (${lsh.size}/${brute.size})")
+  }
+
   test("LSH ANN results are a subset of brute-force candidates by bucket") {
     val lsh = Similarity.annLsh.run(spark, sfDir)
     // every neighbor actually shares the query bucket (structural property)
