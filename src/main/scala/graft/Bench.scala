@@ -12,19 +12,36 @@ object Bench {
     // which lets Spark prune the whole projection away. Two full passes
     // with the min taken per query: the first pass absorbs codegen
     // compilation, and a minutes-long host-contention window can't inflate
-    // the same query in both passes.
-    def pass(): Map[String, Double] = SparkEntry.registry.map { q =>
+    // the same query in both passes. A query that throws must not
+    // masquerade as a fast one: its elapsed time is discarded and it is
+    // reported in a "failed" list instead.
+    def pass(): Map[String, Either[String, Double]] = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> (try {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name}: $e")
+          Left(e.getClass.getSimpleName)
+      })
     }.toMap
     val (p1, p2) = (pass(), pass())
-    val results = SparkEntry.registry.map(q =>
-      q.name -> math.min(p1(q.name), p2(q.name)))
+    val results = SparkEntry.registry.flatMap { q =>
+      (p1(q.name), p2(q.name)) match {
+        case (Right(a), Right(b)) => Some(q.name -> math.min(a, b))
+        case (Right(a), _)        => Some(q.name -> a)
+        case (_, Right(b))        => Some(q.name -> b)
+        case _                    => None
+      }
+    }
+    val failed = SparkEntry.registry.map(_.name)
+      .filter(n => p1(n).isLeft && p2(n).isLeft)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

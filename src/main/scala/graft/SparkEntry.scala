@@ -23,10 +23,4 @@ object SparkEntry {
   /** DuckDB-equivalent SQL for each SQL-expressible operator. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
-
-  /** Subset timed by Bench. */
-  def headlines: Seq[Q] = {
-    val h = registry.filter(_.headline)
-    if (h.nonEmpty) h else registry
-  }
 }

@@ -105,5 +105,4 @@ object Det {
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String],
-    headline: Boolean = false)
+    oracle: Option[String])

@@ -35,13 +35,27 @@ case class DotProduct(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  // null on length mismatch (and on a null slot, when the static type
+  // allows one): DuckDB's list_inner_product errors on mismatched lengths,
+  // so a dimension bug in embeddings must not pass silently as a truncated
+  // sum on the Spark side.
+  override def nullable: Boolean = true
+
+  // lazy: children are unresolved at construction time (no dataType yet)
+  private lazy val slotsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (slotsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -52,11 +66,21 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // the null-slot check is only compiled in when the type carries it —
+      // the common containsNull=false hot loop stays a pure multiply-add
+      val slotCheck = if (slotsNullable)
+        s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $x.getDouble($i) * $y.getDouble($i);
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $slotCheck
+         |    ${ev.value} += $x.getDouble($i) * $y.getDouble($i);
+         |  }
          |}
        """.stripMargin
     })

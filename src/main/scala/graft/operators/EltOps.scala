@@ -207,5 +207,143 @@ object EltOps {
             |FROM t ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(normalizeTitle, bestMatch, substringScore, iso8601)
+  /** E. The composed qsearch found-decision (spotify_elt.py:288-291 for
+    * tracks, 454-461 for albums) — the disjunction/conjunction that
+    * actually decides a match, not just its pieces:
+    *
+    *   track: (track-name-in-title AND (is_OST OR artist-in-title OR
+    *          artist-in-channel)) OR |duration diff| <= 5 s
+    *   album: (album-name-in-title AND artist-in-author) OR
+    *          |diff| < 40 s OR (total_tracks >= 4 AND match% >= 60)
+    *
+    * Candidates are lineitem rows (part = name, supplier = artist);
+    * video title/channel/durations are synthesized deterministically so
+    * every arm of the predicate fires on some slice. is_ost comes from a
+    * \bOST\b regex on the title like the reference's re.search. Pure
+    * narrow map after one fact-fact join + two broadcast dims.
+    */
+  val foundPredicate: Q = Q(
+    "q_found_predicate",
+    (s, d) => {
+      val l = T.lineitem(s, d)
+      val o = T.orders(s, d)
+      val p = T.part(s, d)
+      val sup = T.supplier(s, d)
+      val base = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .select(
+          l("l_orderkey"), l("l_linenumber"),
+          when(l("l_returnflag") === "A", "Album").otherwise("Track").as("item_type"),
+          lower(p("p_name")).as("name"),
+          lower(sup("s_name")).as("artist"),
+          concat(
+            when(l("l_partkey") % 4 === 0, lower(p("p_name")))
+              .when(l("l_partkey") % 4 === 1,
+                concat(lower(p("p_name")), lit(" by "), lower(sup("s_name"))))
+              .when(l("l_partkey") % 4 === 2, concat(lower(sup("s_name")), lit(" live")))
+              .otherwise(lit("unrelated video")),
+            when(l("l_suppkey") % 5 === 0, lit(" OST")).otherwise(lit(""))).as("title"),
+          when(l("l_suppkey") % 3 === 0, concat(lower(sup("s_name")), lit(" - Topic")))
+            .otherwise(concat(lit("channel "), l("l_suppkey").cast("string"))).as("channel"),
+          ((l("l_orderkey") % 13) * 1000L).as("diff_ms"),
+          l("l_quantity").cast("long").as("total_tracks"),
+          l("l_linenumber").cast("long").as("track_match_cnt"))
+      val hits = base
+        .withColumn("is_ost", col("title").rlike("\\bOST\\b"))
+        .withColumn("name_in_title", instr(col("title"), col("name")) > 0)
+        .withColumn("artist_in_title", instr(col("title"), col("artist")) > 0)
+        .withColumn("artist_in_channel", instr(col("channel"), col("artist")) > 0)
+        .withColumn("match_pct",
+          col("track_match_cnt").cast("double") * 100.0 / col("total_tracks").cast("double"))
+      hits
+        .withColumn("found",
+          when(col("item_type") === "Track",
+            (col("name_in_title") &&
+              (col("is_ost") || col("artist_in_title") || col("artist_in_channel"))) ||
+              col("diff_ms") <= 5000L)
+            .otherwise(
+              (col("name_in_title") && col("artist_in_channel")) ||
+                col("diff_ms") < 40000L ||
+                (col("total_tracks") >= 4L && col("match_pct") >= 60.0)))
+        .select("l_orderkey", "l_linenumber", "item_type", "is_ost",
+          "name_in_title", "artist_in_title", "artist_in_channel", "diff_ms",
+          "total_tracks", "track_match_cnt", "found")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH base AS (
+            |  SELECT l.l_orderkey, l.l_linenumber,
+            |         CASE WHEN l.l_returnflag = 'A' THEN 'Album' ELSE 'Track' END AS item_type,
+            |         lower(p.p_name) AS name, lower(s.s_name) AS artist,
+            |         (CASE l.l_partkey % 4
+            |            WHEN 0 THEN lower(p.p_name)
+            |            WHEN 1 THEN lower(p.p_name) || ' by ' || lower(s.s_name)
+            |            WHEN 2 THEN lower(s.s_name) || ' live'
+            |            ELSE 'unrelated video' END ||
+            |          CASE WHEN l.l_suppkey % 5 = 0 THEN ' OST' ELSE '' END) AS title,
+            |         CASE WHEN l.l_suppkey % 3 = 0 THEN lower(s.s_name) || ' - Topic'
+            |              ELSE 'channel ' || CAST(l.l_suppkey AS VARCHAR) END AS channel,
+            |         (l.l_orderkey % 13) * 1000 AS diff_ms,
+            |         CAST(l.l_quantity AS BIGINT) AS total_tracks,
+            |         CAST(l.l_linenumber AS BIGINT) AS track_match_cnt
+            |  FROM lineitem l
+            |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            |  JOIN part p     ON l.l_partkey = p.p_partkey
+            |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            |), hits AS (
+            |  SELECT *, regexp_matches(title, '\bOST\b') AS is_ost,
+            |         position(name IN title) > 0 AS name_in_title,
+            |         position(artist IN title) > 0 AS artist_in_title,
+            |         position(artist IN channel) > 0 AS artist_in_channel,
+            |         CAST(track_match_cnt AS DOUBLE) * 100.0 / CAST(total_tracks AS DOUBLE) AS match_pct
+            |  FROM base
+            |)
+            |SELECT l_orderkey, l_linenumber, item_type, is_ost, name_in_title,
+            |       artist_in_title, artist_in_channel, diff_ms, total_tracks,
+            |       track_match_cnt,
+            |       CASE WHEN item_type = 'Track'
+            |            THEN (name_in_title AND (is_ost OR artist_in_title OR artist_in_channel))
+            |                 OR diff_ms <= 5000
+            |            ELSE (name_in_title AND artist_in_channel)
+            |                 OR diff_ms < 40000
+            |                 OR (total_tracks >= 4 AND match_pct >= 60.0) END AS found
+            |FROM hits ORDER BY ALL""".stripMargin)
+  )
+
+  /** E. Author/playlist cleanup: strip the "&nbsp;- Topic" suffix YouTube
+    * auto-channels carry (spotify_elt.py:217) and drop briefcase-tagged
+    * non-music playlists (youtube_elt.py:115, `"💼" not in title`) — the
+    * predicate deliberately exercises a non-BMP (astral-plane) literal
+    * through both engines' string encodings.
+    */
+  val topicCleanup: Q = Q(
+    "q_topic_cleanup",
+    (s, d) => {
+      val c = T.customer(s, d)
+      val author = when(c("c_custkey") % 3 === 0,
+        concat(c("c_name"), lit(" - Topic"))).otherwise(c("c_name"))
+      val title = when(c("c_custkey") % 4 === 0,
+        concat(lit("💼 "), c("c_name"))).otherwise(concat(lit("playlist "), c("c_name")))
+      c.select(c("c_custkey"), title.as("title"), author.as("author"),
+          regexp_replace(author, " - Topic", "").as("clean_author"))
+        .where(!col("title").contains("💼"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT c_custkey,
+            |         CASE WHEN c_custkey % 4 = 0 THEN '💼 ' || c_name
+            |              ELSE 'playlist ' || c_name END AS title,
+            |         CASE WHEN c_custkey % 3 = 0 THEN c_name || ' - Topic'
+            |              ELSE c_name END AS author
+            |  FROM customer
+            |)
+            |SELECT c_custkey, title, author,
+            |       regexp_replace(author, ' - Topic', '', 'g') AS clean_author
+            |FROM t
+            |WHERE position('💼' IN title) = 0
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(normalizeTitle, bestMatch, substringScore, iso8601,
+    foundPredicate, topicCleanup)
 }

@@ -30,8 +30,7 @@ object EventOps {
             |       COUNT(*) AS events,
             |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents,
             |       COUNT(DISTINCT user_id) AS users
-            |FROM events GROUP BY 1, 2 ORDER BY ALL""".stripMargin),
-    headline = true
+            |FROM events GROUP BY 1, 2 ORDER BY ALL""".stripMargin)
   )
 
   /** F. Gap-based sessionization (30-minute inactivity gap): lag → flag →
@@ -78,8 +77,7 @@ object EventOps {
             |       MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
             |       CAST(SUM(value_cents) AS BIGINT) AS session_value_cents,
             |       MAX(ts_ms) - MIN(ts_ms) AS duration_ms
-            |FROM sess GROUP BY user_id, session_id ORDER BY ALL""".stripMargin),
-    headline = true
+            |FROM sess GROUP BY user_id, session_id ORDER BY ALL""".stripMargin)
   )
 
   val all: Seq[Q] = Seq(windowEvents, sessionize)

@@ -111,8 +111,7 @@ object Marts {
             |                      lpad(CAST((sod%3600)//60 AS VARCHAR),2,'0'),
             |                      lpad(CAST(sod%60 AS VARCHAR),2,'0')) AS price_hms,
             |       order_cents - price_cents AS difference_cents
-            |FROM j ORDER BY ALL""".stripMargin),
-    headline = true
+            |FROM j ORDER BY ALL""".stripMargin)
   )
 
   /** B. 3-way join + duration-threshold CASE bucketing

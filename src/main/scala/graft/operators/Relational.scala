@@ -58,8 +58,7 @@ object Relational {
             |       CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_qty,
             |       CAST(sum_base_cents AS DOUBLE) / CAST(count_order AS DOUBLE) / CAST(100 AS DOUBLE) AS avg_price,
             |       CAST(sum_disc_pct AS DOUBLE) / CAST(count_order AS DOUBLE) / CAST(100 AS DOUBLE) AS avg_disc
-            |FROM g ORDER BY ALL""".stripMargin),
-    headline = true
+            |FROM g ORDER BY ALL""".stripMargin)
   )
 
   /** F. Join + aggregate + deterministic top-k (TPC-H Q3 shape). The dim
@@ -100,8 +99,7 @@ object Relational {
             |)
             |SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
             |       o_orderpriority, revenue_e4
-            |FROM g ORDER BY ALL""".stripMargin),
-    headline = true
+            |FROM g ORDER BY ALL""".stripMargin)
   )
 
   /** F. Top-k per group via ranked window (deterministic tiebreak). */

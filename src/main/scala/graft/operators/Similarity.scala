@@ -102,8 +102,7 @@ object Similarity {
         .where(col("cosine") >= dedupTau)
         .transform(Det.sortAll)
     },
-    None,
-    headline = true
+    None
   )
 
   /** G. Brute-force cosine top-5 for the first 20 vectors as queries. */
@@ -133,8 +132,7 @@ object Similarity {
             |  FROM p
             |)
             |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= 5
-            |ORDER BY ALL""".stripMargin),
-    headline = true
+            |ORDER BY ALL""".stripMargin)
   )
 
   /** G. LSH-bucketed approximate top-k: 8 seeded random hyperplanes give a

@@ -37,6 +37,35 @@ class ExtensionsAndDagSpec extends SparkSpec {
     assert(spark.table("mart_tableau").count() > 0)
   }
 
+  test("staging views prune columns and push predicates to the scan") {
+    val plans = graft.pipeline.MartPipeline.stagingPlans(spark, sfDir)
+    assert(plans.size >= 3)
+    val expected = Map(
+      "stg_lineitem" -> ("l_quantity", "l_shipdate"),
+      "stg_orders" -> ("o_orderstatus", "o_totalprice"),
+      "stg_customer" -> ("c_mktsegment", "c_nationkey"),
+      "stg_documents" -> ("lang", "text"))
+    expected.foreach { case (name, (kept, dropped)) =>
+      val plan = plans(name)
+      val pushed = plan.linesIterator.find(_.contains("PushedFilters:")).getOrElse("")
+      assert(pushed.contains(kept), s"$name: filter on $kept not pushed: $pushed")
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+      assert(readSchema.contains(kept), s"$name: $kept missing from $readSchema")
+      assert(!readSchema.contains(dropped), s"$name: $dropped not pruned in $readSchema")
+    }
+  }
+
+  test("all ten staging views register and project only their columns") {
+    val out = graft.pipeline.MartPipeline.dag(sfDir).run(spark)
+    graft.operators.Staging.names.foreach(n => assert(out.contains(n), s"$n missing"))
+    assert(!spark.table("stg_customer").columns.contains("c_acctbal"))
+    assert(!spark.table("stg_supplier").columns.contains("s_acctbal"))
+    assert(!spark.table("stg_lineitem").columns.contains("l_tax"))
+    assert(!spark.table("stg_events").columns.contains("props"))
+    assert(!spark.table("stg_documents").columns.contains("n_chars"))
+    assert(!spark.table("stg_embeddings").columns.contains("label"))
+  }
+
   test("dag rejects cycles and unknown deps") {
     intercept[IllegalArgumentException] {
       new Dag(Seq(Stage("a", Seq("missing"), s => s.range(1).toDF())))

@@ -50,6 +50,15 @@ class FunctionsSpec extends SparkSpec {
       Seq(3723000L, 2710000L, 7000L, 7200000L, 0L))
   }
 
+  test("Vectors.dot is null on length mismatch instead of truncating") {
+    val df = Seq(
+      (Array(1.0, 2.0), Array(3.0, 4.0, 5.0)),
+      (Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("a", "b").select(Vectors.dot(col("a"), col("b")).as("d"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      .toSeq == Seq(None, Some(11.0)))
+  }
+
   test("Vectors.cosine matches a hand computation") {
     val df = Seq((Array(1.0, 0.0, 2.0), Array(2.0, 1.0, 4.0))).toDF("a", "b")
       .select(Vectors.cosine(col("a"), col("b")).as("c"))

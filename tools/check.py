@@ -5,17 +5,30 @@ DuckDB over the same parquet tables, and compare result sets exactly.
 
 Usage: python3 tools/check.py [sfdir] [--no-verify] [query ...]
 """
-import json, sys, subprocess, glob, os
+import argparse, json, sys, subprocess, glob, os
 
 import duckdb
 import pandas as pd
 import numpy as np
 
-SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') else '/root/testdata/sf0.01'
-OUT = '/tmp/graft_verify'
-ONLY = [a for a in sys.argv[2:] if not a.startswith('-')]
+ap = argparse.ArgumentParser(description=__doc__)
+ap.add_argument('sfdir', nargs='?', default='/root/testdata/sf0.01',
+                help='test-data directory of parquet tables')
+ap.add_argument('queries', nargs='*', metavar='query',
+                help='check only these query names')
+ap.add_argument('--no-verify', action='store_true',
+                help='reuse the existing /tmp/graft_verify dump')
+args = ap.parse_args()
+# `check.py q_star_join` (query in position 1) should not be read as a dir
+if args.sfdir.startswith('q_') and not os.path.isdir(args.sfdir):
+    args.queries.insert(0, args.sfdir)
+    args.sfdir = '/root/testdata/sf0.01'
 
-if '--no-verify' not in sys.argv:
+SF = args.sfdir
+OUT = '/tmp/graft_verify'
+ONLY = args.queries
+
+if not args.no_verify:
     r = subprocess.run(['sbt', '-batch', f'runMain graft.Verify {SF} {OUT}'],
                        capture_output=True, text=True, cwd='/root/repo')
     if 'success' not in r.stdout:
