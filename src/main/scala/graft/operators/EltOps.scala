@@ -44,9 +44,9 @@ object EltOps {
           lit(" - "), year, lit(" OST")))
         .when(m === 6, concat(col("p_name"), lit(" - "), col("p_brand")))
         .otherwise(year)
-      p.select(col("p_partkey"), raw.as("raw_title"),
-          Text.fixTitle(raw).as("fixed_title"),
-          Text.normalizeTitle(raw).as("normalized"))
+      Text.withFixedTitle(p.select(col("p_partkey"), raw.as("raw_title")),
+          col("raw_title"))
+        .select("p_partkey", "raw_title", "fixed_title", "normalized")
         .transform(Det.sortAll)
     },
     Some {
@@ -176,9 +176,14 @@ object EltOps {
       val expected = when(col("l_linenumber") % 2 === 0,
         (h * 3600L + m * 60L + sec) * 1000L)
         .otherwise((m * 60L + sec) * 1000L)
+      // materialize iso as an attribute first: the parser references its
+      // input several times (nullif guards), and inlining the when-chain
+      // at each reference multiplies the per-row work
       l.select(col("l_orderkey"), col("l_linenumber"), iso.as("iso"),
-          Text.iso8601Ms(iso).as("parsed_ms"), expected.as("expected_ms"))
+          expected.as("expected_ms"))
+        .withColumn("parsed_ms", Text.iso8601Ms(col("iso")))
         .withColumn("ok", col("parsed_ms") === col("expected_ms"))
+        .select("l_orderkey", "l_linenumber", "iso", "parsed_ms", "expected_ms", "ok")
         .transform(Det.sortAll)
     },
     Some("""WITH t AS (

@@ -166,20 +166,62 @@ object Similarity {
     None
   )
 
-  /** G. IVF-style ANN: coarse quantization to a small centroid set, probe
+  /** Distributed Lloyd's k-means over the embedding column, trained on a
+    * deterministic modulo sample (≲4·1024 vectors) — how IVF codebooks are
+    * actually built at scale: train on a bounded sample, assign the full
+    * corpus with the resulting broadcast codebook. Each iteration is two
+    * shuffles over the SAMPLE only (argmax assignment via min-struct agg,
+    * then an element-wise mean by (cluster, position) that never
+    * materializes a per-cluster vector list). Seeds are the first k sample
+    * vectors; empty clusters keep their previous centroid (standard Lloyd
+    * fallback), so k is stable across iterations.
+    */
+  private[graft] def kmeansCodebook(e: DataFrame, sampleStep: Long, k: Int,
+      iters: Int): DataFrame = {
+    val sample = e.where(pmod(col("vec_id"), lit(sampleStep)) === 0)
+    // seed ids are the sample's first k vec_ids (already distinct — no
+    // renumbering window needed)
+    var cents = sample.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = sample
+        .crossJoin(broadcast(cents.withColumn("cnrm", Vectors.norm(col("cv")))))
+        .withColumn("ccos",
+          Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        // argmax-cosine centroid per vector: a single partial-aggregated
+        // max over (cos, -c_id) structs — no window, no second shuffle
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_c"))).as("best"),
+          first(col("v")).as("v"))
+        .select((-col("best.neg_c")).as("c_id"), col("v"))
+      val means = assigned
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg("x").as("m"))
+        .groupBy("c_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("cv"))
+      // empty clusters (nothing assigned this round) retain their centroid
+      cents = cents.select(col("c_id"), col("cv").as("prev"))
+        .join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("cv"), col("prev")).as("cv"))
+    }
+    cents.select(col("c_id"), col("cv"), Vectors.norm(col("cv")).as("cnrm"))
+  }
+
+  /** G. IVF-style ANN: coarse quantization to a k-means codebook, probe
     * the closest nprobe=4 cells per query, score only those candidates.
-    * The centroid "codebook" here is a deterministic sample (first 16
-    * vectors) standing in for a k-means training job — the assignment /
-    * probe / rescore dataflow is the real scale path: corpus assignment is
-    * one narrow pass against a broadcast codebook, and the candidate join
-    * is equi on cluster_id. Approximate ⇒ rows-only driver check.
+    * The codebook is trained by [[kmeansCodebook]] (Lloyd's on a bounded
+    * deterministic sample); the assignment / probe / rescore dataflow is
+    * the real scale path: corpus assignment is one narrow pass against the
+    * broadcast codebook, and the candidate join is equi on cluster_id.
+    * Approximate ⇒ rows-only driver check.
     */
   val annIvf: Q = Q(
     "q_ann_ivf",
     (s, d) => {
       val e = vecs(s, d)
-      val centroids = e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val n = math.max(T.embeddings(s, d).count(), 1L)
+      val centroids = broadcast(
+        kmeansCodebook(e, sampleStep = math.max(1L, n / 4096L), k = 16, iters = 3))
       val centCos = Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
       // assignment: argmax-cosine centroid per vector
       def assign(df: DataFrame, k: Int, outPrefix: String): DataFrame = {

@@ -164,5 +164,91 @@ object TextAnalysis {
             |FROM t ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint)
+  // PII patterns — same RE2/Java-compatible source strings on both engines
+  // (no lookaround, no backrefs, so Java and RE2 agree match-for-match).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** G. PII scrub: count and redact emails, IPv4 addresses, and phone-like
+    * digit runs — the standard pre-training compliance pass. Counts are
+    * taken on the raw text; redaction applies email → ip → phone in that
+    * order (the replacement tokens contain no digits, so later patterns
+    * can't re-match inside earlier replacements). Pure narrow map, all
+    * codegen'd regexp built-ins.
+    */
+  val piiRedact: Q = Q(
+    "q_pii_redact",
+    (s, d) => {
+      val redacted =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>")
+      T.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        redacted.as("redacted"))
+        .withColumn("is_clean",
+          col("n_emails") + col("n_ips") + col("n_phones") === 0L)
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT doc_id,
+            |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+            |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+            |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+            |  regexp_replace(
+            |    regexp_replace(
+            |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+            |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+            |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            |    + CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+            |    + CAST(len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) AS BIGINT) = 0 AS is_clean
+            |FROM documents ORDER BY ALL""".stripMargin)
+  )
+
+  private val ChunkSize   = 32 // tokens per chunk
+  private val ChunkStride = 24 // tokens between chunk starts (8-token overlap)
+
+  /** G. Fixed-size token chunking with overlap — the map from documents to
+    * training-window-sized pieces. One chunk starts every `ChunkStride`
+    * whitespace tokens and spans `ChunkSize` (the final chunks truncate at
+    * the document end). Narrow: split → explode the start offsets → slice;
+    * no shuffle, scales linearly with corpus bytes.
+    */
+  val chunkDocs: Q = Q(
+    "q_chunk_docs",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tokens"),
+          posexplode(expr(s"sequence(1, size(w), $ChunkStride)"))
+            .as(Seq("chunk_idx", "start")))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start_token"),
+          least(col("n_tokens") - col("start") + 1L, lit(ChunkSize.toLong)).as("chunk_tokens"),
+          expr(s"array_join(slice(w, start, $ChunkSize), ' ')").as("chunk_text"))
+        .transform(Det.sortAll),
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents
+            |)
+            |SELECT doc_id,
+            |  CAST(len(ws) AS BIGINT) AS n_tokens,
+            |  CAST((g - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+            |  CAST(g AS BIGINT) AS start_token,
+            |  least(CAST(len(ws) AS BIGINT) - g + 1, $ChunkSize) AS chunk_tokens,
+            |  array_to_string(ws[g : g + ${ChunkSize - 1}], ' ') AS chunk_text
+            |FROM w, UNNEST(range(1, len(ws) + 1, $ChunkStride)) AS t(g)
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
+    piiRedact, chunkDocs)
 }

@@ -34,6 +34,15 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar interchange format; same pushdown/pruning
+    * behavior as parquet under the DataSource V2 scan.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Hive-style partitioned parquet write — the layout that gives
     * partition pruning on the partition keys for free.
     */

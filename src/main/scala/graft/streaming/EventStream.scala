@@ -25,6 +25,17 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("events"), col("value_cents"))
 
+  /** H. Streaming exact dedup: drop re-deliveries of the same event_id,
+    * with state bounded by the watermark (an at-least-once source's
+    * duplicates arrive close to the original; state for ids older than the
+    * watermark is evicted). The streaming twin of q_dedup_exact, and the
+    * standard idempotency guard in front of an append sink.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value_cents: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, value_cents: Long)

@@ -25,7 +25,8 @@ class FunctionsSpec extends SparkSpec {
       "Album | Part -tag- 2 OST" -> "album part 2",
       "Great Hits 1999 Full Album" -> "great hits",
       "A:B" -> "a b")
-    val df = cases.map(_._1).toDF("t").select(Text.normalizeTitle(col("t")))
+    val df = Text.withFixedTitle(cases.map(_._1).toDF("t"), col("t"))
+      .select("normalized")
     assert(df.as[String].collect().toSeq == cases.map(_._2))
   }
 
@@ -39,7 +40,8 @@ class FunctionsSpec extends SparkSpec {
       "Track ‘quoted‘ remix" -> "Track 'quoted' remix",
       "a - b" -> "a  b", // \B-\B loose dash, no -…- divider span
       "1999" -> "1999") // a bare year survives its own removal step
-    val df = cases.map(_._1).toDF("t").select(Text.fixTitle(col("t")))
+    val df = Text.withFixedTitle(cases.map(_._1).toDF("t"), col("t"))
+      .select("fixed_title")
     assert(df.as[String].collect().toSeq == cases.map(_._2))
   }
 

@@ -105,6 +105,60 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.groupBy("query_id").count().where(col("count") > 5).count() == 0)
   }
 
+  test("PII redaction finds and masks planted email / ip / phone") {
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call +1 (415) 555-0100 now"),
+      (2L, "server at 10.0.200.7 rebooted"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftpii").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.piiRedact.run(spark, tmp)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted", "is_clean")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1L && out(1L).getLong(3) == 1L)
+    assert(out(1L).getString(4) == "contact <EMAIL> or call <PHONE> now")
+    assert(out(2L).getLong(2) == 1L &&
+      out(2L).getString(4) == "server at <IP> rebooted")
+    assert(out(3L).getBoolean(5) &&
+      out(3L).getString(4) == "nothing sensitive here at all")
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val docs = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftchunk").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.chunkDocs.run(spark, tmp)
+      .select("chunk_idx", "start_token", "chunk_tokens", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // stride 24 over 50 tokens -> starts 1, 25, 49; sizes 32, 26, 2
+    assert(out.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 1L, 32L), (1L, 25L, 26L), (2L, 49L, 2L)))
+    assert(out.head._4 == (1 to 32).map(i => s"t$i").mkString(" "))
+    assert(out.last._4 == "t49 t50")
+  }
+
+  test("k-means codebook separates well-separated clusters") {
+    import org.apache.spark.sql.functions.{col => c}
+    // ids interleaved so the k seeds land one per true cluster
+    val pts = (0 until 30).map { i =>
+      val cluster = i % 3
+      val base = Array.fill(4)(0.05 * ((i * 7 + cluster) % 5)) // small noise
+      base(cluster) += 10.0
+      (i.toLong, base.toSeq)
+    }
+    val e = pts.toDF("vec_id", "v")
+      .withColumn("v", c("v").cast("array<double>"))
+      .withColumn("nrm", graft.functions.Vectors.norm(c("v")))
+    val book = Similarity.kmeansCodebook(e, sampleStep = 1L, k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(book.size == 3)
+    // each centroid must point dominantly along exactly one axis,
+    // and the three centroids must cover the three axes
+    val axes = book.values.map(v => v.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1, 2), s"centroid axes $axes")
+  }
+
   test("salted aggregation equals the direct group-by") {
     val direct = T.lineitem(spark, sfDir)
       .groupBy("l_returnflag")

@@ -28,6 +28,17 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 1 && back.head().getAs[String]("name") == "x")
   }
 
+  test("orc round-trips and pushes filters to the scan") {
+    val tmp = Files.createTempDirectory("graftorc").toString
+    val df = (1L to 100L).map(i => (i, s"n$i", i * 0.5)).toDF("id", "name", "score")
+    Sources.writeOrc(df, s"$tmp/data")
+    val back = Sources.orc(spark, s"$tmp/data").where(col("id") > 90L).select("id", "name")
+    assert(back.count() == 10)
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)"),
+      s"orc scan without pushdown: $scan")
+  }
+
   test("partitioned write prunes partitions on read") {
     val tmp = Files.createTempDirectory("graftpart").toString
     val df = Seq((1L, "de"), (2L, "en"), (3L, "en")).toDF("id", "lang")

@@ -33,6 +33,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("click", 1L, 10L)), s"got $rows")
   }
 
+  case class DupEv(event_id: Long, ts: Timestamp, payload: String)
+
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DupEv]
+    val q = EventStream.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 10:00:05")
+    mem.addData(DupEv(1L, t0, "a"), DupEv(2L, t0, "b"), DupEv(1L, t1, "a-redelivered"))
+    q.processAllAvailable()
+    mem.addData(DupEv(1L, Timestamp.valueOf("2024-01-01 10:00:09"), "a-again"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().toSeq
+    q.stop()
+    assert(ids.sorted == Seq(1L, 2L), s"got $ids")
+  }
+
   test("stateful sessionization closes sessions on gap and emits on later batch") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
