@@ -40,12 +40,19 @@ object MakeScale {
       var df = load(t).crossJoin(broadcast(reps))
       for (k <- keyCols) df = df.withColumn(k, col(k) + col("rep") * Off)
       // Nudge timestamps per replica so event-time ops see distinct instants
-      // rather than `factor` perfectly coincident streams.
+      // rather than `factor` perfectly coincident streams. events.ts is
+      // Long nanos under nanosAsLong (see GraftSession) — offset in nanos.
       for (c <- tsCols)
-        df = df.withColumn(c, expr(s"$c + make_interval(0, 0, 0, 0, 0, 0, CAST(rep AS DOUBLE))"))
+        df = df.withColumn(c, col(c) + col("rep") * 1000000000L)
       df.drop("rep")
     }
 
+    // The narrow replication preserves the source's single-file split, so
+    // without an explicit repartition every table would land as 1-2 parquet
+    // files — and every downstream scan would get 1-2 input splits,
+    // serializing the whole bench. Write the corpus the way a real bigger
+    // SF arrives: spread across enough files to feed every core.
+    val outParts = spark.sparkContext.defaultParallelism
     val tables: Seq[(String, DataFrame)] = Seq(
       "region"     -> load("region"),
       "nation"     -> load("nation"),
@@ -58,8 +65,13 @@ object MakeScale {
       "documents"  -> replicate("documents", Seq("doc_id")),
       "embeddings" -> replicate("embeddings", Seq("vec_id"))
     )
-    for ((name, df) <- tables)
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    for ((name, df) <- tables) {
+      // dims stay single-file (they're broadcast anyway); facts spread
+      val spread =
+        if (Set("region", "nation", "customer", "supplier", "part")(name)) df
+        else df.repartition(outParts)
+      spread.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
     println(s"[makescale] wrote ${factor}x $src -> $out")
   }
 }

@@ -17,6 +17,18 @@ class ExtensionsAndDagSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("graft_hyperplane_sig is callable from SQL and matches the column API") {
+    val (id, info, builder) = GraftExtensions.hyperplaneSigFunction
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val viaSql = spark.sql(
+      "SELECT graft_hyperplane_sig(array(0.5d, -1.0d, 2.0d), 42, 4, 6) AS sig")
+      .as[Seq[Long]].head()
+    val viaCol = Seq(Tuple1(Seq(0.5, -1.0, 2.0))).toDF("v")
+      .select(graft.functions.Vectors.hyperplaneBands(col("v"), 42L, 4, 6).as("sig"))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaCol && viaSql.size == 4)
+  }
+
   test("dag runs stages in topological order and wires views") {
     val dag = new Dag(Seq(
       Stage("mart", Seq("stg_a", "stg_b"),
