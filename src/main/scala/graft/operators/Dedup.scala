@@ -29,14 +29,19 @@ object Dedup {
     * descending and index the array at -1 under ANSI mode). The DuckDB
     * oracle's range(1, len-1) is empty for them, so both engines agree.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), words(col("text")).as("w"))
+  private def shinglesOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs
+      .select(col("doc_id") +: words(col("text")).as("w") +: carry.map(col): _*)
       .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id") +: explode(expr(
         "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
-        .as("s"))
+        .as("s") +: carry.map(col): _*)
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(
+      T.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text")))
 
   /** Bucket-size skew guard shared by the whole candidate-join family: keep
     * only rows whose bucket (the join key) holds ≤ cap members. A bucket of
@@ -88,28 +93,67 @@ object Dedup {
     * near-dup signal, and at web-corpus scale they dominate the join. Both
     * |∩| and |∪| count capped shingles only, and the DuckDB oracle applies
     * the identical cap, so the hash gate still decides.
+    *
+    * Exact duplicates are collapsed BEFORE the join: identical texts have
+    * identical shingle sets, so near-dup work runs once per distinct text
+    * and pairs expand back to member docs afterwards (cross-group pairs
+    * inherit their groups' |∩|/|∪| verbatim; within-group pairs are
+    * |∩| = |∪| = nsh, jaccard 1). On a boilerplate-heavy corpus — the
+    * web-scale norm, where a page is duplicated k times — this takes the
+    * inverted-index join from k² in the duplication factor to k-free;
+    * only the final pair expansion (the required output) scales with k².
+    * The shingle df cap counts member DOCS (sum of group sizes), so the
+    * collapse leaves the >128 stop-phrase semantics untouched and the
+    * output stays byte-identical to the direct all-docs plan.
     */
   val ngramJaccard: Q = Q(
     "q_dedup_ngram",
     (s, d) => {
+      // md5 (128-bit) for the text-equality key: a collision here would
+      // silently merge two different docs, unlike the shingle hashes below
+      // where a collision only perturbs one count
+      val base = T.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"), md5(col("text")).as("th"))
+      val wg = Window.partitionBy("th")
+      val tagged = base
+        .withColumn("rep", min(col("doc_id")).over(wg))
+        .withColumn("gsz", count(lit(1)).over(wg))
+      val members = tagged.select(col("rep"), col("doc_id"))
+      val reps = tagged.where(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text"), col("gsz"))
       // shuffle 8-byte shingle hashes, not strings: the inverted-index
       // join and intersection counts are identical (64-bit collisions are
       // ~1e-10 at this corpus size and the oracle would catch one)
-      val sh = capBuckets(
-        shingles(s, d).select(col("doc_id"), xxhash64(col("s")).as("hs")),
-        Seq("hs"), 128)
+      val hs = shinglesOf(reps, Seq("gsz"))
+        .select(col("doc_id"), xxhash64(col("s")).as("hs"), col("gsz"))
+      val sh = hs
+        .withColumn("df", sum(col("gsz")).over(Window.partitionBy("hs")))
+        .where(col("df") <= 128)
+        .select("doc_id", "hs")
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val pairs = sh.as("a")
+      val repPairs = sh.as("a")
         .join(sh.as("b"), col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
         .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("inter"),
+        .join(cnt.as("ca"), col("rep_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("rep_b") === col("cb.doc_id"))
+        .select(col("rep_a"), col("rep_b"), col("inter"),
           (col("ca.nsh") + col("cb.nsh") - col("inter")).as("uni"))
-        .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
         .where(col("inter") >= 3)
+      val cross = repPairs
+        .join(members.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
+        .join(members.select(col("rep").as("rep_b"), col("doc_id").as("db")), "rep_b")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("inter"), col("uni"))
+      val within = members.as("x")
+        .join(members.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .join(cnt.where(col("nsh") >= 3).as("c"), col("x.rep") === col("c.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("c.nsh").as("inter"), col("c.nsh").as("uni"))
+      cross.union(within)
+        .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
         .transform(Det.sortAll)
     },
     Some("""WITH w AS (
