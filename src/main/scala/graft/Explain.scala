@@ -14,9 +14,13 @@ object Explain {
         SparkEntry.registry.map(_.name).mkString(", ")))
     val df = q.run(spark, d)
     df.explain("formatted")
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(s"ELAPSED ${(System.nanoTime() - t0) / 1e9}")
+    // two passes: the first pays JIT/codegen/page-cache warm-up, the second
+    // is comparable to Bench's min-of-two convention
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(s"ELAPSED pass $pass: ${(System.nanoTime() - t0) / 1e9}")
+    }
     spark.stop()
   }
 }

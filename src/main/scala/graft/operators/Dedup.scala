@@ -43,6 +43,45 @@ object Dedup {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text")))
 
+  /** Exact-duplicate pre-collapse shared by the near-dup family: group
+    * docs by exact text and run the expensive candidate machinery once per
+    * DISTINCT text, expanding pairs back to member docs afterwards. On a
+    * boilerplate-heavy corpus (the web-scale norm, where one page appears
+    * k times) this takes candidate generation from quadratic in k to
+    * k-free — and it fixes a recall hole: the bucket caps would otherwise
+    * drop a >cap-sized exact-dup group entirely, losing its true dup
+    * pairs. md5 (128-bit) for the equality key: a collision would silently
+    * merge two different docs, unlike the 64-bit candidate hashes where a
+    * collision only perturbs one count.
+    *
+    * Returns (members: rep ↔ doc_id, reps: one doc per distinct text with
+    * its group size).
+    */
+  private[operators] def collapseExact(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val wg = Window.partitionBy("th")
+    val tagged = T.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("th"))
+      .withColumn("rep", min(col("doc_id")).over(wg))
+      .withColumn("gsz", count(lit(1)).over(wg))
+    (tagged.select(col("rep"), col("doc_id")),
+      tagged.where(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text"), col("gsz")))
+  }
+
+  /** Expand representative-level pairs to member-doc pairs: every
+    * (member of rep_a) × (member of rep_b) pair inherits the payload
+    * columns verbatim; doc_a < doc_b orientation is restored with
+    * least/greatest (groups are disjoint, so each doc pair appears once).
+    */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+      payload: Seq[String]): DataFrame =
+    repPairs
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a") +:
+        greatest(col("da"), col("db")).as("doc_b") +: payload.map(col): _*)
+
   /** Bucket-size skew guard shared by the whole candidate-join family: keep
     * only rows whose bucket (the join key) holds ≤ cap members. A bucket of
     * k rows generates k² candidate pairs, so one corpus-common key (a
@@ -109,19 +148,7 @@ object Dedup {
   val ngramJaccard: Q = Q(
     "q_dedup_ngram",
     (s, d) => {
-      // md5 (128-bit) for the text-equality key: a collision here would
-      // silently merge two different docs, unlike the shingle hashes below
-      // where a collision only perturbs one count
-      val base = T.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("text"), md5(col("text")).as("th"))
-      val wg = Window.partitionBy("th")
-      val tagged = base
-        .withColumn("rep", min(col("doc_id")).over(wg))
-        .withColumn("gsz", count(lit(1)).over(wg))
-      val members = tagged.select(col("rep"), col("doc_id"))
-      val reps = tagged.where(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("text"), col("gsz"))
+      val (members, reps) = collapseExact(s, d)
       // shuffle 8-byte shingle hashes, not strings: the inverted-index
       // join and intersection counts are identical (64-bit collisions are
       // ~1e-10 at this corpus size and the oracle would catch one)
@@ -141,11 +168,7 @@ object Dedup {
         .select(col("rep_a"), col("rep_b"), col("inter"),
           (col("ca.nsh") + col("cb.nsh") - col("inter")).as("uni"))
         .where(col("inter") >= 3)
-      val cross = repPairs
-        .join(members.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
-        .join(members.select(col("rep").as("rep_b"), col("doc_id").as("db")), "rep_b")
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"), col("inter"), col("uni"))
+      val cross = expandPairs(repPairs, members, Seq("inter", "uni"))
       val within = members.as("x")
         .join(members.as("y"),
           col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
@@ -184,18 +207,23 @@ object Dedup {
 
   /** G. MinHash+LSH: 16 minhashes (min of seeded xxhash64 over shingles),
     * 4 bands × 4 rows; candidate pairs = docs sharing a band bucket, with
-    * the ≤64 bucket cap (a mass of identical docs lands whole bands in one
-    * bucket — the common web-corpus case — and would go quadratic).
+    * the ≤64 bucket cap (a hot band bucket would go quadratic).
+    * Exact dups are collapsed first ([[collapseExact]]): identical texts
+    * have identical signatures, so the banding runs once per distinct text
+    * and within-group pairs match all 4 bands by construction — without
+    * the collapse a >64-sized dup mass would both blow the join AND be
+    * dropped by the cap, losing its true dup pairs.
     * Approximate by construction ⇒ rows-only driver check; the planted-
     * duplicate ScalaTest proves recall.
     */
   val minhashLsh: Q = Q(
     "q_dedup_minhash",
     (s, d) => {
+      val (members, reps) = collapseExact(s, d)
       // hash each shingle string once, then derive the 16 seeded hashes by
       // re-mixing the 8-byte value — O(len) work happens once per shingle,
       // not 16 times
-      val sh = shingles(s, d).withColumn("hs", xxhash64(col("s")))
+      val sh = shinglesOf(reps).withColumn("hs", xxhash64(col("s")))
       val mins = (0 until 16).map(i => min(xxhash64(col("hs"), lit(i))).as(s"h$i"))
       val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       val bands = capBuckets(
@@ -203,13 +231,21 @@ object Dedup {
           (0 until 4).map(b => xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
             col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))): _*)).as(Seq("band_idx", "band_hash"))),
         Seq("band_idx", "band_hash"), 64)
-      bands.as("a")
+      val repPairs = bands.as("a")
         .join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_hash") === col("b.band_hash") &&
             col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
         .agg(count(lit(1)).as("bands_matching"))
+      val within = members.as("x")
+        .join(members.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .join(sigs.as("g"), col("x.rep") === col("g.doc_id"), "leftsemi")
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(4L).as("bands_matching"))
+      expandPairs(repPairs, members, Seq("bands_matching"))
+        .union(within)
         .transform(Det.sortAll)
     },
     None
@@ -217,14 +253,17 @@ object Dedup {
 
   /** G. SimHash: 64-bit signature from per-bit token-hash majority vote;
     * blocking on 8-bit chunks; exact hamming via bit_count(xor).
+    * Exact dups are collapsed first ([[collapseExact]]) — signatures are
+    * computed once per distinct text and within-group pairs are hamming 0
+    * by construction, immune to the chunk-bucket cap.
     * Approximate blocking ⇒ rows-only driver check + planted-dup spec.
     */
   val simhash: Q = Q(
     "q_dedup_simhash",
     (s, d) => {
+      val (members, reps) = collapseExact(s, d)
       // binary-weight simhash: each distinct token votes once per doc
-      val toks = T.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val toks = reps
         .select(col("doc_id"), explode(words(col("text"))).as("tok"))
         .distinct()
         .withColumn("h", xxhash64(col("tok")))
@@ -242,14 +281,22 @@ object Dedup {
       // Skew guard: corpora with a shared vocabulary make some byte
       // patterns near-universal; see capBuckets.
       val chunks = capBuckets(rawChunks, Seq("chunk_idx", "chunk"), 64)
-      chunks.as("a")
+      val repPairs = chunks.as("a")
         .join(chunks.as("b"),
           col("a.chunk_idx") === col("b.chunk_idx") &&
             col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
         .distinct()
+      // identical texts: identical signatures, hamming 0 by construction
+      val within = members.as("x")
+        .join(members.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(0L).as("hamming"))
+      expandPairs(repPairs, members, Seq("hamming"))
+        .union(within)
         .withColumn("is_near", col("hamming") <= 12)
         .transform(Det.sortAll)
     },
