@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators (SURVEY §2 H): the streaming twins of
   * the batch event operators. Source-agnostic — any streaming Dataset
@@ -35,6 +36,65 @@ object EventStream {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** H. Watermarked stream-stream interval join (the attribution shape):
+    * each view joins same-user purchases whose timestamp falls within
+    * [view_ts, view_ts + attribution window]. Both sides carry watermarks
+    * AND the join condition bounds purchase_ts relative to view_ts, so
+    * Spark can evict buffered state on both sides — the two requirements
+    * for an inner stream-stream join that survives unbounded inputs
+    * (without them state grows forever).
+    *
+    * Inputs: views(user_id, view_id, ts), purchases(user_id, purchase_id,
+    * ts, value_cents).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      attributionWindow: String = "30 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("purchase_id"),
+        col("ts").as("purchase_ts"), col("value_cents"))
+      .withWatermark("purchase_ts", "2 hours")
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $attributionWindow"))
+      .drop("p_user_id")
+  }
+
+  /** Idempotent micro-batch append for non-transactional targets: a batch
+    * id that already has a commit marker is skipped, so foreachBatch's
+    * at-least-once replay (restart between sink write and checkpoint
+    * commit) cannot double-append. The marker is written AFTER the data —
+    * a crash between the two replays the batch, which the marker check
+    * then makes a no-op. This is the standard exactly-once recipe for
+    * sinks without atomic rename/transactions; the file-sink variant
+    * (Sources.writeStreamParquet) gets the same guarantee from Spark's
+    * own commit log.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Boolean = {
+    val marker = new Path(outDir, s"_committed_$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val fresh = !fs.exists(marker)
+    if (fresh) {
+      batch.write.mode("append").parquet(s"$outDir/data")
+      fs.create(marker, true).close()
+    }
+    fresh
+  }
+
+  /** H. foreachBatch sink wired to [[writeBatchIdempotent]]. */
+  def idempotentParquetSink(df: DataFrame, outDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Row], batchId: Long) => {
+        writeBatchIdempotent(batch.toDF(), batchId, outDir); ()
+      })
 
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value_cents: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

@@ -53,6 +53,57 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted == Seq(1L, 2L), s"got $ids")
   }
 
+  case class View(user_id: Long, view_id: Long, ts: Timestamp)
+  case class Purchase(user_id: Long, purchase_id: Long, ts: Timestamp, value_cents: Long)
+
+  test("stream-stream attribution join matches purchases inside the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[View]
+    val purchases = MemoryStream[Purchase]
+    val q = EventStream.attributionJoin(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    def plus(min: Int) = Timestamp.valueOf(s"2024-01-01 10:${"%02d".format(min)}:00")
+    views.addData(View(1L, 100L, t), View(2L, 101L, t))
+    purchases.addData(
+      Purchase(1L, 500L, plus(10), 999L),   // inside window -> joins
+      Purchase(2L, 501L, plus(45), 111L),   // outside 30-min window -> dropped
+      Purchase(3L, 502L, plus(5), 222L))    // no matching view -> dropped
+    q.processAllAvailable()
+    val rows = spark.table("attr_out")
+      .select("view_id", "purchase_id", "value_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((100L, 500L, 999L)), s"got $rows")
+  }
+
+  test("idempotent foreachBatch sink skips a replayed batch id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(EventStream.writeBatchIdempotent(batch, 7L, dir))
+    // simulate foreachBatch replay of the same epoch after a crash
+    assert(!EventStream.writeBatchIdempotent(batch, 7L, dir))
+    assert(EventStream.writeBatchIdempotent(batch, 8L, dir))
+    val n = spark.read.parquet(s"$dir/data").count()
+    assert(n == 4L, s"expected one append per distinct batch id, got $n rows")
+  }
+
+  test("idempotent sink runs end-to-end as a streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_e2e").toString
+    val mem = MemoryStream[DupEv]
+    val q = EventStream.idempotentParquetSink(
+      mem.toDF(), s"$dir/out", s"$dir/ckpt").start()
+    mem.addData(DupEv(1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a"))
+    mem.addData(DupEv(2L, Timestamp.valueOf("2024-01-01 10:00:01"), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(s"$dir/out/data")
+      .select("event_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"got $ids")
+  }
+
   test("stateful sessionization closes sessions on gap and emits on later batch") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
