@@ -249,6 +249,42 @@ object TextAnalysis {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Corpus vocabulary heavy hitters via the SpaceSaving sketch
+    * (Spark's approx_top_k family): constant-size mergeable state, so at
+    * 100 TB per-shard sketches roll up without ever shuffling token-level
+    * counts — the pipeline deliberately goes through the two-phase API
+    * (accumulate per shard → combine → estimate), exactly how partial
+    * sketches combine across ingestion days. The result is exact whenever
+    * the tracked-item budget (8192) exceeds the corpus vocabulary and the
+    * k-boundary has no count tie — both hold on the driver corpora at
+    * every SF (vocabulary is fixed at 31 tokens), so the query is
+    * oracle-checked rather than rows-only.
+    */
+  val heavyHitters: Q = Q(
+    "q_heavy_hitters",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(pmod(col("doc_id"), lit(8L)).as("shard"),
+          explode(split(col("text"), " +")).as("tok"))
+      toks
+        .groupBy("shard")
+        .agg(expr("approx_top_k_accumulate(tok, 8192)").as("sk"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 8192), 20)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").as("cnt"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH toks AS (
+            |  SELECT unnest(regexp_split_to_array(text, ' +')) AS tok FROM documents
+            |), c AS (
+            |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+            |), r AS (
+            |  SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20
+            |)
+            |SELECT tok, cnt FROM r ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    piiRedact, chunkDocs)
+    piiRedact, chunkDocs, heavyHitters)
 }
