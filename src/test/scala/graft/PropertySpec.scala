@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{Text, Vectors}
+
+/** Generated-input pins for the invariants the oracle hash-matching and
+  * the reference fidelity rest on. Cases are generated with scalacheck
+  * Gens (fixed seeds — deterministic across runs) and evaluated in one
+  * DataFrame pass per property, not one Spark job per sample.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("fix_title backstop: a non-blank title never normalizes to blank") {
+    // adversarial inputs: strings the 9 steps can fully consume
+    val gen = for {
+      core <- Gen.oneOf("(live)", "[full album]", "【complete】", "2021",
+        "ost", "OST", ":", "|", "-", "( )", "[2020]", "full album",
+        "x", "song (2021)", " a - b - c ")
+      pre  <- Gen.oneOf("", "(", "【", " ")
+      post <- Gen.oneOf("", ")", "】", " ", " OST")
+    } yield s"$pre$core$post"
+    val titles = sample(gen, 400).filter(_.trim.nonEmpty)
+    val out = Text.withFixedTitle(titles.toDF("title"), col("title"))
+    val blank = out.where(trim(col("fixed_title")) === "").count()
+    assert(blank == 0, "backstop must reset an emptied title to the original")
+  }
+
+  test("Num.cents is exact on the cent grid") {
+    // money arrives as k/100.0 doubles; cents() must recover k exactly —
+    // the property every price_cents oracle column relies on
+    val ks = sample(Gen.chooseNum(-4000000000000L, 4000000000000L), 500)
+    val out = ks.toDF("k")
+      .select(col("k"), Num.cents(col("k").cast("double") / 100.0).as("c"))
+      .where(col("k") =!= col("c"))
+    assert(out.count() == 0)
+  }
+
+  test("iso8601Ms equals the component sum for any PTnHnMnS combination") {
+    val gen = for {
+      h <- Gen.option(Gen.chooseNum(0L, 99L))
+      m <- Gen.option(Gen.chooseNum(0L, 300L))
+      s <- Gen.option(Gen.chooseNum(0L, 300L))
+      if h.isDefined || m.isDefined || s.isDefined
+    } yield (h, m, s)
+    val cases = sample(gen, 300).map { case (h, m, s) =>
+      val str = "PT" + h.map(_ + "H").getOrElse("") +
+        m.map(_ + "M").getOrElse("") + s.map(_ + "S").getOrElse("")
+      val ms = h.getOrElse(0L) * 3600000L + m.getOrElse(0L) * 60000L +
+        s.getOrElse(0L) * 1000L
+      (str, ms)
+    }
+    val out = cases.toDF("dur", "want")
+      .select(col("want"), Text.iso8601Ms(col("dur")).as("got"))
+      .where(col("want") =!= col("got"))
+    assert(out.count() == 0)
+  }
+
+  test("hyperplaneBands: deterministic, band count and code range as declared") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0))
+    val vecs = sample(vecGen, 200).map(v => Tuple1(v))
+    val df = vecs.toDF("v")
+      .select(Vectors.hyperplaneBands(col("v"), 42L, 6, 5).as("sig"),
+        Vectors.hyperplaneBands(col("v"), 42L, 6, 5).as("sig2"))
+    val bad = df.where(
+      size(col("sig")) =!= 6 ||
+        exists(col("sig"), c => c < 0 || c >= (1 << 5)) ||
+        !(col("sig") === col("sig2")))
+    assert(bad.count() == 0)
+  }
+}
