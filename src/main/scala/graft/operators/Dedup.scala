@@ -295,9 +295,12 @@ object Dedup {
           col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           lit(0L).as("hamming"))
-      expandPairs(repPairs, members, Seq("hamming"))
+      // qualifying pairs only (hamming ≤ 12), like every other family
+      // member (ngram: |∩|≥3, embed: cosine≥τ): emitting every candidate
+      // makes the OUTPUT quadratic in the blocking collision rate — at the
+      // 30× scale smoke that was 10× the runtime for rows nobody keeps
+      expandPairs(repPairs.where(col("hamming") <= 12), members, Seq("hamming"))
         .union(within)
-        .withColumn("is_near", col("hamming") <= 12)
         .transform(Det.sortAll)
     },
     None

@@ -75,9 +75,23 @@ object Similarity {
   val dedupEmbed: Q = Q(
     "q_dedup_embed",
     (s, d) => {
-      val e = vecs(s, d)
-      // one cheap stats job (parquet row-count) drives the parameter choice
-      val n = math.max(T.embeddings(s, d).count(), 2L)
+      // Exact-duplicate pre-collapse, the embedding twin of
+      // Dedup.collapseExact: identical vectors (the k×-duplicated-page
+      // norm — every copy embeds to the same point) share every band
+      // bucket, so without the collapse a k-dup group multiplies each
+      // bucket by k and the candidate join + distinct by k². Group on
+      // the vector VALUE itself (exact array equality, no hash), run LSH
+      // over distinct vectors, expand qualifying pairs to members after
+      // rescoring. Within-group pairs compute the same dot/(nrm·nrm)
+      // expression, so all emitted cosines equal the direct plan's.
+      val wg = Window.partitionBy("v")
+      val tagged = vecs(s, d).withColumn("rep", min(col("vec_id")).over(wg))
+      val members = tagged.select(col("rep"), col("vec_id"))
+      val e = tagged.where(col("vec_id") === col("rep"))
+        .select(col("vec_id"), col("v"), col("nrm"))
+      // one cheap stats job over the distinct vectors drives the
+      // parameter choice
+      val n = math.max(e.count(), 2L)
       val bits = math.min(16,
         math.max(2, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
       val p = 1.0 - math.acos(dedupTau) / math.Pi
@@ -94,12 +108,27 @@ object Similarity {
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
-      cand
+      val repPairs = cand
         .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
         .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"),
+        .select(col("vec_a").as("rep_a"), col("vec_b").as("rep_b"),
           (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
         .where(col("cosine") >= dedupTau)
+      val cross = repPairs
+        .join(members.select(col("rep").as("rep_a"), col("vec_id").as("ia")), "rep_a")
+        .join(members.select(col("rep").as("rep_b"), col("vec_id").as("ib")), "rep_b")
+        .select(least(col("ia"), col("ib")).as("vec_a"),
+          greatest(col("ia"), col("ib")).as("vec_b"), col("cosine"))
+      val within = members.as("x")
+        .join(members.as("y"),
+          col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+        .join(e.as("g"), col("x.rep") === col("g.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          (Vectors.dot(col("g.v"), col("g.v")) / (col("g.nrm") * col("g.nrm"))).as("cosine"))
+        // same guard as the direct plan: a zero vector's NaN cosine never
+        // qualifies, even against its own exact copies
+        .where(col("cosine") >= dedupTau)
+      cross.union(within)
         .transform(Det.sortAll)
     },
     None

@@ -77,6 +77,8 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
     val nearPair = out.find(r => r._1 == 1L && r._2 == 2L)
     assert(nearPair.exists(_._3 <= 12), s"near pair missing or distant: ${out.toSeq}")
+    // far pairs don't qualify and are not emitted at all
+    assert(!out.exists(r => r._2 == 3L || r._1 == 3L), s"far pair emitted: ${out.toSeq}")
   }
 
   test("LSH embed dedup: exact precision and >=0.95 recall vs brute force") {
