@@ -16,6 +16,10 @@ import graft.{Det, Q, T}
   *  - minhash:   banded signatures; candidate pairs only inside a band
   *               bucket — the standard LSH bound on pair generation.
   *  - simhash:   8-bit chunk blocking, hamming distance via bit_count.
+  *
+  * All three near-dup operators run behind [[collapseExact]], so a
+  * k×-duplicated page costs k× (not k²) everywhere except the mandated
+  * pair output.
   */
 object Dedup {
 
@@ -36,12 +40,6 @@ object Dedup {
       .select(col("doc_id") +: explode(expr(
         "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
         .as("s") +: carry.map(col): _*)
-
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(
-      T.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("text")))
 
   /** Exact-duplicate pre-collapse shared by the near-dup family: group
     * docs by exact text and run the expensive candidate machinery once per
