@@ -315,6 +315,187 @@ object EltOps {
             |FROM hits ORDER BY ALL""".stripMargin)
   )
 
+  /** The reference's six ordered find_track query variants
+    * (spotify_elt.py:213-245), in try order with their search_type_ids:
+    * `track:X artist:Y` (0), bare fixed title (2), quoted fixed title (4),
+    * `artist title` (6), then — only when fix_title changed the title —
+    * quoted raw title (5) and raw title (3).
+    */
+  private val variantIds = Seq(0, 2, 4, 6, 5, 3)
+  private val variantNames = Map(
+    0 -> "track and artist", 2 -> "fixed title", 4 -> "quoted fixed title",
+    6 -> "artist and title", 5 -> "quoted raw title", 3 -> "raw title")
+
+  /** E. The qsearch step-escalation loop (spotify_elt.py:213-316
+    * `find_track`): try the ordered variants, first hit wins, and record
+    * provenance — `found_on_try` = how many variants returned results up
+    * to and including the winner (the reference increments step_num only
+    * when a search comes back non-empty), `search_type_id` = the winning
+    * variant. Items are orders (the per-item search log analog); each
+    * variant's first-candidate outcome is synthesized deterministically
+    * from the keys so every escalation depth occurs.
+    *
+    * Spark-first shape: the whole loop is ONE narrow map — the six
+    * variants live in a per-row array of structs, applicability /
+    * first-hit / step counting are array higher-order functions
+    * (filter/get/size), so there is no explode, no re-group shuffle and
+    * no window. At 100 TB this runs at scan speed; the oracle expresses
+    * the same semantics relationally (cross join + running-sum window).
+    */
+  val foundOnTry: Q = Q(
+    "q_found_on_try",
+    (s, d) => foundOnTryBase(s, d).transform(Det.sortAll),
+    Some(s"""$foundOnTrySql\nORDER BY ALL""")
+  )
+
+  /** D/E. found_by_statistics.sql over the provenance output: records
+    * found per winning search type (group by id+name, count).
+    */
+  val foundByStats: Q = Q(
+    "q_found_by_stats",
+    (s, d) =>
+      foundOnTryBase(s, d)
+        .where(col("found"))
+        .groupBy("search_type_id", "search_type_name")
+        .agg(count(lit(1)).as("records_found"))
+        .transform(Det.sortAll),
+    Some(s"""WITH fot AS ($foundOnTrySql)
+            |SELECT search_type_id, search_type_name, COUNT(*) AS records_found
+            |FROM fot WHERE found GROUP BY 1, 2
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** D/E. found_on_try_statistics.sql: records found per escalation depth. */
+  val foundOnTryStats: Q = Q(
+    "q_found_on_try_stats",
+    (s, d) =>
+      foundOnTryBase(s, d)
+        .where(col("found"))
+        .groupBy("found_on_try")
+        .agg(count(lit(1)).as("records_found"))
+        .transform(Det.sortAll),
+    Some(s"""WITH fot AS ($foundOnTrySql)
+            |SELECT found_on_try, COUNT(*) AS records_found
+            |FROM fot WHERE found GROUP BY 1
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** Per-item provenance: one row per order with found / found_on_try /
+    * search_type_id(+name). Shared by q_found_on_try and the two stats
+    * queries.
+    */
+  private def foundOnTryBase(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val o = T.orders(s, d)
+    val c = T.customer(s, d)
+    val items = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(
+        o("o_orderkey"), o("o_custkey"),
+        lower(c("c_name")).as("artist"),
+        lower(o("o_orderpriority")).as("name"),
+        concat(
+          when(o("o_orderkey") % 4 === 0, lower(o("o_orderpriority")))
+            .when(o("o_orderkey") % 4 === 1,
+              concat(lower(o("o_orderpriority")), lit(" by "), lower(c("c_name"))))
+            .when(o("o_orderkey") % 4 === 2, concat(lower(c("c_name")), lit(" live")))
+            .otherwise(lit("unrelated video")),
+          when(o("o_orderkey") % 5 === 0, lit(" OST")).otherwise(lit(""))).as("title"),
+        when(o("o_custkey") % 3 === 0, concat(lower(c("c_name")), lit(" - Topic")))
+          .otherwise(concat(lit("channel "), o("o_custkey").cast("string"))).as("channel"),
+        (o("o_orderkey") % 3 =!= 0).as("fixed_changed"))
+      .withColumn("is_ost", col("title").rlike("\\bOST\\b"))
+      .withColumn("name_in_title", instr(col("title"), col("name")) > 0)
+      .withColumn("artist_in_channel", instr(col("channel"), col("artist")) > 0)
+    // The six variants as a per-row array: each struct carries the
+    // reference's try ordinal, its search_type_id, whether the search
+    // returned candidates, and whether its first candidate passed the
+    // found decision (hit ⇒ has_results).
+    val cand = array(variantIds.zipWithIndex.map { case (id, i) =>
+      val ord = i + 1
+      val hasResults = (col("o_orderkey") * 31 + lit(ord * 13)) % 5 =!= 0
+      val nameHit = col("name_in_title") && (col("o_orderkey") + lit(ord)) % 3 =!= 0
+      val diffMs = ((col("o_orderkey") * 7 + lit(ord * 11)) % 40) * lit(1000L)
+      val hit = hasResults &&
+        ((nameHit && (col("is_ost") || col("artist_in_channel"))) || diffMs <= 5000L)
+      struct(lit(ord).as("ordinal"), lit(id).as("search_type_id"),
+        hasResults.as("has_results"), hit.as("hit"))
+    }: _*)
+    val typeName = variantNames.foldLeft(lit(null).cast("string")) {
+      case (acc, (id, n)) =>
+        when(col("winner").getField("search_type_id") === id, n).otherwise(acc)
+    }
+    items
+      .withColumn("app",
+        filter(cand, v => v.getField("ordinal") <= 4 || col("fixed_changed")))
+      .withColumn("winner", get(filter(col("app"), _.getField("hit")), lit(0)))
+      .select(
+        col("o_orderkey"),
+        col("winner").isNotNull.as("found"),
+        when(col("winner").isNotNull,
+          size(filter(col("app"), v =>
+            v.getField("has_results") &&
+              v.getField("ordinal") <= col("winner").getField("ordinal"))))
+          .as("found_on_try"),
+        col("winner").getField("search_type_id").as("search_type_id"),
+        typeName.as("search_type_name"))
+  }
+
+  /** DuckDB mirror of [[foundOnTryBase]] (no final ORDER BY; composed by
+    * the three oracles above).
+    */
+  private lazy val foundOnTrySql: String = {
+    val variantRows = variantIds.zipWithIndex
+      .map { case (id, i) => s"(${i + 1},$id)" }.mkString(",")
+    val nameCase = variantNames.toSeq.sortBy(_._1)
+      .map { case (id, n) => s"WHEN $id THEN '$n'" }.mkString(" ")
+    s"""WITH items AS (
+       |  SELECT o.o_orderkey,
+       |         lower(c.c_name) AS artist,
+       |         lower(o.o_orderpriority) AS name,
+       |         (CASE o.o_orderkey % 4
+       |            WHEN 0 THEN lower(o.o_orderpriority)
+       |            WHEN 1 THEN lower(o.o_orderpriority) || ' by ' || lower(c.c_name)
+       |            WHEN 2 THEN lower(c.c_name) || ' live'
+       |            ELSE 'unrelated video' END ||
+       |          CASE WHEN o.o_orderkey % 5 = 0 THEN ' OST' ELSE '' END) AS title,
+       |         CASE WHEN o.o_custkey % 3 = 0 THEN lower(c.c_name) || ' - Topic'
+       |              ELSE 'channel ' || CAST(o.o_custkey AS VARCHAR) END AS channel,
+       |         o.o_orderkey % 3 <> 0 AS fixed_changed
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |), feat AS (
+       |  SELECT *, regexp_matches(title, '\\bOST\\b') AS is_ost,
+       |         position(name IN title) > 0 AS name_in_title,
+       |         position(artist IN channel) > 0 AS artist_in_channel
+       |  FROM items
+       |), cand AS (
+       |  SELECT f.o_orderkey, f.is_ost, f.name_in_title, f.artist_in_channel,
+       |         v.ordinal, v.search_type_id,
+       |         ((f.o_orderkey * 31 + v.ordinal * 13) % 5) <> 0 AS has_results
+       |  FROM feat f CROSS JOIN (VALUES $variantRows) v(ordinal, search_type_id)
+       |  WHERE v.ordinal <= 4 OR f.fixed_changed
+       |), hits AS (
+       |  SELECT *,
+       |         has_results AND (
+       |           (name_in_title AND (o_orderkey + ordinal) % 3 <> 0
+       |              AND (is_ost OR artist_in_channel))
+       |           OR ((o_orderkey * 7 + ordinal * 11) % 40) * 1000 <= 5000) AS hit,
+       |         SUM(CASE WHEN has_results THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY o_orderkey ORDER BY ordinal) AS step_num
+       |  FROM cand
+       |), winners AS (
+       |  SELECT o_orderkey, step_num, search_type_id,
+       |         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ordinal) AS rn
+       |  FROM hits WHERE hit
+       |)
+       |SELECT i.o_orderkey,
+       |       w.o_orderkey IS NOT NULL AS found,
+       |       CAST(w.step_num AS INTEGER) AS found_on_try,
+       |       w.search_type_id,
+       |       CASE w.search_type_id $nameCase END AS search_type_name
+       |FROM items i
+       |LEFT JOIN winners w ON i.o_orderkey = w.o_orderkey AND w.rn = 1""".stripMargin
+  }
+
   /** E. Author/playlist cleanup: strip the "&nbsp;- Topic" suffix YouTube
     * auto-channels carry (spotify_elt.py:217) and drop briefcase-tagged
     * non-music playlists (youtube_elt.py:115, `"💼" not in title`) — the
@@ -350,5 +531,5 @@ object EltOps {
   )
 
   val all: Seq[Q] = Seq(normalizeTitle, bestMatch, substringScore, iso8601,
-    foundPredicate, topicCleanup)
+    foundPredicate, foundOnTry, foundByStats, foundOnTryStats, topicCleanup)
 }

@@ -64,13 +64,18 @@ object EventStream {
       .drop("p_user_id")
   }
 
-  /** Idempotent micro-batch append for non-transactional targets: a batch
-    * id that already has a commit marker is skipped, so foreachBatch's
-    * at-least-once replay (restart between sink write and checkpoint
-    * commit) cannot double-append. The marker is written AFTER the data —
-    * a crash between the two replays the batch, which the marker check
-    * then makes a no-op. This is the standard exactly-once recipe for
-    * sinks without atomic rename/transactions; the file-sink variant
+  /** Idempotent micro-batch write for non-transactional targets. Each
+    * batch lands in its own hive-style partition
+    * `$outDir/data/batch_id=<id>` written with OVERWRITE, so a replayed
+    * epoch — foreachBatch is at-least-once across restarts — rewrites its
+    * own partition instead of appending a second copy, no matter where
+    * the previous attempt crashed. (A plain append + marker-check leaves
+    * a duplicate window: crash after the data commit but before the
+    * marker and the replay appends again.) The commit marker is written
+    * AFTER the data purely to skip redundant rewrites and to give
+    * downstream readers a completed-batch signal; correctness does not
+    * depend on it. This is the standard exactly-once recipe for sinks
+    * without transactions; the file-sink variant
     * (Sources.writeStreamParquet) gets the same guarantee from Spark's
     * own commit log.
     */
@@ -80,7 +85,7 @@ object EventStream {
       batch.sparkSession.sparkContext.hadoopConfiguration)
     val fresh = !fs.exists(marker)
     if (fresh) {
-      batch.write.mode("append").parquet(s"$outDir/data")
+      batch.write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
       fs.create(marker, true).close()
     }
     fresh
@@ -95,6 +100,37 @@ object EventStream {
       .foreachBatch((batch: Dataset[Row], batchId: Long) => {
         writeBatchIdempotent(batch.toDF(), batchId, outDir); ()
       })
+
+  /** H. Streaming heavy hitters — the streaming twin of q_heavy_hitters.
+    * Each micro-batch tokenizes its documents and accumulates ONE bounded
+    * SpaceSaving sketch (approx_top_k_accumulate), landed as a single
+    * partial-sketch row in a batch-scoped idempotent partition via
+    * [[writeBatchIdempotent]]; [[heavyHittersEstimate]] combines every
+    * partial and estimates the top-k. Sketches are constant-size and
+    * mergeable, so streaming state is O(batches · budget) — never
+    * token-level — and the combine is associative/commutative, so the
+    * merged estimate equals the one-shot batch sketch over the same rows:
+    * exactly how per-day partial sketches roll up at 100 TB.
+    */
+  def heavyHittersSink(docs: DataFrame, outDir: String, checkpoint: String,
+      budget: Int = 8192): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Row], batchId: Long) => {
+        val sk = batch
+          .select(explode(split(col("text"), " +")).as("tok"))
+          .agg(expr(s"approx_top_k_accumulate(tok, $budget)").as("sk"))
+        writeBatchIdempotent(sk, batchId, outDir); ()
+      })
+
+  /** Combine all landed partial sketches and estimate the top-k. */
+  def heavyHittersEstimate(spark: SparkSession, outDir: String, k: Int = 20,
+      budget: Int = 8192): DataFrame =
+    spark.read.parquet(s"$outDir/data")
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $budget), $k)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("tok"), col("e.count").as("cnt"))
 
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value_cents: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

@@ -94,38 +94,55 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
-  test("multi-probe LSH ANN: neighbors within hamming-1 buckets, recall floor vs brute force") {
-    val lsh = Similarity.annLsh.run(spark, sfDir)
-    assert(lsh.where(col("rn") > 5).count() == 0)
-    assert(lsh.groupBy("query_id").count().where(col("count") > 5).count() == 0)
-    // structural: every scored neighbor's bucket is within one sign flip
-    // of its query's bucket (the multi-probe candidate set, nothing more)
-    val buckets = T.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        Similarity.hyperplaneBucket(graft.functions.Vectors.toDouble(col("embedding"))).as("bk"))
-    val offenders = lsh
-      .join(buckets.select(col("vec_id").as("query_id"), col("bk").as("qb")), "query_id")
-      .join(buckets.select(col("vec_id").as("neighbor_id"), col("bk").as("nb")), "neighbor_id")
-      .where(bit_count(col("qb").bitwiseXOR(col("nb"))) > 1)
-    assert(offenders.count() == 0)
-    // recall vs exact top-5: deterministic 0.10 here (fixed seed, fixed
-    // data) — 9 probes × ~2 vectors/bucket over a 500-vector RANDOM-
-    // direction corpus, LSH's worst case; clustered production embeddings
-    // sit far higher. Multi-probe recall provably dominates single-probe:
-    // the candidate set is a superset and a global-top-5 pair can only be
-    // out-ranked by the other global-top-4, so once a pair is a candidate
-    // it is always emitted.
-    val brute = Similarity.annTopK.run(spark, sfDir)
-      .select("query_id", "neighbor_id")
-    val hit = lsh.select("query_id", "neighbor_id").intersect(brute).count()
-    val recall = hit.toDouble / brute.count()
-    assert(recall >= 0.08, s"multi-probe recall $recall below floor")
+  test("banded LSH ANN: shared-bucket candidates only, recall floor vs brute force") {
+    // sf0.01 (500 vectors) — the scale the r4 floor was specified at
+    val dir = "/root/testdata/sf0.01"
+    val lsh = Similarity.annLsh.run(spark, dir).cache()
+    try {
+      assert(lsh.where(col("rn") > 5).count() == 0)
+      assert(lsh.groupBy("query_id").count().where(col("count") > 5).count() == 0)
+      // structural: every emitted neighbor shares >=1 (band, code) bucket
+      // with its query — the candidate set, nothing more
+      val e = T.embeddings(spark, dir)
+      val (bits, bands) = Similarity.annLshParams(math.max(e.count(), 2L))
+      val buckets = e.select(col("vec_id"),
+        posexplode(graft.functions.Vectors.hyperplaneBands(
+          graft.functions.Vectors.toDouble(col("embedding")),
+          Similarity.annLshSeed, bands, bits)).as(Seq("band_idx", "code")))
+      val pairs = lsh.select("query_id", "neighbor_id")
+      val sharing = pairs
+        .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .join(buckets.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id", "band_idx", "code"))
+        .select("query_id", "neighbor_id").distinct()
+      assert(pairs.exceptAll(sharing).count() == 0,
+        "emitted neighbor without a shared band bucket")
+      // recall vs exact top-5 (deterministic: fixed seed, fixed data) —
+      // the banded adaptive scheme on this random-direction corpus, LSH's
+      // worst case; the r3 fixed 8-plane scheme measured 0.10 here
+      val brute = Similarity.annTopK.run(spark, dir)
+        .select("query_id", "neighbor_id")
+      val hit = pairs.intersect(brute).count()
+      val recall = hit.toDouble / brute.count()
+      info(f"banded LSH recall vs brute top-5: $recall%.3f")
+      assert(recall >= 0.5, s"banded LSH recall $recall below 0.5 floor")
+    } finally lsh.unpersist()
   }
 
-  test("IVF ANN returns at most k neighbors per query from probed cells") {
-    val ivf = Similarity.annIvf.run(spark, sfDir)
-    assert(ivf.count() > 0)
-    assert(ivf.groupBy("query_id").count().where(col("count") > 5).count() == 0)
+  test("IVF ANN: k-bound per query, probed-cell membership, recall floor vs brute force") {
+    val dir = "/root/testdata/sf0.01"
+    val ivf = Similarity.annIvf.run(spark, dir).cache()
+    try {
+      assert(ivf.count() > 0)
+      assert(ivf.groupBy("query_id").count().where(col("count") > 5).count() == 0)
+      // recall vs exact top-5: nprobe=4 of 16 cells (deterministic)
+      val brute = Similarity.annTopK.run(spark, dir)
+        .select("query_id", "neighbor_id")
+      val hit = ivf.select("query_id", "neighbor_id").intersect(brute).count()
+      val recall = hit.toDouble / brute.count()
+      info(f"IVF recall vs brute top-5: $recall%.3f")
+      assert(recall >= 0.5, s"IVF recall $recall below 0.5 floor")
+    } finally ivf.unpersist()
   }
 
   test("PII redaction finds and masks planted email / ip / phone") {
@@ -203,6 +220,28 @@ class OperatorsSpec extends SparkSpec {
         col("height").cast("int"), col("frames").cast("int"), col("sha256_hex"))
       .collect().map(_.toSeq).toSet
     assert(a == b)
+  }
+
+  test("found-on-try escalation carries consistent provenance") {
+    val df = EltOps.foundOnTry.run(spark, sfDir).cache()
+    try {
+      val found = df.where(col("found"))
+      assert(found.count() > 0 && df.where(!col("found")).count() > 0)
+      // found rows: full provenance, depth within the 6-variant budget,
+      // a known search type; not-found rows: no provenance at all
+      assert(found.where(col("found_on_try") < 1 || col("found_on_try") > 6 ||
+        col("search_type_id").isNull || col("search_type_name").isNull).count() == 0)
+      assert(found.where(!col("search_type_id").isin(0, 2, 3, 4, 5, 6)).count() == 0)
+      assert(df.where(!col("found") && (col("found_on_try").isNotNull ||
+        col("search_type_id").isNotNull || col("search_type_name").isNotNull))
+        .count() == 0)
+      // the found_by / found_on_try statistics partition the found set
+      val byType = EltOps.foundByStats.run(spark, sfDir)
+        .agg(sum("records_found")).head().getLong(0)
+      val byTry = EltOps.foundOnTryStats.run(spark, sfDir)
+        .agg(sum("records_found")).head().getLong(0)
+      assert(byType == found.count() && byTry == found.count())
+    } finally df.unpersist()
   }
 
   test("as-of join never matches a later purchase") {

@@ -87,6 +87,14 @@ class StreamingSpec extends SparkSpec {
     assert(EventStream.writeBatchIdempotent(batch, 8L, dir))
     val n = spark.read.parquet(s"$dir/data").count()
     assert(n == 4L, s"expected one append per distinct batch id, got $n rows")
+    // the crash window a marker check alone can't close: data committed
+    // but the marker was never created — the replay must overwrite the
+    // batch partition, not append a second copy
+    val p = new org.apache.hadoop.fs.Path(dir, "_committed_8")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    assert(EventStream.writeBatchIdempotent(batch, 8L, dir))
+    val n2 = spark.read.parquet(s"$dir/data").count()
+    assert(n2 == 4L, s"replay after lost marker must overwrite, got $n2 rows")
   }
 
   test("idempotent sink runs end-to-end as a streaming query") {
@@ -102,6 +110,35 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$dir/out/data")
       .select("event_id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L), s"got $ids")
+  }
+
+  case class Doc(doc_id: Long, text: String)
+
+  test("streaming heavy hitters: sketch merge across 3 micro-batches equals the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    val mem = MemoryStream[Doc]
+    val q = EventStream.heavyHittersSink(
+      mem.toDF(), s"$dir/out", s"$dir/ckpt").start()
+    // three micro-batches with overlapping vocabularies — the combine has
+    // to merge counts for tokens seen in multiple batches
+    val b1 = Seq(Doc(1L, "a a a b c"), Doc(2L, "b c d"))
+    val b2 = Seq(Doc(3L, "a b b e"), Doc(4L, "c c d e"))
+    val b3 = Seq(Doc(5L, "a e e e f"))
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    mem.addData(b3); q.processAllAvailable()
+    q.stop()
+    // one partial sketch per micro-batch, landed idempotently
+    assert(spark.read.parquet(s"$dir/out/data")
+      .select("batch_id").distinct().count() == 3L)
+    val merged = EventStream.heavyHittersEstimate(spark, s"$dir/out", k = 10)
+      .as[(String, Long)].collect().toMap
+    // budget >> vocabulary -> the sketch estimate is exact: compare with
+    // token counts over the union of all three batches
+    val exact = (b1 ++ b2 ++ b3).flatMap(_.text.split(" +"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(merged == exact, s"merged $merged vs exact $exact")
   }
 
   test("stateful sessionization closes sessions on gap and emits on later batch") {

@@ -19,10 +19,14 @@ ap.add_argument('queries', nargs='*', metavar='query',
 ap.add_argument('--no-verify', action='store_true',
                 help='reuse the existing /tmp/graft_verify dump')
 args = ap.parse_args()
-# `check.py q_star_join` (query in position 1) should not be read as a dir
-if args.sfdir.startswith('q_') and not os.path.isdir(args.sfdir):
+# `check.py <query>` (query in position 1) should not be read as a dir:
+# any non-directory first positional arg is a query name, and a missing
+# sfdir is an error rather than a silent everything-fails run
+if not os.path.isdir(args.sfdir):
     args.queries.insert(0, args.sfdir)
     args.sfdir = '/root/testdata/sf0.01'
+if not os.path.isdir(args.sfdir):
+    sys.exit(f'error: sfdir {args.sfdir!r} does not exist')
 
 SF = args.sfdir
 OUT = '/tmp/graft_verify'
