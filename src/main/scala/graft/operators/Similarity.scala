@@ -214,6 +214,17 @@ object Similarity {
       val e = vecs(s, d)
       val n = math.max(e.count(), 2L)
       val (bits, bands) = annLshParams(n)
+      // same transparency as dedupEmbed: the 64-band cap undercuts the
+      // solved 0.9-recall band count once bits ≥ 8 (n ≳ 8k) — expected
+      // recall degrades gradually from there; say so instead of shipping
+      // a silently weaker table
+      val p03 = 1.0 - math.acos(0.3) / math.Pi
+      val solved = math.ceil(
+        math.log(0.1) / math.log(1.0 - math.pow(p03, bits))).toInt
+      if (solved > bands)
+        System.err.println(s"[graft] annLsh: solved band count $solved " +
+          s"clamped to $bands at n=$n (bits=$bits) — recall at the 0.3 " +
+          s"design cosine falls below the 0.9 target")
       val buckets = e
         .withColumn("sig", Vectors.hyperplaneBands(col("v"), annLshSeed, bands, bits))
         .select(col("vec_id"), posexplode(col("sig")).as(Seq("band_idx", "code")))
@@ -301,7 +312,14 @@ object Similarity {
   private[graft] def codebookFor(s: SparkSession, d: String, e: DataFrame): DataFrame = {
     val rows = codebookCache.computeIfAbsent(d, _ => {
       val n = math.max(e.count(), 1L)
-      kmeansCodebook(e, sampleStep = math.max(1L, n / 4096L), k = 16, iters = 3)
+      // IVF practice: cells ≈ sqrt(n) keep per-cell scan cost O(sqrt(n))
+      // as the corpus grows (fixed k would make each probe O(n/k) — linear
+      // again); capped so the codebook stays trivially broadcastable
+      // (1024 × 64 doubles ≈ 0.5 MB), with the training-sample budget
+      // tied to k (≥32 sample vectors per centroid).
+      val k = math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+      val sampleTarget = math.max(4096L, 32L * k)
+      kmeansCodebook(e, sampleStep = math.max(1L, n / sampleTarget), k = k, iters = 3)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     })
