@@ -46,4 +46,54 @@ final class Dag(stages: Seq[Stage]) {
       df.createOrReplaceTempView(name)
       name -> df
     }.toMap
+
+  /** Per-stage retry — the engine-scope analog of the reference's Airflow
+    * task `retries` (dags/setup_dag.py default_args): a transiently
+    * failing stage is re-attempted up to `retries` times before the run
+    * fails; succeeded stages are never re-run by a downstream failure.
+    * (Cron scheduling itself is orchestration, deliberately out of
+    * engine scope.)
+    */
+  def runWithRetries(spark: SparkSession, retries: Int = 2): Map[String, DataFrame] =
+    order.map { name =>
+      var attempt = 0
+      var out: Option[DataFrame] = None
+      var last: Throwable = null
+      while (out.isEmpty && attempt <= retries) {
+        try {
+          val df = byName(name).build(spark)
+          df.createOrReplaceTempView(name)
+          out = Some(df)
+        } catch {
+          case e: Throwable => last = e; attempt += 1
+        }
+      }
+      name -> out.getOrElse(throw new IllegalStateException(
+        s"stage $name failed after ${retries + 1} attempts", last))
+    }.toMap
+
+  /** Resumable materialized run — task-level idempotency on re-run, the
+    * Airflow re-trigger semantics: each stage persists to
+    * `$outDir/<name>` and then drops a `_done_<name>` marker; on re-run,
+    * marked stages are restored from their parquet instead of rebuilt, so
+    * a crashed run resumes from the first incomplete stage and completed
+    * work is never recomputed. A stage that crashed mid-write holds no
+    * marker and is rewritten with OVERWRITE — the same
+    * batch-scoped-overwrite recipe as the streaming idempotent sink, so
+    * partial output can't double up either.
+    */
+  def runResumable(spark: SparkSession, outDir: String): Map[String, DataFrame] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    order.map { name =>
+      val marker = new org.apache.hadoop.fs.Path(outDir, s"_done_$name")
+      val fs = marker.getFileSystem(hconf)
+      if (!fs.exists(marker)) {
+        byName(name).build(spark).write.mode("overwrite").parquet(s"$outDir/$name")
+        fs.create(marker, true).close()
+      }
+      val df = spark.read.parquet(s"$outDir/$name")
+      df.createOrReplaceTempView(name)
+      name -> df
+    }.toMap
+  }
 }

@@ -43,6 +43,47 @@ class ExtensionsAndDagSpec extends SparkSpec {
     assert(spark.table("mart").columns.toSet == Set("k", "va", "vb"))
   }
 
+  test("dag retries a transient stage failure; succeeded stages run once") {
+    val aRuns = new java.util.concurrent.atomic.AtomicInteger
+    val bRuns = new java.util.concurrent.atomic.AtomicInteger
+    val dag = new Dag(Seq(
+      Stage("ra", Nil, s => { aRuns.incrementAndGet(); s.range(3).toDF() }),
+      Stage("rb", Seq("ra"), s => {
+        if (bRuns.incrementAndGet() < 3) sys.error("flaky downstream")
+        s.table("ra")
+      })))
+    val out = dag.runWithRetries(spark, retries = 2)
+    assert(out("rb").count() == 3)
+    assert(aRuns.get() == 1 && bRuns.get() == 3)
+    // retry budget exhausted -> the failure surfaces
+    val always = new Dag(Seq(Stage("rc", Nil, _ => sys.error("hard down"))))
+    intercept[IllegalStateException](always.runWithRetries(spark, retries = 1))
+  }
+
+  test("resumable run resumes from the first incomplete stage, never recomputes done ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dag_resume").toString
+    val aRuns = new java.util.concurrent.atomic.AtomicInteger
+    val bRuns = new java.util.concurrent.atomic.AtomicInteger
+    def mk(failB: Boolean) = new Dag(Seq(
+      Stage("sa", Nil, s => { aRuns.incrementAndGet(); s.range(4).toDF() }),
+      Stage("sb", Seq("sa"), s => {
+        bRuns.incrementAndGet()
+        if (failB) sys.error("crash mid-run")
+        s.table("sa")
+      })))
+    // first run crashes in stage sb; sa completed and is marked done
+    intercept[RuntimeException](mk(failB = true).runResumable(spark, dir))
+    assert(aRuns.get() == 1 && bRuns.get() == 1)
+    // re-run: sa restored from its parquet (not rebuilt), sb completes
+    val out = mk(failB = false).runResumable(spark, dir)
+    assert(out("sb").count() == 4)
+    assert(aRuns.get() == 1 && bRuns.get() == 2)
+    // a full re-run of a completed dag recomputes nothing at all
+    val again = mk(failB = false).runResumable(spark, dir)
+    assert(again("sb").count() == 4)
+    assert(aRuns.get() == 1 && bRuns.get() == 2)
+  }
+
   test("mart pipeline builds the whole model graph and passes its data test") {
     assert(graft.pipeline.MartPipeline.build(spark, sfDir))
     assert(spark.table("int_star").count() > 0)
