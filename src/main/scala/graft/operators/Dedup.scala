@@ -304,5 +304,120 @@ object Dedup {
     None
   )
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash)
+  /** G. Near-dup clusters: connected components over the dedup pair graph
+    * — pairs alone don't dedupe a corpus; the keep/purge decision needs
+    * the TRANSITIVE closure (A~B, B~C ⇒ {A,B,C} is one cluster even when
+    * A~C falls below the threshold, the classic near-dup chain). Edges =
+    * exact-duplicate links (doc → its normalized-content keeper) ∪ n-gram
+    * Jaccard ≥ 0.5 pairs; every doc gets its component's min doc_id as
+    * cluster_id, the cluster size, and the purge flag.
+    *
+    * Spark-first shape: iterative min-label propagation — each round,
+    * every node takes the min of its own and its neighbors' labels; the
+    * loop is the standard Pregel-on-DataFrames pattern (bounded driver
+    * loop, lineage truncated per round exactly like the k-means trainer;
+    * convergence via the monotonically-decreasing label sum, one tiny agg
+    * per round instead of a change-count join). Rounds = O(cluster
+    * diameter) — near-dup clusters are shallow, and the 15-round bound is
+    * a backstop, not the expected cost. Per round the work is one
+    * edges⋈labels shuffle — O(E) rows, never materializing components.
+    * (At adversarial diameters the large-star/small-star variant halves
+    * round counts; not needed at near-dup shapes.)
+    *
+    * The DuckDB oracle computes the same components as a recursive
+    * reachability closure and hash-matches: the iterative plan is exact,
+    * not approximate.
+    */
+  val clusters: Q = Q(
+    "q_dedup_clusters",
+    (s, d) => {
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      val wg = Window.partitionBy("th")
+      val docs = T.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val exactE = docs
+        .select(col("doc_id"), md5(norm).as("th"))
+        .withColumn("keeper", min(col("doc_id")).over(wg))
+        .where(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id").as("a"), col("keeper").as("b"))
+      val ngramE = ngramJaccard.run(s, d)
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val half = exactE.union(ngramE)
+      val edges = half
+        .union(half.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .cache()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+        .localCheckpoint()
+      var prevSum = labels.agg(sum("label")).head().getLong(0)
+      var converged = false
+      var round = 0
+      while (!converged && round < 15) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("b"), col("label")), "b")
+          .groupBy(col("a").as("doc_id"))
+          .agg(min("label").as("nbr"))
+        labels = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .localCheckpoint()
+        val s2 = labels.agg(sum("label")).head().getLong(0)
+        converged = s2 == prevSum
+        prevSum = s2
+        round += 1
+      }
+      edges.unpersist()
+      val wc = Window.partitionBy("cluster_id")
+      labels
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH RECURSIVE w AS (
+            |  SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
+            |), sh0 AS (
+            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+            |), sh AS (
+            |  SELECT doc_id, s FROM (
+            |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0
+            |  ) WHERE df <= 128
+            |), cnt AS (
+            |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+            |), pairs AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2
+            |), ngram_e AS (
+            |  SELECT p.doc_a AS a, p.doc_b AS b
+            |  FROM pairs p
+            |  JOIN cnt ca ON p.doc_a = ca.doc_id
+            |  JOIN cnt cb ON p.doc_b = cb.doc_id
+            |  WHERE p.inter >= 3
+            |    AND CAST(p.inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - p.inter AS DOUBLE) >= 0.5
+            |), exact_e AS (
+            |  SELECT doc_id AS a, keeper AS b FROM (
+            |    SELECT doc_id,
+            |           MIN(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keeper
+            |    FROM documents
+            |  ) WHERE doc_id <> keeper
+            |), edges AS (
+            |  SELECT a, b FROM ngram_e UNION SELECT b, a FROM ngram_e
+            |  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+            |), reach(node, r) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+            |), comp AS (
+            |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+            |)
+            |SELECT doc_id, cluster_id,
+            |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+            |       doc_id <> cluster_id AS is_dup
+            |FROM comp ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters)
 }

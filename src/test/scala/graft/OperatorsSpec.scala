@@ -81,6 +81,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.exists(r => r._2 == 3L || r._1 == 3L), s"far pair emitted: ${out.toSeq}")
   }
 
+  test("near-dup clusters merge transitive chains and exact copies") {
+    def toks(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(1, 40)),    // A
+      (2L, toks(11, 50)),   // B: J(A,B) = 28/48 ≈ 0.58 — edge
+      (3L, toks(21, 60)),   // C: J(B,C) ≈ 0.58 but J(A,C) ≈ 0.31 — chain only
+      (4L, toks(100, 140)), // D
+      (5L, toks(100, 140)), // E: exact copy of D
+      (6L, toks(200, 240))  // F: unrelated singleton
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftcc").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.clusters.run(spark, tmp)
+      .select("doc_id", "cluster_id", "cluster_size", "is_dup")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // A~B~C is ONE cluster via the chain even though A~C is sub-threshold
+    assert(out(1L) == ((1L, 3L, false)) && out(2L) == ((1L, 3L, true)) &&
+      out(3L) == ((1L, 3L, true)), s"chain not merged: $out")
+    assert(out(4L) == ((4L, 2L, false)) && out(5L) == ((4L, 2L, true)))
+    assert(out(6L) == ((6L, 1L, false)))
+  }
+
   test("LSH embed dedup: exact precision and >=0.95 recall vs brute force") {
     // sf0.01 (500 vecs, 271 qualifying pairs) — large enough that the
     // 98%-per-pair design target can't flake the 0.95 assertion.
