@@ -419,5 +419,65 @@ object Dedup {
             |FROM comp ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters)
+  /** G. Benchmark decontamination — the training-corpus hygiene step every
+    * LLM data pipeline runs: flag corpus documents sharing any long n-gram
+    * (8 tokens here) with a held-out benchmark/eval set, so test material
+    * can be purged before training. The benchmark split is synthesized
+    * deterministically (doc_id % 50 == 0 ≙ the eval set).
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval sets are
+    * thousands of docs, the corpus is billions) — its distinct 8-gram
+    * hash set broadcasts, so the corpus side is one narrow shingle pass +
+    * broadcast semi-join + per-doc count: no corpus shuffle at all except
+    * the final per-doc aggregation, and no df cap needed because the
+    * probe set is bounded. 8-byte xxhash64 grams shuffle instead of
+    * strings (collision odds ~1e-12; the oracle would catch one).
+    */
+  val decontaminate: Q = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val docs = T.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      def grams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .where(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(w)-8), i -> " +
+            "xxhash64(concat_ws(' ', w[i],w[i+1],w[i+2],w[i+3],w[i+4],w[i+5],w[i+6],w[i+7]))))"))
+          .as("h8"))
+      val benchG = grams(docs.where(pmod(col("doc_id"), lit(50L)) === 0))
+        .select("h8").distinct()
+      val corpus = docs.where(pmod(col("doc_id"), lit(50L)) =!= 0)
+      val hits = grams(corpus).join(broadcast(benchG), "h8")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1L).as("is_contaminated"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
+            |), g AS (
+            |  SELECT DISTINCT doc_id,
+            |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+            |         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS g8
+            |  FROM w, UNNEST(range(1, len(ws)-6)) AS t(i)
+            |  WHERE len(ws) >= 8
+            |), bench AS (
+            |  SELECT DISTINCT g8 FROM g WHERE doc_id % 50 = 0
+            |), hits AS (
+            |  SELECT g.doc_id, COUNT(*) AS n_hits
+            |  FROM g JOIN bench USING (g8)
+            |  WHERE g.doc_id % 50 <> 0 GROUP BY 1
+            |)
+            |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+            |       COALESCE(h.n_hits, 0) >= 1 AS is_contaminated
+            |FROM documents d LEFT JOIN hits h USING (doc_id)
+            |WHERE d.doc_id % 50 <> 0
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
+    decontaminate)
 }

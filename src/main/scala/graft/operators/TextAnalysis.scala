@@ -285,6 +285,44 @@ object TextAnalysis {
             |SELECT tok, cnt FROM r ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Stratified corpus sampling — training-data mixing: each language
+    * stratum keeps a configured percentage (en 60 / de 40 / zh 25 /
+    * other 10), decided by a deterministic content-independent hash
+    * bucket so the sample is reproducible across runs, engines and
+    * cluster layouts (no `rand()`, which is neither repeatable nor
+    * cross-engine). The bucket is the first 16 bits of md5(doc_id) mod
+    * 100 — md5 is bit-identical on both engines, so the oracle
+    * hash-matches the exact selected set, not just its size. Pure narrow
+    * map: at 100 TB this is scan-speed sampling with no shuffle before
+    * the mandated output sort; swapping the id for a content hash gives
+    * dedup-stable sampling with the identical plan.
+    */
+  val sampleStratified: Q = Q(
+    "q_sample_stratified",
+    (s, d) => {
+      val rate = when(col("lang") === "en", 60)
+        .when(col("lang") === "de", 40)
+        .when(col("lang") === "zh", 25)
+        .otherwise(10)
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100).as("bucket")
+      T.documents(s, d)
+        .select(col("doc_id"), col("lang"), bucket, rate.as("rate_pct"))
+        .where(col("bucket") < col("rate_pct"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, lang,
+            |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket,
+            |         CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40
+            |                   WHEN 'zh' THEN 25 ELSE 10 END AS rate_pct
+            |  FROM documents
+            |)
+            |SELECT doc_id, lang, bucket, rate_pct
+            |FROM t WHERE bucket < rate_pct
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    piiRedact, chunkDocs, heavyHitters)
+    piiRedact, chunkDocs, heavyHitters, sampleStratified)
 }

@@ -103,6 +103,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L) == ((6L, 1L, false)))
   }
 
+  test("decontamination flags corpus docs sharing an 8-gram with the benchmark split") {
+    val bench = (1 to 20).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (50L, bench), // doc_id % 50 == 0 -> the benchmark/eval split
+      (1L, "x1 x2 " + (5 to 12).map(i => s"a$i").mkString(" ") + " y1"), // one shared 8-gram (a5..a12)
+      (2L, (1 to 20).map(i => s"z$i").mkString(" "))) // disjoint vocabulary
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftdecon").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.decontaminate.run(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set(1L, 2L), "benchmark docs must not appear in the output")
+    assert(out(1L) == ((1L, true)), s"planted overlap missed: $out")
+    assert(out(2L) == ((0L, false)))
+  }
+
+  test("stratified sampling: deterministic buckets, rates ordered per language") {
+    val out = TextAnalysis.sampleStratified.run(spark, sfDir).cache()
+    try {
+      assert(out.where(col("bucket") >= col("rate_pct")).count() == 0)
+      val totals = T.documents(spark, sfDir).groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = out.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def frac(l: String) = kept.getOrElse(l, 0L).toDouble / totals(l)
+      assert(frac("en") > frac("zh"),
+        s"en ${frac("en")} should out-sample zh ${frac("zh")}")
+      // same input -> the identical selected set (no rand() anywhere)
+      val again = TextAnalysis.sampleStratified.run(spark, sfDir)
+      assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("LSH embed dedup: exact precision and >=0.95 recall vs brute force") {
     // sf0.01 (500 vecs, 271 qualifying pairs) — large enough that the
     // 98%-per-pair design target can't flake the 0.95 assertion.
