@@ -164,7 +164,9 @@ object EltOps {
   val iso8601: Q = Q(
     "q_iso8601",
     (s, d) => {
-      val l = T.lineitem(s, d)
+      // single-file test layout -> spread the scan before the regex-heavy
+      // narrow parse (no-op on a multi-split production table)
+      val l = T.lineitem(s, d).repartition(s.sparkContext.defaultParallelism)
       val h = col("l_linenumber").cast("long")
       val m = col("l_quantity").cast("long")
       val sec = (col("l_partkey") % 60).cast("long")
@@ -386,7 +388,10 @@ object EltOps {
     */
   private def foundOnTryBase(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val o = T.orders(s, d)
+    // the test corpus lands as one parquet split; spread it so the heavy
+    // per-row variant array runs on every core (a real cluster's scan is
+    // already split — this is a no-op there)
+    val o = T.orders(s, d).repartition(s.sparkContext.defaultParallelism)
     val c = T.customer(s, d)
     val items = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .select(
