@@ -32,6 +32,7 @@ object QualityTests {
           count(m("l_orderkey")).as("matched_cnt"))
         .withColumn("unmatched_cnt", col("total_cnt") - col("matched_cnt"))
         .withColumn("ok", col("total_cnt") === col("matched_cnt") + col("unmatched_cnt"))
+        .transform(Det.sortAll)
     },
     Some("""SELECT
             |  (SELECT COUNT(*) FROM orders) AS total_cnt,
@@ -43,7 +44,8 @@ object QualityTests {
             |   (SELECT COUNT(*) FROM orders o
             |     WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) +
             |   (SELECT COUNT(*) FROM orders o
-            |     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))) AS ok""".stripMargin)
+            |     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))) AS ok
+            |ORDER BY ALL""".stripMargin)
   )
 
   /** C. SUM-vs-stored-column mismatch finder in exact integer cents. */

@@ -46,4 +46,20 @@ class PlanGuardSpec extends SparkSpec {
         s"${q.name} has ${offenders.size} global (partition-less) window(s)")
     }
   }
+
+  test("output-order contract: every query ends in a total sort, every oracle in ORDER BY ALL") {
+    // the driver hash-compare treats row order as part of the result; the
+    // repo rule (CLAUDE.md) is Det.sortAll on the Spark side and ORDER BY
+    // ALL on the DuckDB side — guard both so a new operator can't forget
+    for (q <- SparkEntry.registry) {
+      // analyzed (pre-optimizer) plan: the optimizer rightly elides sorts
+      // on provably-single-row results, but the contract is about what the
+      // operator declares
+      val top = q.run(spark, sfDir).queryExecution.analyzed
+      assert(top.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort],
+        s"${q.name} does not end in a global Sort (Det.sortAll missing?)")
+      q.oracle.foreach(sql => assert(sql.trim.endsWith("ORDER BY ALL"),
+        s"${q.name} oracle SQL does not end with ORDER BY ALL"))
+    }
+  }
 }
