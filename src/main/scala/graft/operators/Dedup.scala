@@ -145,7 +145,15 @@ object Dedup {
     */
   val ngramJaccard: Q = Q(
     "q_dedup_ngram",
-    (s, d) => {
+    (s, d) => ngramPairs(s, d).transform(Det.sortAll),
+    Some(ngramOracleSql))
+
+  /** Unsorted n-gram Jaccard pairs — shared by q_dedup_ngram (which adds
+    * the contract sort) and q_dedup_clusters (which feeds the pairs into
+    * a join, where a pre-sort is pure waste at the 30×-smoke pair
+    * volumes).
+    */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
       val (members, reps) = collapseExact(s, d)
       // shuffle 8-byte shingle hashes, not strings: the inverted-index
       // join and intersection counts are identical (64-bit collisions are
@@ -175,9 +183,12 @@ object Dedup {
           col("c.nsh").as("inter"), col("c.nsh").as("uni"))
       cross.union(within)
         .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
-        .transform(Det.sortAll)
-    },
-    Some("""WITH w AS (
+  }
+
+  // lazy: referenced by ngramJaccard's constructor above its declaration
+  // point — a strict val would still be null during object initialization
+  private lazy val ngramOracleSql: String =
+       """WITH w AS (
             |  SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
             |), sh0 AS (
             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
@@ -200,8 +211,7 @@ object Dedup {
             |JOIN cnt ca ON p.doc_a = ca.doc_id
             |JOIN cnt cb ON p.doc_b = cb.doc_id
             |WHERE p.inter >= 3
-            |ORDER BY ALL""".stripMargin)
-  )
+            |ORDER BY ALL""".stripMargin
 
   /** G. MinHash+LSH: 16 minhashes (min of seeded xxhash64 over shingles),
     * 4 bands × 4 rows; candidate pairs = docs sharing a band bucket, with
@@ -340,7 +350,7 @@ object Dedup {
         .withColumn("keeper", min(col("doc_id")).over(wg))
         .where(col("doc_id") =!= col("keeper"))
         .select(col("doc_id").as("a"), col("keeper").as("b"))
-      val ngramE = ngramJaccard.run(s, d)
+      val ngramE = ngramPairs(s, d)
         .where(col("jaccard") >= 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val half = exactE.union(ngramE)

@@ -501,6 +501,61 @@ object EltOps {
        |LEFT JOIN winners w ON i.o_orderkey = w.o_orderkey AND w.rn = 1""".stripMargin
   }
 
+  /** E. The collect_track status decision (spotify_elt.py:317-341): a
+    * found track is "skipped (saved before the run)" when it is already
+    * in the liked library and the target playlist is the liked-music one,
+    * "skipped (saved during the run)" when an earlier item in THIS run
+    * already collected the same (track, playlist), else "saved". The
+    * during-run membership — the reference scans its in-memory run log —
+    * is the first-occurrence window: rank per (track, playlist) in run
+    * order, rn>1 means a duplicate within the run. Liked library =
+    * broadcast key set; one window shuffle, no driver state.
+    */
+  val collectStatus: Q = Q(
+    "q_collect_status",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = T.lineitem(s, d)
+      val o = T.orders(s, d)
+      val p = T.part(s, d)
+      val liked = broadcast(p.where(col("p_size") % 7 === 0)
+        .select(col("p_partkey").as("lk")))
+      val items = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(l("l_orderkey"), l("l_linenumber"), l("l_partkey"),
+          o("o_orderpriority").as("playlist"))
+      val w = Window.partitionBy("l_partkey", "playlist")
+        .orderBy("l_orderkey", "l_linenumber")
+      items
+        .join(liked, col("l_partkey") === col("lk"), "left")
+        .withColumn("rn", row_number().over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("playlist"),
+          when(col("lk").isNotNull && col("playlist") === "1-URGENT",
+            "skipped (saved before the run)")
+            .when(col("rn") > 1, "skipped (saved during the run)")
+            .otherwise("saved").as("status"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH items AS (
+            |  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+            |         o.o_orderpriority AS playlist
+            |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |), t AS (
+            |  SELECT i.*, p.p_partkey IS NOT NULL AS liked,
+            |         ROW_NUMBER() OVER (PARTITION BY i.l_partkey, i.playlist
+            |                            ORDER BY i.l_orderkey, i.l_linenumber) AS rn
+            |  FROM items i
+            |  LEFT JOIN (SELECT p_partkey FROM part WHERE p_size % 7 = 0) p
+            |         ON i.l_partkey = p.p_partkey
+            |)
+            |SELECT l_orderkey, l_linenumber, l_partkey, playlist,
+            |       CASE WHEN liked AND playlist = '1-URGENT'
+            |              THEN 'skipped (saved before the run)'
+            |            WHEN rn > 1 THEN 'skipped (saved during the run)'
+            |            ELSE 'saved' END AS status
+            |FROM t ORDER BY ALL""".stripMargin)
+  )
+
   /** E. Author/playlist cleanup: strip the "&nbsp;- Topic" suffix YouTube
     * auto-channels carry (spotify_elt.py:217) and drop briefcase-tagged
     * non-music playlists (youtube_elt.py:115, `"💼" not in title`) — the
@@ -536,5 +591,6 @@ object EltOps {
   )
 
   val all: Seq[Q] = Seq(normalizeTitle, bestMatch, substringScore, iso8601,
-    foundPredicate, foundOnTry, foundByStats, foundOnTryStats, topicCleanup)
+    foundPredicate, foundOnTry, foundByStats, foundOnTryStats, collectStatus,
+    topicCleanup)
 }
