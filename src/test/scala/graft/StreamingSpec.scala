@@ -141,6 +141,37 @@ class StreamingSpec extends SparkSpec {
     assert(merged == exact, s"merged $merged vs exact $exact")
   }
 
+  test("stratified sampling is stateless: streaming selection equals the batch set") {
+    // the md5-bucket sampler is a pure narrow map, so the SAME expressions
+    // run unchanged on a stream — batch/streaming symmetry for corpus
+    // mixing, no state, no watermark
+    implicit val sqlCtx = spark.sqlContext
+    val rate = when(col("lang") === "en", 60)
+      .when(col("lang") === "de", 40)
+      .when(col("lang") === "zh", 25).otherwise(10)
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    val docs = (1L to 300L).map(i =>
+      (i, Seq("en", "de", "zh", "fr")((i % 4).toInt)))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "lang")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate_pct"))
+      .where(col("bucket") < col("rate_pct"))
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    docs.grouped(100).foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("sample_out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = docs.toDF("doc_id", "lang")
+      .select(col("doc_id"), bucket.as("bucket"), rate.as("rate_pct"))
+      .where(col("bucket") < col("rate_pct"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("stateful sessionization closes sessions on gap and emits on later batch") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
