@@ -80,5 +80,54 @@ object EventOps {
             |FROM sess GROUP BY user_id, session_id ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(windowEvents, sessionize)
+  /** F. Range (interval) join — the batch twin of the streaming
+    * attribution join (graft.streaming.EventStream.attributionJoin): each
+    * non-purchase event matches the same user's purchases inside
+    * [view_ts, view_ts + 30 min].
+    *
+    * Spark has no native range-join optimization, and the naive encoding
+    * (equi on user + range predicate) leaves a hot key (one bot user with
+    * k views × m purchases) doing k·m comparisons. The scale path is the
+    * classic BINNED range join: bin width = the window length, purchases
+    * carry their single bin, views probe the (at most) two bins their
+    * window can overlap, the join is fully equi on (user, bin) and the
+    * exact range predicate filters after. A purchase lives in exactly one
+    * bin, so no pair can match twice — no dedup pass. Candidate work is
+    * bounded by true temporal locality instead of per-user cardinality
+    * products.
+    */
+  val rangeJoin: Q = Q(
+    "q_range_join",
+    (s, d) => {
+      val W = 1800000L
+      val e = T.events(s, d)
+      val views = e.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          expr("ts div 1000000").as("view_ms"))
+      val buys = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          expr("ts div 1000000").as("purchase_ms"))
+        .withColumn("bin", expr(s"purchase_ms div $W"))
+      val vb = views.withColumn("bin", explode(array_distinct(array(
+        expr(s"view_ms div $W"), expr(s"(view_ms + $W) div $W")))))
+      vb.join(buys, Seq("user_id", "bin"))
+        .where(col("purchase_ms") >= col("view_ms") &&
+          col("purchase_ms") <= col("view_ms") + W)
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("view_ms"), col("purchase_ms"),
+          (col("purchase_ms") - col("view_ms")).as("lag_ms"))
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+            |       epoch_ms(v.ts) AS view_ms, epoch_ms(p.ts) AS purchase_ms,
+            |       epoch_ms(p.ts) - epoch_ms(v.ts) AS lag_ms
+            |FROM (SELECT * FROM events WHERE event_type <> 'purchase') v
+            |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+            |  ON v.user_id = p.user_id
+            | AND epoch_ms(p.ts) >= epoch_ms(v.ts)
+            | AND epoch_ms(p.ts) <= epoch_ms(v.ts) + 1800000
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin)
 }

@@ -299,6 +299,24 @@ class OperatorsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("binned range join equals the direct range predicate") {
+    val out = EventOps.rangeJoin.run(spark, sfDir).select("view_id", "purchase_id")
+    val e = T.events(spark, sfDir)
+    val v = e.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("ts div 1000000").as("view_ms"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        expr("ts div 1000000").as("purchase_ms"))
+    val direct = v.join(p, col("user_id") === col("pu") &&
+        col("purchase_ms") >= col("view_ms") &&
+        col("purchase_ms") <= col("view_ms") + 1800000L)
+      .select("view_id", "purchase_id")
+    assert(direct.count() > 0)
+    assert(out.exceptAll(direct).count() == 0 && direct.exceptAll(out).count() == 0,
+      "binning must be a lossless rewrite of the range predicate")
+  }
+
   test("as-of join never matches a later purchase") {
     val df = AsOf.asofJoin.run(spark, sfDir)
     assert(df.where(col("matched_p_ts_ms") > col("ts_ms")).count() == 0)
