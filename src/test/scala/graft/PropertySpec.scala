@@ -61,6 +61,29 @@ class PropertySpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("dag topological order respects every dependency on generated DAGs") {
+    import graft.pipeline.{Dag, Stage}
+    // random acyclic graphs: node i may only depend on nodes j < i, then
+    // the declaration order is shuffled so `order` has real work to do
+    val dagGen = for {
+      n <- Gen.chooseNum(1, 12)
+      deps <- Gen.sequence[Seq[Seq[Int]], Seq[Int]]((0 until n).map(i =>
+        if (i == 0) Gen.const(Seq.empty[Int])
+        else Gen.someOf(0 until i).map(_.toSeq)))
+      perm <- Gen.const(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(n.toLong)).shuffle((0 until n).toList))
+    } yield perm.map(i => Stage(s"s$i", deps(i).map(j => s"s$j"),
+      s => s.range(1).toDF()))
+    for (stages <- sample(dagGen, 40)) {
+      val order = new Dag(stages).order
+      val pos = order.zipWithIndex.toMap
+      assert(order.sorted == stages.map(_.name).sorted)
+      for (st <- stages; dep <- st.deps)
+        assert(pos(dep) < pos(st.name),
+          s"${st.name} ran before its dependency $dep in $order")
+    }
+  }
+
   test("hyperplaneBands: deterministic, band count and code range as declared") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0))
     val vecs = sample(vecGen, 200).map(v => Tuple1(v))
