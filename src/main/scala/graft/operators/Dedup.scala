@@ -25,6 +25,15 @@ object Dedup {
 
   private def words(c: Column): Column = split(c, " +")
 
+  /** The ONE definition of "exact duplicate after normalization":
+    * whitespace-collapsed lowercase text. Shared by q_dedup_exact and
+    * q_dedup_clusters' exact-edge derivation so the two can't silently
+    * disagree on what an exact dup is (their oracle SQL mirrors the same
+    * expression; the hash gate catches any drift there).
+    */
+  private val normText: Column =
+    lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
   /** Distinct 3-word shingles per document: (doc_id, shingle).
     * The corpus lands as one file = one partition; shingling is the
     * CPU-heavy narrow stage, so spread it before exploding.
@@ -100,10 +109,9 @@ object Dedup {
   val exact: Q = Q(
     "q_dedup_exact",
     (s, d) => {
-      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
       val w = Window.partitionBy("content_hash")
       T.documents(s, d)
-        .select(col("doc_id"), md5(norm).as("content_hash"))
+        .select(col("doc_id"), md5(normText).as("content_hash"))
         .withColumn("group_size", count(lit(1)).over(w))
         .withColumn("keeper_id", min(col("doc_id")).over(w))
         .withColumn("is_dup", col("doc_id") =!= col("keeper_id"))
@@ -341,12 +349,11 @@ object Dedup {
   val clusters: Q = Q(
     "q_dedup_clusters",
     (s, d) => {
-      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
       val wg = Window.partitionBy("th")
       val docs = T.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
       val exactE = docs
-        .select(col("doc_id"), md5(norm).as("th"))
+        .select(col("doc_id"), md5(normText).as("th"))
         .withColumn("keeper", min(col("doc_id")).over(wg))
         .where(col("doc_id") =!= col("keeper"))
         .select(col("doc_id").as("a"), col("keeper").as("b"))
@@ -360,7 +367,11 @@ object Dedup {
         .cache()
       var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
         .localCheckpoint()
-      var prevSum = labels.agg(sum("label")).head().getLong(0)
+      // sum over zero rows is null — an empty corpus must yield an empty
+      // result, not an NPE
+      def labelSum(df: DataFrame): Long =
+        Option(df.agg(sum("label")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+      var prevSum = labelSum(labels)
       var converged = false
       var round = 0
       while (!converged && round < 15) {
@@ -372,11 +383,20 @@ object Dedup {
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
           .localCheckpoint()
-        val s2 = labels.agg(sum("label")).head().getLong(0)
+        val s2 = labelSum(labels)
         converged = s2 == prevSum
         prevSum = s2
         round += 1
       }
+      // same transparency rule as the LSH clamps: a diameter-16+ chain
+      // (template-drift corpora can build them) exhausts the round budget
+      // and the emitted labels are then NOT components — say so instead
+      // of silently shipping wrong cluster ids
+      if (!converged)
+        System.err.println("[graft] dedupClusters: label propagation hit " +
+          "the 15-round cap without converging — cluster ids for the " +
+          "longest chains are not fully merged; raise the cap (or switch " +
+          "to large-star/small-star) for adversarial-diameter graphs")
       edges.unpersist()
       val wc = Window.partitionBy("cluster_id")
       labels

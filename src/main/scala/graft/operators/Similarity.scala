@@ -187,13 +187,19 @@ object Similarity {
     * bucket-size invariant holds, vs the brute force's O(n).
     */
   private[graft] val annLshSeed = 7L
-  private[graft] def annLshParams(n: Long): (Int, Int) = {
+
+  /** (bits, clamped bands, solved bands) — solved is the pre-clamp
+    * solution of the recall equation, returned so the clamp warning in
+    * [[annLsh]] reports the same number the parameterization computed
+    * (no duplicated formula to drift).
+    */
+  private[graft] def annLshParams(n: Long): (Int, Int, Int) = {
     val bits = math.min(16,
       math.max(2, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
     val p = 1.0 - math.acos(0.3) / math.Pi
-    val bands = math.min(64, math.max(4,
-      math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bits))).toInt))
-    (bits, bands)
+    val solved = math.max(4,
+      math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bits))).toInt)
+    (bits, math.min(64, solved), solved)
   }
 
   /** G. LSH-bucketed approximate top-k — banded hyperplane signatures
@@ -213,14 +219,11 @@ object Similarity {
     (s, d) => {
       val e = vecs(s, d)
       val n = math.max(e.count(), 2L)
-      val (bits, bands) = annLshParams(n)
       // same transparency as dedupEmbed: the 64-band cap undercuts the
       // solved 0.9-recall band count once bits ≥ 8 (n ≳ 8k) — expected
       // recall degrades gradually from there; say so instead of shipping
       // a silently weaker table
-      val p03 = 1.0 - math.acos(0.3) / math.Pi
-      val solved = math.ceil(
-        math.log(0.1) / math.log(1.0 - math.pow(p03, bits))).toInt
+      val (bits, bands, solved) = annLshParams(n)
       if (solved > bands)
         System.err.println(s"[graft] annLsh: solved band count $solved " +
           s"clamped to $bands at n=$n (bits=$bits) — recall at the 0.3 " +
@@ -310,8 +313,13 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Double], Double)]]()
 
   private[graft] def codebookFor(s: SparkSession, d: String, e: DataFrame): DataFrame = {
-    val rows = codebookCache.computeIfAbsent(d, _ => {
-      val n = math.max(e.count(), 1L)
+    // cache key carries the row count as a cheap change fingerprint: a
+    // rewritten corpus at the same path with a different cardinality
+    // retrains instead of serving stale centroids. A same-count content
+    // rewrite still hits the cache — the memo assumes the usual immutable
+    // parquet snapshot discipline (new data → new path).
+    val n = math.max(e.count(), 1L)
+    val rows = codebookCache.computeIfAbsent(s"$d#$n", _ => {
       // IVF practice: cells ≈ sqrt(n) keep per-cell scan cost O(sqrt(n))
       // as the corpus grows (fixed k would make each probe O(n/k) — linear
       // again); capped so the codebook stays trivially broadcastable

@@ -65,7 +65,10 @@ final class Dag(stages: Seq[Stage]) {
           df.createOrReplaceTempView(name)
           out = Some(df)
         } catch {
-          case e: Throwable => last = e; attempt += 1
+          // NonFatal only: retrying after OutOfMemoryError/LinkageError
+          // masks a broken JVM, and swallowing InterruptedException
+          // defeats cancellation
+          case scala.util.control.NonFatal(e) => last = e; attempt += 1
         }
       }
       name -> out.getOrElse(throw new IllegalStateException(

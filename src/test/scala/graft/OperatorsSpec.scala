@@ -159,7 +159,7 @@ class OperatorsSpec extends SparkSpec {
       // structural: every emitted neighbor shares >=1 (band, code) bucket
       // with its query — the candidate set, nothing more
       val e = T.embeddings(spark, dir)
-      val (bits, bands) = Similarity.annLshParams(math.max(e.count(), 2L))
+      val (bits, bands, _) = Similarity.annLshParams(math.max(e.count(), 2L))
       val buckets = e.select(col("vec_id"),
         posexplode(graft.functions.Vectors.hyperplaneBands(
           graft.functions.Vectors.toDouble(col("embedding")),

@@ -19,12 +19,17 @@ ap.add_argument('queries', nargs='*', metavar='query',
 ap.add_argument('--no-verify', action='store_true',
                 help='reuse the existing /tmp/graft_verify dump')
 args = ap.parse_args()
-# `check.py <query>` (query in position 1) should not be read as a dir:
-# any non-directory first positional arg is a query name, and a missing
-# sfdir is an error rather than a silent everything-fails run
+# `check.py <query>` (query in position 1) should not be read as a dir.
+# Only a bare name (no path separator) is reclassified as a query; a
+# path-looking arg that doesn't exist is an ERROR — reclassifying it
+# would filter on a nonexistent "query" and print a green gate that
+# checked nothing.
 if not os.path.isdir(args.sfdir):
-    args.queries.insert(0, args.sfdir)
-    args.sfdir = '/root/testdata/sf0.01'
+    if os.sep not in args.sfdir:
+        args.queries.insert(0, args.sfdir)
+        args.sfdir = '/root/testdata/sf0.01'
+    else:
+        sys.exit(f'error: sfdir {args.sfdir!r} does not exist')
 if not os.path.isdir(args.sfdir):
     sys.exit(f'error: sfdir {args.sfdir!r} does not exist')
 
@@ -47,10 +52,20 @@ for p in glob.glob(f'{SF}/*.parquet'):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f'{OUT}/oracle_sql.json'))
-fails = []
+# a requested name must be a real query: oracle-checked, or at least a
+# rows-only query with a spark dump — otherwise the filter silently
+# checks nothing and the gate lies green
+for q in ONLY:
+    if q not in oracle:
+        if glob.glob(f'{OUT}/{q}/*.parquet'):
+            print(f'note {q}: rows-only query (no oracle) — not hash-checked here')
+        else:
+            sys.exit(f'error: unknown query name {q!r}; known: {sorted(oracle)}')
+fails, checked = [], 0
 for name, sql in sorted(oracle.items()):
     if ONLY and name not in ONLY:
         continue
+    checked += 1
     spark_dir = f'{OUT}/{name}'
     if not glob.glob(f'{spark_dir}/*.parquet'):
         print(f'FAIL {name}: no spark output'); fails.append(name); continue
@@ -85,5 +100,7 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f'ok   {name} ({len(got)} rows)')
 
-print(f'\n{len(oracle) - len(fails)}/{len(oracle)} matched' + (f'; FAILURES: {fails}' if fails else ''))
+# the summary reports what was actually CHECKED, not the oracle count —
+# a filtered run must not print a registry-wide green
+print(f'\n{checked - len(fails)}/{checked} matched' + (f'; FAILURES: {fails}' if fails else ''))
 sys.exit(1 if fails else 0)
