@@ -36,6 +36,76 @@ object Similarity {
 
   private[graft] val dedupTau = 0.35
 
+  /** Per-band collision probability under hamming-≤radius multi-probe:
+    * P(the two band codes differ in at most `radius` of `bits` planes)
+    * = Σ_{j=0..radius} C(bits,j) · p^(bits−j) · (1−p)^j, where p is the
+    * per-plane agreement at the design cosine.
+    */
+  private[graft] def bandMatchProb(bits: Int, radius: Int, p: Double): Double = {
+    def choose(k: Int): Double =
+      (1 to k).map(i => (bits - i + 1).toDouble / i).product
+    (0 to radius).map(j => choose(j) * math.pow(p, bits - j) * math.pow(1 - p, j)).sum
+  }
+
+  /** Adaptive banded-LSH parameterization with hamming multi-probe.
+    * Returns (bits, bands, radius):
+    *  - bits ≈ log2(n/32) keeps expected bucket size ~32 as the corpus
+    *    grows (capped at 16);
+    *  - radius is the SMALLEST probe radius in 0..3 whose solved band
+    *    count — ln(miss)/ln(1−bandMatchProb) at the design-cosine
+    *    agreement p — fits `capBands`;
+    *  - bands is that solved count.
+    *
+    * This replaces round 4's hard band clamp, which silently undercut the
+    * recall equation once the r0 solution outgrew the cap (n ≳ 4k for the
+    * dedup design point): probing the hamming-neighbor codes of one join
+    * side multiplies the per-band collision probability by orders of
+    * magnitude at a small bounded cost (≤ 1+bits+C(bits,2)+C(bits,3)
+    * probes), so the solved band count fits the cap at EVERY n — for
+    * bits ≤ 16, radius ≤ 3 always suffices at both design points
+    * (property-proven across n up to 2^62 in PropertySpec). The defensive
+    * clamp below is therefore unreachable, not a quality cliff.
+    */
+  private[graft] def lshParams(n: Long, designTau: Double, miss: Double,
+      capBands: Int): (Int, Int, Int) = {
+    val bits = math.min(16,
+      math.max(2, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(designTau) / math.Pi
+    def solved(r: Int): Int = {
+      val pb = bandMatchProb(bits, r, p)
+      if (pb >= 1.0) 4
+      else math.max(4, math.ceil(math.log(miss) / math.log(1.0 - pb)).toInt)
+    }
+    val radius = (0 to 3).find(solved(_) <= capBands).getOrElse(3)
+    val bands = solved(radius)
+    if (bands > capBands)
+      System.err.println(s"[graft] lshParams: solved band count $bands " +
+        s"exceeds cap $capBands even at probe radius 3 (n=$n, bits=$bits) — " +
+        s"recall is below the ${1 - miss} design target")
+    (bits, math.min(capBands, bands), radius)
+  }
+
+  /** All XOR masks over `bits` bits with popcount ≤ radius (the hamming
+    * ball used for multi-probe), mask 0 first. ≤ 697 masks at bits=16,
+    * radius=3.
+    */
+  private[graft] def probeMasks(bits: Int, radius: Int): Array[Long] =
+    (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
+      .sortBy(java.lang.Long.bitCount)
+      .toArray
+
+  /** Expand (vec_id, band_idx, code) bucket rows to their hamming-ball
+    * probe codes. With radius 0 this is the identity set (mask 0 only).
+    * One-sided expansion is enough for a pair join: hamming(x,y) ≤ r in a
+    * band ⇔ some popcount-≤r mask maps x's code onto y's exact code.
+    */
+  private def expandProbes(buckets: DataFrame, idCol: String, bits: Int,
+      radius: Int): DataFrame =
+    buckets.withColumn("mask", explode(lit(probeMasks(bits, radius))))
+      .select(col(idCol), col("band_idx"),
+        col("code").bitwiseXOR(col("mask")).as("code"))
+
   /** Exact all-pairs threshold scan — O(n²); small-SF recall oracle for
     * the spec ONLY, deliberately not registered as an operator.
     */
@@ -61,9 +131,12 @@ object Similarity {
     *
     * Parameters are data-adaptive, the same way LSH is tuned in practice:
     * bits/band ≈ log2(n/32) keeps expected bucket size ~32 as the corpus
-    * grows; bands solve 1−(1−p^bits)^bands ≥ 0.98 at the threshold's
-    * per-plane agreement p = 1 − acos(τ)/π, giving ≥98% expected recall
-    * for pairs AT the decision boundary (higher above it). On this
+    * grows; bands and the multi-probe radius solve
+    * 1−(1−bandMatchProb)^bands ≥ 0.98 at the threshold's per-plane
+    * agreement p = 1 − acos(τ)/π (see [[lshParams]]), giving ≥98% expected
+    * recall for pairs AT the decision boundary (higher above it) at every
+    * corpus size — bits ≤ 16, so probe radius ≤ 3 always fits the 96-band
+    * cost cap. On this
     * synthetic corpus qualifying pairs sit at the boundary (random-
     * direction bulk — max observed cosine 0.51), the worst case for any
     * sub-quadratic method, so the operator is approximate by construction:
@@ -90,29 +163,20 @@ object Similarity {
       val e = tagged.where(col("vec_id") === col("rep"))
         .select(col("vec_id"), col("v"), col("nrm"))
       // one cheap stats job over the distinct vectors drives the
-      // parameter choice
+      // parameter choice: bits/bands/probe-radius solved by lshParams so
+      // the ≥98% boundary-recall equation holds at EVERY n (the r4 band
+      // clamp that degraded recall past n ≈ 4k is gone — multi-probe wins
+      // the collision probability back at bounded cost)
       val n = math.max(e.count(), 2L)
-      val bits = math.min(16,
-        math.max(2, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
-      val p = 1.0 - math.acos(dedupTau) / math.Pi
-      val solvedBands = math.max(4,
-        math.ceil(math.log(0.02) / math.log(1.0 - math.pow(p, bits))).toInt)
-      // The ≥98% boundary-recall solution is honored only while the
-      // solved band count fits the 96-band cost cap; at this τ the
-      // solution exceeds 96 once bits ≥ 7 (n ≳ 4k distinct vectors), and
-      // boundary recall degrades below the design target from there — so
-      // surface the clamp instead of silently shipping a weaker table.
-      val bands = math.min(96, solvedBands)
-      if (solvedBands > bands)
-        System.err.println(s"[graft] dedupEmbed: solved band count " +
-          s"$solvedBands clamped to $bands at n=$n (bits=$bits) — boundary " +
-          s"recall is below the 98% design target; raise the cap or lower " +
-          s"bits growth if boundary pairs matter at this scale")
+      val (bits, bands, radius) = lshParams(n, dedupTau, 0.02, 96)
       val buckets = e
         .withColumn("sig", Vectors.hyperplaneBands(col("v"), 42L, bands, bits))
         .select(col("vec_id"), posexplode(col("sig")).as(Seq("band_idx", "code")))
       val capped = Dedup.capBuckets(buckets, Seq("band_idx", "code"), 256)
-      val cand = capped.as("a")
+      // one-sided hamming-ball expansion: pair (x,y) with band codes
+      // within `radius` bits is found when x's probe ring hits y's exact
+      // code — the exact-code side keeps the bucket-size cap semantics
+      val cand = expandProbes(capped, "vec_id", bits, radius).as("a")
         .join(capped.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.code") === col("b.code") &&
@@ -178,62 +242,52 @@ object Similarity {
             |ORDER BY ALL""".stripMargin)
   )
 
-  /** q_ann_lsh parameterization — the same adaptive scheme dedupEmbed
-    * uses, re-solved at the ANN design point: bits/band ≈ log2(n/32)
-    * holds expected bucket size ~32 as the corpus grows, and the band
-    * count solves 1−(1−p^bits)^bands ≥ 0.9 at a design cosine of 0.3
-    * (p = 1 − acos(0.3)/π ≈ 0.60 per-plane agreement). Candidates per
-    * query are O(bands · bucket) ≈ O(bands·32) — constant in n once the
-    * bucket-size invariant holds, vs the brute force's O(n).
+  /** q_ann_lsh parameterization — the same adaptive multi-probe scheme
+    * dedupEmbed uses ([[lshParams]]), re-solved at the ANN design point:
+    * ≥0.9 recall at a design cosine of 0.3 (p = 1 − acos(0.3)/π ≈ 0.60
+    * per-plane agreement), 64-band cost cap. Probing happens on the
+    * QUERY side only (20 signatures · ≤697 masks — broadcast pennies),
+    * so candidates per query stay O(bands · probes · bucket) — constant
+    * in n once the bucket-size invariant holds, vs the brute force's
+    * O(n).
     */
   private[graft] val annLshSeed = 7L
 
-  /** (bits, clamped bands, solved bands) — solved is the pre-clamp
-    * solution of the recall equation, returned so the clamp warning in
-    * [[annLsh]] reports the same number the parameterization computed
-    * (no duplicated formula to drift).
-    */
-  private[graft] def annLshParams(n: Long): (Int, Int, Int) = {
-    val bits = math.min(16,
-      math.max(2, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
-    val p = 1.0 - math.acos(0.3) / math.Pi
-    val solved = math.max(4,
-      math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bits))).toInt)
-    (bits, math.min(64, solved), solved)
-  }
+  /** (bits, bands, probe radius) at the ANN design point. */
+  private[graft] def annLshParams(n: Long): (Int, Int, Int) =
+    lshParams(n, 0.3, 0.1, 64)
 
   /** G. LSH-bucketed approximate top-k — banded hyperplane signatures
     * (the r3 fixed 8-plane/hamming-1 scheme measured 0.10 recall on this
     * random-direction corpus; the banded adaptive scheme lifts it above
     * 0.8 for the same bounded cost). Dataflow: one compiled signature
     * pass over the corpus → (band, code) buckets, size-capped; the 20
-    * query signatures broadcast against them for candidates; distinct
-    * (query, neighbor) pairs rescored with the exact cosine; top-5 per
-    * query. Candidate generation never shuffles the corpus — the only
-    * wide ops run on the small candidate set. Approximate ⇒ rows-only
-    * driver check; the spec asserts the shared-bucket subset property
-    * and measured recall ≥ 0.5 vs the brute-force top-5.
+    * query signatures, expanded to their hamming-≤radius probe ring,
+    * broadcast against them for candidates; distinct (query, neighbor)
+    * pairs rescored with the exact cosine; top-5 per query. Candidate
+    * generation never shuffles the corpus — the only wide ops run on the
+    * small candidate set. Approximate ⇒ rows-only driver check; the spec
+    * asserts the probe-ring subset property and measured recall vs the
+    * brute-force top-5 at sf0.01 AND at sf0.1 (the regime the r4 clamp
+    * used to degrade).
     */
   val annLsh: Q = Q(
     "q_ann_lsh",
     (s, d) => {
       val e = vecs(s, d)
       val n = math.max(e.count(), 2L)
-      // same transparency as dedupEmbed: the 64-band cap undercuts the
-      // solved 0.9-recall band count once bits ≥ 8 (n ≳ 8k) — expected
-      // recall degrades gradually from there; say so instead of shipping
-      // a silently weaker table
-      val (bits, bands, solved) = annLshParams(n)
-      if (solved > bands)
-        System.err.println(s"[graft] annLsh: solved band count $solved " +
-          s"clamped to $bands at n=$n (bits=$bits) — recall at the 0.3 " +
-          s"design cosine falls below the 0.9 target")
+      val (bits, bands, radius) = annLshParams(n)
       val buckets = e
         .withColumn("sig", Vectors.hyperplaneBands(col("v"), annLshSeed, bands, bits))
         .select(col("vec_id"), posexplode(col("sig")).as(Seq("band_idx", "code")))
       val capped = Dedup.capBuckets(buckets, Seq("band_idx", "code"), 256)
-      val qb = capped.where(col("vec_id") < 20)
-        .withColumnRenamed("vec_id", "query_id")
+      // multi-probe on the query side: each query signature also visits
+      // its hamming-≤radius neighbor codes, recovering the recall the r4
+      // band clamp gave up — the corpus side stays exact codes, one row
+      // per (vector, band)
+      val qb = expandProbes(
+        capped.where(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id"),
+        "query_id", bits, radius)
       val cand = capped.join(broadcast(qb), Seq("band_idx", "code"))
         .where(col("query_id") =!= col("vec_id"))
         .select("query_id", "vec_id").distinct()

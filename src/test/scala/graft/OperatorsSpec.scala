@@ -156,17 +156,22 @@ class OperatorsSpec extends SparkSpec {
     try {
       assert(lsh.where(col("rn") > 5).count() == 0)
       assert(lsh.groupBy("query_id").count().where(col("count") > 5).count() == 0)
-      // structural: every emitted neighbor shares >=1 (band, code) bucket
-      // with its query — the candidate set, nothing more
+      // structural: every emitted neighbor's band code lies within the
+      // query's hamming-≤radius probe ring in >=1 band — the candidate
+      // set, nothing more
       val e = T.embeddings(spark, dir)
-      val (bits, bands, _) = Similarity.annLshParams(math.max(e.count(), 2L))
+      val (bits, bands, radius) = Similarity.annLshParams(math.max(e.count(), 2L))
       val buckets = e.select(col("vec_id"),
         posexplode(graft.functions.Vectors.hyperplaneBands(
           graft.functions.Vectors.toDouble(col("embedding")),
           Similarity.annLshSeed, bands, bits)).as(Seq("band_idx", "code")))
+      val qprobes = buckets.withColumnRenamed("vec_id", "query_id")
+        .withColumn("mask", explode(lit(Similarity.probeMasks(bits, radius))))
+        .select(col("query_id"), col("band_idx"),
+          col("code").bitwiseXOR(col("mask")).as("code"))
       val pairs = lsh.select("query_id", "neighbor_id")
       val sharing = pairs
-        .join(buckets.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .join(qprobes, "query_id")
         .join(buckets.withColumnRenamed("vec_id", "neighbor_id"),
           Seq("neighbor_id", "band_idx", "code"))
         .select("query_id", "neighbor_id").distinct()
@@ -182,6 +187,31 @@ class OperatorsSpec extends SparkSpec {
       info(f"banded LSH recall vs brute top-5: $recall%.3f")
       assert(recall >= 0.5, s"banded LSH recall $recall below 0.5 floor")
     } finally lsh.unpersist()
+  }
+
+  test("multi-probe recall holds at sf0.1 — the regime the r4 clamp degraded") {
+    // n = 5000 distinct vectors -> bits = 8. The r4 scheme solved 193
+    // bands for the dedup design point and clamped to 96 (expected
+    // boundary recall ~0.86, and unmeasured); multi-probe (radius 1,
+    // 31 bands) re-solves the ≥0.98 equation under the cap. Measure both
+    // operators against exact brute force at this scale.
+    val dir = "/root/testdata/sf0.1"
+    val lsh = Similarity.dedupEmbed.run(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForcePairs(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "rescored pairs must all pass the exact threshold")
+    val recall = lsh.size.toDouble / brute.size
+    info(f"dedup_embed recall at sf0.1: $recall%.3f (${lsh.size}/${brute.size})")
+    assert(recall >= 0.95, s"dedup_embed sf0.1 recall $recall (${lsh.size}/${brute.size})")
+
+    val ann = Similarity.annLsh.run(spark, dir).select("query_id", "neighbor_id")
+    val bruteTop = Similarity.annTopK.run(spark, dir).select("query_id", "neighbor_id")
+    val annRecall = ann.intersect(bruteTop).count().toDouble / bruteTop.count()
+    info(f"ann_lsh recall at sf0.1: $annRecall%.3f")
+    // measured 0.910 (deterministic seed/data); 0.8 floor absorbs a
+    // regenerated-testdata reroll while still pinning the ≥0.9 design
+    assert(annRecall >= 0.8, s"ann_lsh sf0.1 recall $annRecall below 0.8 floor")
   }
 
   test("IVF ANN: k-bound per query, probed-cell membership, recall floor vs brute force") {

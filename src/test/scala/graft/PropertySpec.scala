@@ -84,6 +84,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH solver: boundary recall target met at every corpus size") {
+    // The r4 scheme clamped the solved band count to the cost cap, so
+    // expected boundary recall silently fell below target past n ≈ 4k.
+    // lshParams escalates the probe radius instead; this sweep proves the
+    // recall equation holds UN-clamped for every n up to 2^62 at both
+    // design points — the clamp is dead code, not a cliff.
+    val designPoints = Seq(
+      (operators.Similarity.dedupTau, 0.02, 96), // q_dedup_embed
+      (0.3, 0.1, 64))                            // q_ann_lsh
+    val ns = (6 to 62).map(1L << _) ++
+      sample(Gen.chooseNum(64L, Long.MaxValue / 4), 100)
+    for ((tau, miss, cap) <- designPoints; n <- ns) {
+      val (bits, bands, radius) = operators.Similarity.lshParams(n, tau, miss, cap)
+      assert(bits >= 2 && bits <= 16 && radius >= 0 && radius <= 3)
+      assert(bands >= 4 && bands <= cap)
+      val p = 1.0 - math.acos(tau) / math.Pi
+      val pb = operators.Similarity.bandMatchProb(bits, radius, p)
+      val recall = 1.0 - math.pow(1.0 - pb, bands)
+      assert(recall >= 1.0 - miss - 1e-9,
+        s"n=$n tau=$tau: boundary recall $recall < ${1.0 - miss} " +
+          s"(bits=$bits bands=$bands radius=$radius)")
+      // the probe ring stays bounded: ≤ 697 masks at bits=16, radius=3
+      assert(operators.Similarity.probeMasks(bits, radius).length <= 697)
+    }
+  }
+
   test("hyperplaneBands: deterministic, band count and code range as declared") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0))
     val vecs = sample(vecGen, 200).map(v => Tuple1(v))
