@@ -335,12 +335,15 @@ object Dedup {
     * loop is the standard Pregel-on-DataFrames pattern (bounded driver
     * loop, lineage truncated per round exactly like the k-means trainer;
     * convergence via the monotonically-decreasing label sum, one tiny agg
-    * per round instead of a change-count join). Rounds = O(cluster
-    * diameter) — near-dup clusters are shallow, and the 15-round bound is
-    * a backstop, not the expected cost. Per round the work is one
-    * edges⋈labels shuffle — O(E) rows, never materializing components.
-    * (At adversarial diameters the large-star/small-star variant halves
-    * round counts; not needed at near-dup shapes.)
+    * per round instead of a change-count join), augmented with a pointer
+    * jump (path halving, label := label(label)) per round, so rounds =
+    * O(log diameter) instead of O(diameter) — the same exponential path
+    * compression as large-star/small-star. Near-dup clusters converge in
+    * a handful of rounds; a pathological diameter-2^24 chain would still
+    * fit the 25-round budget, and non-convergence FAILS the job rather
+    * than shipping non-component ids. Per round the work is one
+    * edges⋈labels shuffle (O(E) rows) plus one labels⋈labels self-join
+    * (O(n)), never materializing components.
     *
     * The DuckDB oracle computes the same components as a recursive
     * reachability closure and hash-matches: the iterative plan is exact,
@@ -374,30 +377,40 @@ object Dedup {
       var prevSum = labelSum(labels)
       var converged = false
       var round = 0
-      while (!converged && round < 15) {
+      while (!converged && round < 25) {
         val nbrMin = edges
           .join(labels.select(col("doc_id").as("b"), col("label")), "b")
           .groupBy(col("a").as("doc_id"))
           .agg(min("label").as("nbr"))
-        labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        val propped = labels.join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        // Pointer jump (path halving): label := label(label). Labels are
+        // always doc_ids inside the node's own component (min-propagation
+        // only moves ids along edges), so one extra self-join per round
+        // compounds the progress of every earlier round — rounds drop
+        // from O(diameter) to O(log diameter), which removes the r4
+        // correctness cliff where a diameter-16+ template-drift chain
+        // exhausted the round budget and shipped non-component ids.
+        val jump = propped.select(col("doc_id").as("label"), col("label").as("plabel"))
+        labels = propped.join(jump, Seq("label"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
           .localCheckpoint()
         val s2 = labelSum(labels)
         converged = s2 == prevSum
         prevSum = s2
         round += 1
       }
-      // same transparency rule as the LSH clamps: a diameter-16+ chain
-      // (template-drift corpora can build them) exhausts the round budget
-      // and the emitted labels are then NOT components — say so instead
-      // of silently shipping wrong cluster ids
-      if (!converged)
-        System.err.println("[graft] dedupClusters: label propagation hit " +
-          "the 15-round cap without converging — cluster ids for the " +
-          "longest chains are not fully merged; raise the cap (or switch " +
-          "to large-star/small-star) for adversarial-diameter graphs")
       edges.unpersist()
+      // 25 prop+jump rounds cover diameters past 2^24 — unreachable for
+      // any physical corpus. If it ever trips, fail the job: wrong
+      // cluster ids must never ship behind a stderr warning (the r4
+      // behavior this replaces).
+      if (!converged)
+        throw new IllegalStateException("dedupClusters: label propagation " +
+          "did not converge within 25 pointer-jumping rounds — refusing to " +
+          "emit non-component cluster ids")
       val wc = Window.partitionBy("cluster_id")
       labels
         .select(col("doc_id"), col("label").as("cluster_id"))

@@ -103,6 +103,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L) == ((6L, 1L, false)))
   }
 
+  test("clusters converge on a diameter-39 template-drift chain (past the r4 round cap)") {
+    // 40 docs sliding a 20-word window by 5 over a unique word stream:
+    // adjacent docs share 13 of 18 shingles (J = 13/23 ≈ 0.57, an edge);
+    // two hops apart share 8 of 28 (J ≈ 0.29, no edge) — a pure chain of
+    // graph diameter 39. r4's 15 propagation-only rounds could move the
+    // min label at most 15 hops and shipped wrong ids with a warning;
+    // pointer jumping must converge well inside the 25-round budget.
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (5 * i until 5 * i + 20).map(w => s"u$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftchain").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.clusters.run(spark, tmp)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 40)
+    assert(out.forall { case (_, cid, sz) => cid == 0L && sz == 40L },
+      s"chain not fully merged: ${out.filter(_._2 != 0L).toSeq}")
+  }
+
   test("decontamination flags corpus docs sharing an 8-gram with the benchmark split") {
     val bench = (1 to 20).map(i => s"a$i").mkString(" ")
     val docs = Seq(
