@@ -366,14 +366,38 @@ object Similarity {
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Double], Double)]]()
 
+  /** Fingerprint of a table's physical files (relative path, length,
+    * mtime of every file under it). Listing is a pure namenode metadata
+    * op — no data read — and it changes whenever the table's content
+    * does, so a same-cardinality rewrite at the same path retrains
+    * instead of serving stale centroids.
+    */
+  private[graft] def tableFingerprint(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      files += ((f.getPath.toUri.getPath, f.getLen, f.getModificationTime))
+    }
+    // order-independent listing (FS iteration order is unspecified)
+    files.sortBy(_._1).foldLeft(1125899906842597L) { case (h, (n, len, mt)) =>
+      ((h * 31 + n.hashCode) * 31 + len) * 31 + mt
+    }
+  }
+
   private[graft] def codebookFor(s: SparkSession, d: String, e: DataFrame): DataFrame = {
-    // cache key carries the row count as a cheap change fingerprint: a
-    // rewritten corpus at the same path with a different cardinality
-    // retrains instead of serving stale centroids. A same-count content
-    // rewrite still hits the cache — the memo assumes the usual immutable
-    // parquet snapshot discipline (new data → new path).
+    // cache key = path + row count + physical-file fingerprint: any
+    // rewrite of the table (even same-cardinality, same-path) changes
+    // the file listing and retrains instead of serving stale centroids.
     val n = math.max(e.count(), 1L)
-    val rows = codebookCache.computeIfAbsent(s"$d#$n", _ => {
+    val fp = tableFingerprint(s, s"$d/embeddings.parquet")
+    // bounded memo: a long-lived session cycling many corpora keeps at
+    // most 32 codebooks (~0.5 MB each) — evict wholesale, it's a memo of
+    // recomputable values, not state
+    if (codebookCache.size() > 32) codebookCache.clear()
+    val rows = codebookCache.computeIfAbsent(s"$d#$n#$fp", _ => {
       // IVF practice: cells ≈ sqrt(n) keep per-cell scan cost O(sqrt(n))
       // as the corpus grows (fixed k would make each probe O(n/k) — linear
       // again); capped so the codebook stays trivially broadcastable

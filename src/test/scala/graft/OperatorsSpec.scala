@@ -234,6 +234,32 @@ class OperatorsSpec extends SparkSpec {
     assert(annRecall >= 0.8, s"ann_lsh sf0.1 recall $annRecall below 0.8 floor")
   }
 
+  test("IVF codebook retrains on an in-place same-count table rewrite") {
+    // the r4 memo key was path+rowcount only: a same-cardinality content
+    // rewrite at the same path silently served stale centroids. The key
+    // now folds in the physical file listing (names/sizes/mtimes).
+    val tmp = java.nio.file.Files.createTempDirectory("graftivf").toString
+    def write(seed: Int): Unit = (0 until 64)
+      .map(i => (i.toLong,
+        Array.tabulate(8)(j => (((i * 7 + j * 13 + seed * 5) % 17) - 8).toFloat)))
+      .toDF("vec_id", "embedding")
+      .repartition(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def centroids(): Set[Seq[Double]] = {
+      val e = T.embeddings(spark, tmp)
+        .select(col("vec_id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+      Similarity.codebookFor(spark, tmp, e)
+        .collect().map(_.getSeq[Double](1)).toSet
+    }
+    write(0)
+    val c1 = centroids()
+    assert(centroids() == c1, "same content must hit the memo")
+    write(1) // same path, same row count, different vectors
+    val c2 = centroids()
+    assert(c1 != c2, "rewritten table served stale centroids")
+  }
+
   test("IVF ANN: k-bound per query, probed-cell membership, recall floor vs brute force") {
     val dir = "/root/testdata/sf0.01"
     val ivf = Similarity.annIvf.run(spark, dir).cache()
