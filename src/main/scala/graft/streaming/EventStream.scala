@@ -83,6 +83,18 @@ object EventStream {
     val marker = new Path(outDir, s"_committed_$batchId")
     val fs = marker.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
+    // Layout guard: before the partitioned scheme existed, batches were
+    // appended flat under $outDir/data. A directory in that legacy layout
+    // would fail partition discovery once batch_id= dirs appear next to
+    // loose files — refuse loudly instead, and point at a fresh outDir.
+    val dataRoot = new Path(outDir, "data")
+    if (fs.exists(dataRoot) && fs.listStatus(dataRoot).exists { st =>
+        !st.getPath.getName.startsWith("batch_id=") &&
+          !st.getPath.getName.startsWith("_")
+      })
+      throw new IllegalStateException(s"$dataRoot contains files outside " +
+        "batch_id=<id> partitions (a legacy flat-append sink?) — this sink " +
+        "writes one hive partition per micro-batch; use a fresh outDir")
     val fresh = !fs.exists(marker)
     if (fresh) {
       batch.write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
@@ -118,16 +130,37 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch((batch: Dataset[Row], batchId: Long) => {
-        val sk = batch
-          .select(explode(split(col("text"), " +")).as("tok"))
-          .agg(expr(s"approx_top_k_accumulate(tok, $budget)").as("sk"))
-        writeBatchIdempotent(sk, batchId, outDir); ()
+        heavyHittersPartial(batch.toDF(), batchId, outDir, budget); ()
       })
 
-  /** Combine all landed partial sketches and estimate the top-k. */
+  /** One micro-batch's partial: accumulate a bounded sketch and land it
+    * idempotently. An empty micro-batch (source idle between triggers)
+    * is skipped — a global agg over zero rows would land a NULL sketch,
+    * which approx_top_k_combine rejects downstream. Returns whether a
+    * partial was written.
+    */
+  private[graft] def heavyHittersPartial(batch: DataFrame, batchId: Long,
+      outDir: String, budget: Int): Boolean =
+    !batch.isEmpty && {
+      val sk = batch
+        .select(explode(split(col("text"), " +")).as("tok"))
+        .agg(expr(s"approx_top_k_accumulate(tok, $budget)").as("sk"))
+      writeBatchIdempotent(sk, batchId, outDir)
+    }
+
+  /** Combine all landed partial sketches and estimate the top-k. The
+    * null filter drops partials landed by pre-guard writers (an empty
+    * micro-batch's zero-row agg); the coalesce matters for correctness,
+    * not just cost — approx_top_k_combine's buffer never initializes on
+    * an empty partition and fails to serialize, and after the filter a
+    * file-per-partition read can produce one. Partials are one row per
+    * micro-batch, so a single partition is also the right plan.
+    */
   def heavyHittersEstimate(spark: SparkSession, outDir: String, k: Int = 20,
       budget: Int = 8192): DataFrame =
     spark.read.parquet(s"$outDir/data")
+      .where(col("sk").isNotNull)
+      .coalesce(1)
       .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $budget), $k)").as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("tok"), col("e.count").as("cnt"))

@@ -95,6 +95,13 @@ class StreamingSpec extends SparkSpec {
     assert(EventStream.writeBatchIdempotent(batch, 8L, dir))
     val n2 = spark.read.parquet(s"$dir/data").count()
     assert(n2 == 4L, s"replay after lost marker must overwrite, got $n2 rows")
+    // a legacy flat-append layout (loose files under data/) must be
+    // refused, not silently mixed with batch_id= partitions
+    val legacy = java.nio.file.Files.createTempDirectory("graft_sink_legacy").toString
+    batch.write.mode("overwrite").parquet(s"$legacy/data")
+    intercept[IllegalStateException] {
+      EventStream.writeBatchIdempotent(batch, 0L, legacy)
+    }
   }
 
   test("idempotent sink runs end-to-end as a streaming query") {
@@ -139,6 +146,20 @@ class StreamingSpec extends SparkSpec {
     val exact = (b1 ++ b2 ++ b3).flatMap(_.text.split(" +"))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(merged == exact, s"merged $merged vs exact $exact")
+
+    // empty micro-batch: the partial writer must skip it (a zero-row
+    // global agg would land a NULL sketch)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(!EventStream.heavyHittersPartial(empty, 99L, s"$dir/out", 8192))
+    // a null partial landed BEFORE the skip guard existed must not poison
+    // the combine either
+    spark.range(1)
+      .select(lit(null).cast(
+        spark.read.parquet(s"$dir/out/data").schema("sk").dataType).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/out/data/batch_id=99")
+    val withNull = EventStream.heavyHittersEstimate(spark, s"$dir/out", k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(withNull == exact, s"null partial changed the estimate: $withNull")
   }
 
   test("stratified sampling is stateless: streaming selection equals the batch set") {
