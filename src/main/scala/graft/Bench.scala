@@ -53,7 +53,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    println(line)
+    // also land the line as a file, so the number is machine-readable
+    // without scraping an sbt log tail
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

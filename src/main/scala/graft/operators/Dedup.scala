@@ -382,9 +382,13 @@ object Dedup {
           .join(labels.select(col("doc_id").as("b"), col("label")), "b")
           .groupBy(col("a").as("doc_id"))
           .agg(min("label").as("nbr"))
+        // checkpoint: the jump self-join reads propped on BOTH sides, so
+        // without materialization each round would recompute the
+        // edges⋈labels aggregation twice
         val propped = labels.join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .localCheckpoint()
         // Pointer jump (path halving): label := label(label). Labels are
         // always doc_ids inside the node's own component (min-propagation
         // only moves ids along edges), so one extra self-join per round

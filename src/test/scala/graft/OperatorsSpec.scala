@@ -234,6 +234,29 @@ class OperatorsSpec extends SparkSpec {
     assert(annRecall >= 0.8, s"ann_lsh sf0.1 recall $annRecall below 0.8 floor")
   }
 
+  test("multi-probe ANN recall in the radius-2 regime (n=40k synthetic corpus)") {
+    // 40k distinct vectors -> bits=11; the ANN design point solves 670
+    // bands at radius 0 (r4 would clamp to 64: recall collapse) and 19
+    // bands at radius 2 under the cap. A deterministic hash-generated
+    // corpus (no rand(): reruns are bit-identical) proves the escalated
+    // radius actually delivers recall where the clamp used to give it up.
+    val tmp = java.nio.file.Files.createTempDirectory("graftann40k").toString
+    spark.range(40000)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), " +
+          "j -> CAST((pmod(xxhash64(id, j), 2000) - 1000) / 1000.0 AS FLOAT))")
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val (bits, bands, radius) = Similarity.annLshParams(40000L)
+    assert(bits == 11 && radius == 2 && bands <= 64,
+      s"expected the radius-2 regime, got (bits=$bits, bands=$bands, radius=$radius)")
+    val ann = Similarity.annLsh.run(spark, tmp).select("query_id", "neighbor_id")
+    val brute = Similarity.annTopK.run(spark, tmp).select("query_id", "neighbor_id")
+    val recall = ann.intersect(brute).count().toDouble / brute.count()
+    info(f"ann_lsh recall at n=40k (radius 2): $recall%.3f")
+    assert(recall >= 0.8, s"radius-2 recall $recall below 0.8 floor")
+  }
+
   test("IVF codebook retrains on an in-place same-count table rewrite") {
     // the r4 memo key was path+rowcount only: a same-cardinality content
     // rewrite at the same path silently served stale centroids. The key
