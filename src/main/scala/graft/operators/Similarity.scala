@@ -99,6 +99,17 @@ object Similarity {
     * probe codes. With radius 0 this is the identity set (mask 0 only).
     * One-sided expansion is enough for a pair join: hamming(x,y) ≤ r in a
     * band ⇔ some popcount-≤r mask maps x's code onto y's exact code.
+    *
+    * Deliberately one-sided rather than splitting the ball across both
+    * join sides (A×⌈r/2⌉-ball vs B×⌊r/2⌋-ball): the split emits fewer
+    * probe rows (≤154 vs ≤697 per vector·band at bits=16, r=3) but every
+    * close pair then matches once per valid mask DECOMPOSITION — a
+    * same-code pair alone joins |half-ball| times — multiplying the
+    * join's output on exactly the pairs that dominate it. One-sided
+    * probing keeps the decomposition unique: each candidate pair is
+    * emitted exactly once per matching band, so join output ==
+    * candidate count, and the probe-row factor only inflates the cheap
+    * shuffle-input side.
     */
   private def expandProbes(buckets: DataFrame, idCol: String, bits: Int,
       radius: Int): DataFrame =
