@@ -56,9 +56,11 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     println(line)
     // also land the line as a file, so the number is machine-readable
-    // without scraping an sbt log tail
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // without scraping an sbt log tail (cwd-relative; create the parent
+    // so a non-sbt launcher's working directory can't fail a finished run)
+    val benchOut = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(benchOut.getParent)
+    java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

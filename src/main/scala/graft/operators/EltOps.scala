@@ -155,11 +155,19 @@ object EltOps {
         .select(col("doc_id"), hits.as("dict_hits"))
         .transform(Det.sortAll)
     },
-    Some("""SELECT d.doc_id,
-            |       CAST(SUM(CASE WHEN position(t.w IN d.text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dict_hits
-            |FROM documents d
-            |CROSS JOIN (VALUES ('spark'),('table'),('hash'),('merge'),('sort'),('window'),('row'),('scan')) t(w)
-            |GROUP BY d.doc_id ORDER BY ALL""".stripMargin)
+    // per-ROW on both engines (no GROUP BY): the Spark side is one narrow
+    // projection, so the oracle must be row-wise too — a doc_id aggregation
+    // would diverge from the plan if doc_id ever held duplicates
+    Some("""SELECT doc_id,
+            |       CAST((CASE WHEN position('spark' IN text) > 0 THEN 1 ELSE 0 END)
+            |          + (CASE WHEN position('table' IN text) > 0 THEN 1 ELSE 0 END)
+            |          + (CASE WHEN position('hash' IN text) > 0 THEN 1 ELSE 0 END)
+            |          + (CASE WHEN position('merge' IN text) > 0 THEN 1 ELSE 0 END)
+            |          + (CASE WHEN position('sort' IN text) > 0 THEN 1 ELSE 0 END)
+            |          + (CASE WHEN position('window' IN text) > 0 THEN 1 ELSE 0 END)
+            |          + (CASE WHEN position('row' IN text) > 0 THEN 1 ELSE 0 END)
+            |          + (CASE WHEN position('scan' IN text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dict_hits
+            |FROM documents ORDER BY ALL""".stripMargin)
   )
 
   /** E. ISO-8601 duration round-trip: synthesize PT…H…M…S strings, parse

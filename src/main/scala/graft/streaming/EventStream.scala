@@ -14,6 +14,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   */
 object EventStream {
 
+  /** outDirs whose data/ layout passed the legacy-layout guard this JVM. */
+  private val checkedLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** H. Watermarked tumbling-window counts per event type.
     * State is bounded by the watermark; late events beyond 1 hour are
     * dropped — the standard at-scale windowed aggregation.
@@ -87,14 +91,21 @@ object EventStream {
     // appended flat under $outDir/data. A directory in that legacy layout
     // would fail partition discovery once batch_id= dirs appear next to
     // loose files — refuse loudly instead, and point at a fresh outDir.
-    val dataRoot = new Path(outDir, "data")
-    if (fs.exists(dataRoot) && fs.listStatus(dataRoot).exists { st =>
-        !st.getPath.getName.startsWith("batch_id=") &&
-          !st.getPath.getName.startsWith("_")
-      })
-      throw new IllegalStateException(s"$dataRoot contains files outside " +
-        "batch_id=<id> partitions (a legacy flat-append sink?) — this sink " +
-        "writes one hive partition per micro-batch; use a fresh outDir")
+    // Checked once per outDir per JVM: the listing is O(#batches) on an
+    // object store, and after the first write this sink only ever adds
+    // batch_id= partitions. Names partition discovery itself ignores
+    // ('_' and '.' prefixes) are not evidence of a legacy layout.
+    if (!checkedLayouts.contains(outDir)) {
+      val dataRoot = new Path(outDir, "data")
+      if (fs.exists(dataRoot) && fs.listStatus(dataRoot).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("batch_id=") && !n.startsWith("_") && !n.startsWith(".")
+        })
+        throw new IllegalStateException(s"$dataRoot contains files outside " +
+          "batch_id=<id> partitions (a legacy flat-append sink?) — this sink " +
+          "writes one hive partition per micro-batch; use a fresh outDir")
+      checkedLayouts.add(outDir)
+    }
     val fresh = !fs.exists(marker)
     if (fresh) {
       batch.write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
@@ -157,13 +168,21 @@ object EventStream {
     * micro-batch, so a single partition is also the right plan.
     */
   def heavyHittersEstimate(spark: SparkSession, outDir: String, k: Int = 20,
-      budget: Int = 8192): DataFrame =
-    spark.read.parquet(s"$outDir/data")
+      budget: Int = 8192): DataFrame = {
+    val partials = spark.read.parquet(s"$outDir/data")
       .where(col("sk").isNotNull)
       .coalesce(1)
+    val estimated = partials
       .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $budget), $k)").as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("tok"), col("e.count").as("cnt"))
+    // all partials null (a pre-guard sink whose every batch was empty):
+    // the combine would see its one coalesced partition empty and crash —
+    // an empty top-k is the correct answer, same schema
+    if (partials.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], estimated.schema)
+    else estimated
+  }
 
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value_cents: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

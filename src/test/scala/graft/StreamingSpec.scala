@@ -160,6 +160,12 @@ class StreamingSpec extends SparkSpec {
     val withNull = EventStream.heavyHittersEstimate(spark, s"$dir/out", k = 10)
       .as[(String, Long)].collect().toMap
     assert(withNull == exact, s"null partial changed the estimate: $withNull")
+    // a sink holding ONLY null partials must yield an empty top-k, not a
+    // combine crash on the filtered-empty partition
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hh_null").toString
+    spark.read.parquet(s"$dir/out/data/batch_id=99")
+      .write.mode("overwrite").parquet(s"$dir2/out/data/batch_id=0")
+    assert(EventStream.heavyHittersEstimate(spark, s"$dir2/out", k = 10).count() == 0)
   }
 
   test("stratified sampling is stateless: streaming selection equals the batch set") {
