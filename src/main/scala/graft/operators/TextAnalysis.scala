@@ -323,6 +323,64 @@ object TextAnalysis {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Repetition scoring — the Gopher-style duplicate-content quality
+    * filter that complements q_quality_score's surface signals: the
+    * fraction of duplicate words and duplicate word-3-grams per document
+    * (boilerplate, keyword stuffing and template spam score high and get
+    * filtered before training). Pure narrow map: the word and 3-gram
+    * arrays are built and reduced per row (size vs array_distinct size),
+    * no explode, no shuffle before the mandated output sort — at 100 TB
+    * this runs at scan speed. Counts stay exact integers; fractions are
+    * IEEE divisions of exact ints (graft.Num rules).
+    */
+  val repetitionScore: Q = Q(
+    "q_repetition_score",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          when(size(col("ws")) >= 3,
+            expr("transform(sequence(0, size(ws)-3), " +
+              "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")).as("grams"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("words"),
+          size(array_distinct(col("ws"))).cast("long").as("distinct_words"),
+          size(col("grams")).cast("long").as("total_3grams"),
+          size(array_distinct(col("grams"))).cast("long").as("distinct_3grams"))
+        .withColumn("dup_word_frac",
+          when(col("words") > 0,
+            (col("words") - col("distinct_words")).cast("double") /
+              col("words").cast("double")).otherwise(lit(0.0)))
+        .withColumn("dup_3gram_frac",
+          when(col("total_3grams") > 0,
+            (col("total_3grams") - col("distinct_3grams")).cast("double") /
+              col("total_3grams").cast("double")).otherwise(lit(0.0)))
+        .transform(Det.sortAll),
+    Some("""WITH t AS (
+            |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents
+            |), g AS (
+            |  SELECT doc_id, ws,
+            |         CASE WHEN len(ws) >= 3
+            |           THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws)-1)]
+            |           ELSE [] END AS grams
+            |  FROM t
+            |)
+            |SELECT doc_id,
+            |       CAST(len(ws) AS BIGINT) AS words,
+            |       CAST(len(list_distinct(ws)) AS BIGINT) AS distinct_words,
+            |       CAST(len(grams) AS BIGINT) AS total_3grams,
+            |       CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_3grams,
+            |       CASE WHEN len(ws) > 0
+            |         THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+            |         ELSE 0.0 END AS dup_word_frac,
+            |       CASE WHEN len(grams) > 0
+            |         THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+            |         ELSE 0.0 END AS dup_3gram_frac
+            |FROM g ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    piiRedact, chunkDocs, heavyHitters, sampleStratified)
+    piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore)
 }

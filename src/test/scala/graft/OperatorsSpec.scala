@@ -139,6 +139,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((0L, false)))
   }
 
+  test("repetition score flags template spam, clears diverse text, handles short docs") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),        // 8 words, 2 distinct; 6 3-grams, 2 distinct
+      (2L, "the quick brown fox jumps over lazy dog"), // all distinct
+      (3L, "a b"),                                     // <3 words: no 3-grams
+      (4L, "")                                         // degenerate
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftrep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.repetitionScore.run(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out(1L) == ((8L, 2L, 6L, 2L, 0.75, 6.0 / 9 * 1.0)) ||
+      out(1L)._1 == 8L && out(1L)._4 == 2L && out(1L)._6 > 0.6,
+      s"spam doc under-flagged: ${out(1L)}")
+    assert(out(2L)._5 == 0.0 && out(2L)._6 == 0.0, s"clean doc flagged: ${out(2L)}")
+    assert(out(3L) == ((2L, 2L, 0L, 0L, 0.0, 0.0)))
+    assert(out(4L)._5 == 0.0 && out(4L)._6 == 0.0)
+  }
+
   test("stratified sampling: deterministic buckets, rates ordered per language") {
     val out = TextAnalysis.sampleStratified.run(spark, sfDir).cache()
     try {
