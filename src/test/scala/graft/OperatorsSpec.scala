@@ -66,6 +66,27 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("minhash recall measured against exact n-gram Jaccard pairs") {
+    // same measurement rigor as the hyperplane family: candidates from
+    // the banded minhash vs the EXACT Jaccard join on real data, tiered
+    // by similarity. Theory floor for a single pair at J=0.8 with
+    // 4 bands x 4 rows is 1-(1-0.8^4)^4 ~ 0.88; measured on sf0.01 the
+    // recall is 1.000 at every tier >= 0.5 (qualifying pairs are high-J
+    // near-dups and exact dups collapse to all-band matches). The 0.8
+    // floor on the J>=0.8 tier means a dip below per-pair theory - a
+    // real regression - fails, while a testdata reroll cannot flake it.
+    val dir = "/root/testdata/sf0.01"
+    val mh = Dedup.minhashLsh.run(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard.run(spark, dir)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val tp = exact.filter(_._3 >= 0.8).map(e => (e._1, e._2)).toSet
+    assert(tp.nonEmpty, "corpus lost its planted near-dups")
+    val recall = tp.count(mh.contains).toDouble / tp.size
+    info(f"minhash recall on J>=0.8 exact pairs: $recall%.3f (${tp.size} pairs)")
+    assert(recall >= 0.8, s"minhash recall $recall below 0.8 floor")
+  }
+
   test("simhash hamming distance is small for near-dup, large for far") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " aa bb"
