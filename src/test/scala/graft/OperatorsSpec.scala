@@ -87,6 +87,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"minhash recall $recall below 0.8 floor")
   }
 
+  test("simhash recall measured against exact n-gram Jaccard pairs") {
+    // measured 0.920 on J>=0.8 exact pairs at sf0.01 (23/25; the two
+    // misses sit past hamming 12 even at J>=0.9) — the honest shape of
+    // simhash's coarser similarity: a weighted-term cosine proxy, not
+    // shingle Jaccard, so high-J pairs with divergent term weights can
+    // land outside the hamming ball. Floor 0.8 pins the curve without
+    // pretending it's the minhash one.
+    val dir = "/root/testdata/sf0.01"
+    val sh = Dedup.simhash.run(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard.run(spark, dir)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val tp = exact.filter(_._3 >= 0.8).map(e => (e._1, e._2)).toSet
+    assert(tp.nonEmpty, "corpus lost its planted near-dups")
+    val recall = tp.count(sh.contains).toDouble / tp.size
+    info(f"simhash recall on J>=0.8 exact pairs: $recall%.3f (${tp.size} pairs)")
+    assert(recall >= 0.8, s"simhash recall $recall below 0.8 floor")
+  }
+
   test("simhash hamming distance is small for near-dup, large for far") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " aa bb"
