@@ -164,6 +164,115 @@ object HyperplaneSig {
   }
 }
 
+/** Argmax-cosine centroid id for an Array[Double] column against a
+  * plan-constant codebook (ids, row-major flattened centroid vectors,
+  * centroid norms) — the IVF coarse-quantization assignment as ONE narrow
+  * codegen'd projection.
+  *
+  * This replaces a `crossJoin(broadcast(centroids))` →
+  * `row_number() over (partitionBy vec_id)` plan whose Window forced a
+  * full hash Exchange of the n·k-exploded corpus: at k=1024 cells that is
+  * a 1024×-amplified full-corpus shuffle in the one operator whose whole
+  * point is avoiding corpus-sized work. The codebook is already a
+  * driver-local ≤1024-row array (the fit/serve split materializes it), so
+  * assignment needs no join at all — the arrays ride into the generated
+  * code as references and each row costs one k×dim multiply-add sweep
+  * inside whole-stage codegen, zero Exchange.
+  *
+  * Tie-breaks mirror the Window ordering it replaces
+  * (`ORDER BY ccos DESC, c_id`) under Spark SQL's total ordering on
+  * doubles: NaN ranks above every value (a zero-norm vector or centroid
+  * yields NaN cosine and wins), equal cosines break to the smallest c_id,
+  * and a null vector slot — which nulls every cosine, ranking all
+  * centroids equal (NULLS LAST) — resolves to the smallest c_id.
+  */
+case class NearestCentroid(child: Expression, cids: Array[Long],
+    cents: Array[Double], cnorms: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> argument, got ${t.sql}")
+  }
+
+  // null on a dimension mismatch with the codebook (same policy as
+  // DotProduct: a dimension bug must not pass silently)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() * cids.length != cents.length) null
+    else java.lang.Long.valueOf(NearestCentroid.compute(a, cids, cents, cnorms))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", cids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centroidVecs", cents, "double[]")
+    val nrmsRef = ctx.addReferenceObj("centroidNorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |if ($v.numElements() * ${cids.length} != $vecsRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expressions.NearestCentroid.compute(
+         |    $v, $idsRef, $vecsRef, $nrmsRef);
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Shared interpreted/codegen kernel. Caller guarantees
+    * v.numElements() * cids.length == cents.length.
+    */
+  def compute(v: ArrayData, cids: Array[Long], cents: Array[Double],
+      cnorms: Array[Double]): Long = {
+    val dim = v.numElements()
+    val k = cids.length
+    // ‖v‖ in one pass; a null slot nulls every cosine (old-plan NULLS
+    // LAST ties) → smallest centroid id
+    var ss = 0.0
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) {
+        var m = cids(0); var c = 1
+        while (c < k) { if (cids(c) < m) m = cids(c); c += 1 }
+        return m
+      }
+      val x = v.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    val vnrm = math.sqrt(ss)
+    var bestId = Long.MaxValue
+    var best = Double.NegativeInfinity
+    var bestNaN = false
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var d = 0
+      val off = c * dim
+      while (d < dim) { dot += v.getDouble(d) * cents(off + d); d += 1 }
+      val cos = dot / (vnrm * cnorms(c))
+      val isNaN = java.lang.Double.isNaN(cos)
+      // Spark SQL double ordering: NaN > everything, NaN == NaN
+      val better =
+        if (bestNaN) isNaN && cids(c) < bestId
+        else isNaN || cos > best || (cos == best && cids(c) < bestId)
+      if (better) { best = cos; bestId = cids(c); bestNaN = isNaN }
+      c += 1
+    }
+    bestId
+  }
+}
+
 object VectorExpressions {
   /** Column API for the native kernel. */
   def dot(a: Column, b: Column): Column =
@@ -174,4 +283,10 @@ object VectorExpressions {
   def hyperplaneSig(v: Column, seed: Long, bands: Int, bits: Int): Column =
     ColumnBridge.column(HyperplaneSig(
       ColumnBridge.expression(v), seed, bands, bits))
+
+  /** Column API for the narrow IVF centroid assignment. */
+  def nearestCentroid(v: Column, cids: Array[Long], cents: Array[Double],
+      cnorms: Array[Double]): Column =
+    ColumnBridge.column(NearestCentroid(
+      ColumnBridge.expression(v), cids, cents, cnorms))
 }

@@ -32,4 +32,13 @@ object Vectors {
     */
   def hyperplaneBands(v: Column, seed: Long, bands: Int, bits: Int): Column =
     graft.expressions.VectorExpressions.hyperplaneSig(v, seed, bands, bits)
+
+  /** Argmax-cosine centroid id against a driver-local codebook (native
+    * codegen kernel) — IVF coarse assignment as a narrow projection,
+    * no join, no Exchange. `cents` is the row-major flattened k×dim
+    * centroid matrix aligned with `cids`/`cnorms`.
+    */
+  def nearestCentroid(v: Column, cids: Array[Long], cents: Array[Double],
+      cnorms: Array[Double]): Column =
+    graft.expressions.VectorExpressions.nearestCentroid(v, cids, cents, cnorms)
 }

@@ -22,14 +22,24 @@ import graft.functions.Vectors
   */
 object Similarity {
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** Scan → typed vector + norm, NO repartition: a narrow path straight
+    * off the parquet scan, for plans whose parallelism doesn't hinge on
+    * the streamed side's partition count (q_ann_ivf's scan → narrow
+    * assignment → broadcast-hash candidate join). At 100 TB the table is
+    * many files and the scan parallelizes by itself; an up-front
+    * round-robin repartition there is a gratuitous full-corpus shuffle.
+    */
+  private def vecsRaw(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
-      // the table lands as one parquet file = one partition; the pair
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    vecsRaw(s, d)
+      // the test table lands as one parquet file = one partition; the pair
       // joins below are nested-loop joins that preserve the streamed
       // side's partitioning, so spread the corpus across the cluster first
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
 
   private val cos =
     Vectors.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
@@ -95,27 +105,54 @@ object Similarity {
       .sortBy(java.lang.Long.bitCount)
       .toArray
 
-  /** Expand (vec_id, band_idx, code) bucket rows to their hamming-ball
-    * probe codes. With radius 0 this is the identity set (mask 0 only).
-    * One-sided expansion is enough for a pair join: hamming(x,y) ≤ r in a
-    * band ⇔ some popcount-≤r mask maps x's code onto y's exact code.
-    *
-    * Deliberately one-sided rather than splitting the ball across both
-    * join sides (A×⌈r/2⌉-ball vs B×⌊r/2⌋-ball): the split emits fewer
-    * probe rows (≤154 vs ≤697 per vector·band at bits=16, r=3) but every
-    * close pair then matches once per valid mask DECOMPOSITION — a
-    * same-code pair alone joins |half-ball| times — multiplying the
-    * join's output on exactly the pairs that dominate it. One-sided
-    * probing keeps the decomposition unique: each candidate pair is
-    * emitted exactly once per matching band, so join output ==
-    * candidate count, and the probe-row factor only inflates the cheap
-    * shuffle-input side.
+  /** Expand (vec_id, band_idx, code) bucket rows to probed codes — one
+    * row per (bucket row, mask), code XOR'd with each mask; `mbits`
+    * carries the mask's popcount for radius accounting across a
+    * split-ball join.
+    */
+  private def expandMasks(buckets: DataFrame, idCol: String,
+      masks: Array[Long]): DataFrame =
+    buckets.withColumn("mask", explode(lit(masks)))
+      .select(col(idCol), col("band_idx"),
+        col("code").bitwiseXOR(col("mask")).as("code"),
+        expr("bit_count(mask)").as("mbits"))
+
+  /** One-sided hamming-ball expansion: hamming(x,y) ≤ r in a band ⇔ some
+    * popcount-≤r mask maps x's code onto y's EXACT code, so probing one
+    * side suffices and the decomposition is trivially unique (the mask is
+    * x⊕y). The right shape for a query↔corpus join (annLsh): the ≤697×
+    * row multiplier rides the 20-signature broadcast side while the
+    * corpus stays one row per (vector, band). For a corpus SELF-join the
+    * multiplier would ride a corpus-sized side — use
+    * [[splitProbeMasks]] there instead.
     */
   private def expandProbes(buckets: DataFrame, idCol: String, bits: Int,
       radius: Int): DataFrame =
-    buckets.withColumn("mask", explode(lit(probeMasks(bits, radius))))
-      .select(col(idCol), col("band_idx"),
-        col("code").bitwiseXOR(col("mask")).as("code"))
+    expandMasks(buckets, idCol, probeMasks(bits, radius)).drop("mbits")
+
+  /** Canonical split-ball probe masks for a corpus SELF-join: (low-half
+    * masks, high-half masks) — each side's masks are the hamming ball of
+    * the FULL radius restricted to its own half of the bit positions.
+    * The pair difference d = x⊕y decomposes UNIQUELY into its
+    * disjoint-support halves (dL, dR), so side A probing dL meets side B
+    * probing dR on exactly one (mask, mask) combination — the uniqueness
+    * a naive both-sides-⌈r/2⌉-ball split loses (there a same-code pair
+    * joins once per valid decomposition). Half-restriction alone would
+    * admit pairs out to 2r (r per half); the join therefore ALSO requires
+    * popcount(maskA) + popcount(maskB) ≤ r via the carried `mbits`, which
+    * prunes the candidate set back to exactly the hamming-≤r pairs the
+    * one-sided ring emits — same candidates, same recall. Per-side
+    * expansion shrinks from |ball(bits, r)| (697 at bits=16, r=3) to
+    * |ball(bits/2, r)| (93); with BOTH self-join sides carrying the
+    * smaller multiplier the shuffled candidate-join input is ~3.7×
+    * smaller than one-sided 697× at the 100 TB design point
+    * (n·bands·93·2 vs n·bands·(697+1) rows).
+    */
+  private[graft] def splitProbeMasks(bits: Int, radius: Int): (Array[Long], Array[Long]) = {
+    val lowMask = (1L << (bits / 2)) - 1
+    val all = probeMasks(bits, radius)
+    (all.filter(m => (m & ~lowMask) == 0L), all.filter(m => (m & lowMask) == 0L))
+  }
 
   /** Exact all-pairs threshold scan — O(n²); small-SF recall oracle for
     * the spec ONLY, deliberately not registered as an operator.
@@ -163,13 +200,24 @@ object Similarity {
       // Dedup.collapseExact: identical vectors (the k×-duplicated-page
       // norm — every copy embeds to the same point) share every band
       // bucket, so without the collapse a k-dup group multiplies each
-      // bucket by k and the candidate join + distinct by k². Group on
-      // the vector VALUE itself (exact array equality, no hash), run LSH
+      // bucket by k and the candidate join + distinct by k². Run LSH
       // over distinct vectors, expand qualifying pairs to members after
       // rescoring. Within-group pairs compute the same dot/(nrm·nrm)
       // expression, so all emitted cosines equal the direct plan's.
-      val wg = Window.partitionBy("v")
-      val tagged = vecs(s, d).withColumn("rep", min(col("vec_id")).over(wg))
+      //
+      // The collapse shuffles on an 8-byte xxhash64 of the vector, not
+      // the raw 512-byte array (r5 windowed on `v` itself: same shuffle
+      // count, 64×-fatter routing/sort key). The raw vector stays a
+      // SECONDARY window key so a hash collision of distinct vectors can
+      // never merge them — equality, not hash, decides the group — while
+      // HashPartitioning(vh) already clusters (vh, v), so the window
+      // reuses the explicit hash repartition and adds no second Exchange.
+      val wg = Window.partitionBy("vh", "v")
+      val tagged = vecsRaw(s, d)
+        .withColumn("vh", xxhash64(col("v")))
+        .repartition(col("vh"))
+        .withColumn("rep", min(col("vec_id")).over(wg))
+        .drop("vh")
       val members = tagged.select(col("rep"), col("vec_id"))
       val e = tagged.where(col("vec_id") === col("rep"))
         .select(col("vec_id"), col("v"), col("nrm"))
@@ -184,13 +232,21 @@ object Similarity {
         .withColumn("sig", Vectors.hyperplaneBands(col("v"), 42L, bands, bits))
         .select(col("vec_id"), posexplode(col("sig")).as(Seq("band_idx", "code")))
       val capped = Dedup.capBuckets(buckets, Seq("band_idx", "code"), 256)
-      // one-sided hamming-ball expansion: pair (x,y) with band codes
-      // within `radius` bits is found when x's probe ring hits y's exact
-      // code — the exact-code side keeps the bucket-size cap semantics
-      val cand = expandProbes(capped, "vec_id", bits, radius).as("a")
-        .join(capped.as("b"),
+      // split-ball hamming expansion (see [[splitProbeMasks]]): each side
+      // probes the full radius restricted to its own half of the bit
+      // positions, with the popcount-sum predicate restoring the exact
+      // hamming-≤radius candidate set — every close pair joins exactly
+      // once per matching band, at ~3.7× fewer shuffled candidate-join
+      // rows than one-sided ≤697× expansion (the r5 shape, whose
+      // multiplier rode a corpus-sized side in exactly the large-n regime
+      // that triggers radius 3). Caps stay on EXACT codes, so bucket-size
+      // semantics are unchanged.
+      val (lowMasks, highMasks) = splitProbeMasks(bits, radius)
+      val cand = expandMasks(capped, "vec_id", lowMasks).as("a")
+        .join(expandMasks(capped, "vec_id", highMasks).as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.code") === col("b.code") &&
+            col("a.mbits") + col("b.mbits") <= radius &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
@@ -377,11 +433,16 @@ object Similarity {
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Double], Double)]]()
 
-  /** Fingerprint of a table's physical files (relative path, length,
+  /** Fingerprint of a table's physical files (absolute URI path, length,
     * mtime of every file under it). Listing is a pure namenode metadata
     * op — no data read — and it changes whenever the table's content
     * does, so a same-cardinality rewrite at the same path retrains
-    * instead of serving stale centroids.
+    * instead of serving stale centroids. Caveat: a rewrite that lands
+    * identically-named, identically-sized files within the filesystem's
+    * mtime granularity (1 s on some object stores) is indistinguishable
+    * by metadata alone — Spark writers' UUID part-file names make that
+    * practically unreachable, but a byte-identical rename-into-place
+    * would serve the (then still correct) memo.
     */
   private[graft] def tableFingerprint(s: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -398,7 +459,14 @@ object Similarity {
     }
   }
 
-  private[graft] def codebookFor(s: SparkSession, d: String, e: DataFrame): DataFrame = {
+  /** Memoized driver-local codebook rows (c_id, centroid vector, norm) —
+    * the serve-side artifact of the fit/serve split. Kept as a plain
+    * array so the IVF assignment can embed it in a narrow codegen kernel
+    * (no join) while specs/the query side can still lift it into a tiny
+    * DataFrame via [[codebookFor]].
+    */
+  private[graft] def codebookRows(s: SparkSession, d: String,
+      e: DataFrame): Array[(Long, Seq[Double], Double)] = {
     // cache key = path + row count + physical-file fingerprint: any
     // rewrite of the table (even same-cardinality, same-path) changes
     // the file listing and retrains instead of serving stale centroids.
@@ -408,7 +476,7 @@ object Similarity {
     // most 32 codebooks (~0.5 MB each) — evict wholesale, it's a memo of
     // recomputable values, not state
     if (codebookCache.size() > 32) codebookCache.clear()
-    val rows = codebookCache.computeIfAbsent(s"$d#$n#$fp", _ => {
+    codebookCache.computeIfAbsent(s"$d#$n#$fp", _ => {
       // IVF practice: cells ≈ sqrt(n) keep per-cell scan cost O(sqrt(n))
       // as the corpus grows (fixed k would make each probe O(n/k) — linear
       // again); capped so the codebook stays trivially broadcastable
@@ -420,40 +488,56 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     })
-    s.createDataFrame(rows.toIndexedSeq).toDF("c_id", "cv", "cnrm")
   }
+
+  private[graft] def codebookFor(s: SparkSession, d: String, e: DataFrame): DataFrame =
+    s.createDataFrame(codebookRows(s, d, e).toIndexedSeq).toDF("c_id", "cv", "cnrm")
 
   /** G. IVF-style ANN: coarse quantization to a k-means codebook, probe
     * the closest nprobe=4 cells per query, score only those candidates.
     * The codebook is trained by [[kmeansCodebook]] (Lloyd's on a bounded
-    * deterministic sample) behind the [[codebookFor]] fit/serve split;
-    * the assignment / probe / rescore dataflow is the real scale path:
-    * corpus assignment is one narrow pass against the broadcast codebook,
-    * and the candidate join is equi on cluster_id. Approximate ⇒
-    * rows-only driver check; the spec asserts k-bound, cell membership
-    * and measured recall vs the brute-force top-5.
+    * deterministic sample) behind the [[codebookRows]] fit/serve split.
+    *
+    * Corpus assignment is a single narrow codegen projection
+    * ([[graft.expressions.NearestCentroid]]) against the driver-local
+    * codebook: scan → argmax-cosine cluster id → broadcast-hash candidate
+    * join, with ZERO Exchange on the corpus path (pinned in
+    * PlanGuardSpec). The r5 plan cross-joined the broadcast codebook and
+    * ranked with a `row_number() over (partitionBy vec_id)` window — that
+    * Window hash-Exchanged the n·k-exploded corpus, a 1024×-amplified
+    * full-corpus shuffle at production k, in the one operator whose whole
+    * point is avoiding corpus-sized work. Only the 20-row nprobe=4 query
+    * side keeps the tiny crossJoin+window (20·k rows — pennies).
+    * Approximate ⇒ rows-only driver check; the spec asserts k-bound, cell
+    * membership and measured recall vs the brute-force top-5.
     */
   val annIvf: Q = Q(
     "q_ann_ivf",
     (s, d) => {
-      val e = vecs(s, d)
-      val centroids = broadcast(codebookFor(s, d, e))
-      val centCos = Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-      // assignment: argmax-cosine centroid per vector
-      def assign(df: DataFrame, k: Int, outPrefix: String): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
-        df.crossJoin(broadcast(centroids))
-          .withColumn("ccos", centCos)
-          .withColumn("crank", row_number().over(w))
-          .where(col("crank") <= k)
-          .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as(s"${outPrefix}cluster"))
-      }
-      val corpus = assign(e, 1, "")
-      val queries = assign(e.where(col("vec_id") < 20), 4, "q")
-        .withColumnRenamed("vec_id", "query_id")
-        .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
+      val e = vecsRaw(s, d)
+      val cb = codebookRows(s, d, e)
+      val cids = cb.map(_._1)
+      val flat = cb.flatMap(_._2)
+      val cnorms = cb.map(_._3)
+      // corpus: narrow per-row argmax against the embedded codebook — no
+      // join, no Exchange between the embeddings scan and the candidate
+      // equi-join below
+      val corpus = e.withColumn("cluster",
+        Vectors.nearestCentroid(col("v"), cids, flat, cnorms))
+      // query side: 20 vectors × k centroids through the tiny window
+      val centroids = broadcast(
+        s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
+      val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        .crossJoin(centroids)
+        .withColumn("ccos",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("crank", row_number().over(wq))
+        .where(col("crank") <= 4)
+        .select(col("query_id"), col("qv"), col("qnrm"), col("c_id").as("qcluster"))
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      queries.join(corpus, col("qcluster") === col("cluster") &&
+      corpus.join(broadcast(queries), col("qcluster") === col("cluster") &&
           col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cluster"),
           (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))

@@ -61,6 +61,32 @@ class FunctionsSpec extends SparkSpec {
       .toSeq == Seq(None, Some(11.0)))
   }
 
+  test("Vectors.nearestCentroid mirrors the crossJoin+window argmax semantics") {
+    // codebook: three axis-aligned unit centroids with ids out of order
+    val cids = Array(3L, 1L, 2L)
+    val cents = Array(1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0)
+    val cnorms = Array(1.0, 1.0, 1.0)
+    def assignOf(rows: Seq[(Long, Seq[Double])], ids: Array[Long] = cids,
+        cs: Array[Double] = cents, ns: Array[Double] = cnorms): Map[Long, Any] =
+      rows.toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+        .select(col("id"), Vectors.nearestCentroid(col("v"), ids, cs, ns).as("c"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val out = assignOf(Seq(
+      10L -> Seq(5.0, 1.0, 0.0), // dominant axis 0 → c_id 3
+      11L -> Seq(0.0, 2.0, 0.1), // dominant axis 1 → c_id 1
+      12L -> Seq(1.0, 1.0, 0.0), // exact cosine tie axis0/axis1 → smaller id 1
+      13L -> Seq(0.0, 0.0, 0.0))) // zero vector: every cosine NaN → smallest id 1
+    assert(out == Map(10L -> 3L, 11L -> 1L, 12L -> 1L, 13L -> 1L))
+    // zero-norm CENTROID: its NaN cosine ranks above every finite value
+    // (Spark SQL double ordering), exactly like the window it replaces
+    val zc = assignOf(Seq(20L -> Seq(1.0, 0.0)),
+      ids = Array(5L, 4L), cs = Array(1.0, 0.0, 0.0, 0.0), ns = Array(1.0, 0.0))
+    assert(zc == Map(20L -> 4L))
+    // dimension mismatch with the codebook → null, never a silent argmax
+    val bad = assignOf(Seq(30L -> Seq(1.0, 2.0)))
+    assert(bad(30L) == null)
+  }
+
   test("Vectors.cosine matches a hand computation") {
     val df = Seq((Array(1.0, 0.0, 2.0), Array(2.0, 1.0, 4.0))).toDF("a", "b")
       .select(Vectors.cosine(col("a"), col("b")).as("c"))

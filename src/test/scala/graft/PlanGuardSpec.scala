@@ -1,6 +1,10 @@
 package graft
 
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 
 /** Plan-shape regression guard over the WHOLE registry: the properties
   * that make the engine survive 100 TB are plan properties, so assert
@@ -18,13 +22,13 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
 class PlanGuardSpec extends SparkSpec {
 
   // broadcast side is bounded by construction, not corpus-sized:
-  // the ANN query sets (≤20 vectors) / IVF codebook (≤16 centroids), and
-  // q_mart_union's triangular prefix-sum self-join over the per-partition
-  // count table (≤ spark.sql.shuffle.partitions rows), and
-  // q_substring_score's literal dictionary (a LocalTableScan of a
-  // handful of words)
+  // the ANN query sets (≤20 vectors) / the IVF query-side crossJoin with
+  // the ≤1024-row codebook (corpus assignment itself is a narrow kernel,
+  // no join — pinned below), and q_mart_union's triangular prefix-sum
+  // self-join over the per-partition count table
+  // (≤ spark.sql.shuffle.partitions rows)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_mart_union", "q_substring_score")
+    "q_mart_union")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {
@@ -45,6 +49,42 @@ class PlanGuardSpec extends SparkSpec {
       assert(offenders.isEmpty,
         s"${q.name} has ${offenders.size} global (partition-less) window(s)")
     }
+  }
+
+  test("q_ann_ivf: corpus assignment is narrow — no Exchange on the streamed side of the candidate join") {
+    // the r5 plan cross-joined the broadcast codebook and ranked with a
+    // partitionBy(vec_id) window, hash-Exchanging the n·k-exploded corpus
+    // (1024×-amplified at production k). Pin the fix: the corpus path is
+    // scan → narrow argmax kernel → broadcast-hash join, shuffle-free.
+    val q = SparkEntry.registry.find(_.name == "q_ann_ivf").get
+    val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+    val bhjs = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.size == 1,
+      s"expected exactly one BroadcastHashJoin (the candidate join), got ${bhjs.size}:\n$plan")
+    val j = bhjs.head
+    val streamed = j.buildSide match {
+      case BuildLeft  => j.right
+      case BuildRight => j.left
+    }
+    assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"corpus (streamed) side of the candidate join shuffles:\n$streamed")
+    assert(streamed.collectLeaves().exists(_.toString.contains("embeddings")),
+      s"streamed side should be the embeddings scan:\n$streamed")
+    assert(streamed.toString.contains("graft_nearest_centroid"),
+      s"narrow assignment kernel missing from the corpus path:\n$streamed")
+  }
+
+  test("q_substring_score: no join, no Exchange before the output sort") {
+    // the r5 rewrite turned this into a pure narrow projection; pin it so
+    // a regression can't quietly reintroduce the broadcast cross join the
+    // rewrite deleted (its stale allowedNlj exemption is gone too)
+    val q = SparkEntry.registry.find(_.name == "q_substring_score").get
+    val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+    val joins = plan.collect { case n if n.nodeName.toLowerCase.contains("join") => n }
+    assert(joins.isEmpty, s"q_substring_score plans a join:\n$plan")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.forall(_.outputPartitioning.isInstanceOf[RangePartitioning]),
+      s"q_substring_score has a non-sort Exchange:\n$plan")
   }
 
   test("output-order contract: every query ends in a total sort, every oracle in ORDER BY ALL") {

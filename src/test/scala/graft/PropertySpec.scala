@@ -122,4 +122,24 @@ class PropertySpec extends SparkSpec {
         !(col("sig") === col("sig2")))
     assert(bad.count() == 0)
   }
+
+  test("split-ball masks + popcount-sum predicate cover the hamming ball exactly once") {
+    // exhaustive over every code difference d: a pair at hamming distance
+    // popcount(d) must be found by exactly ONE (low-mask, high-mask)
+    // combination when popcount(d) ≤ radius, and by none otherwise —
+    // i.e. the split-ball join emits the same candidate set as the
+    // one-sided ring, once per matching band, never duplicated
+    for (bits <- Seq(4, 7, 11, 16); radius <- 0 to 3) {
+      val (lo, hi) = graft.operators.Similarity.splitProbeMasks(bits, radius)
+      val counts = scala.collection.mutable.Map.empty[Long, Int]
+      for (a <- lo; b <- hi
+           if java.lang.Long.bitCount(a) + java.lang.Long.bitCount(b) <= radius)
+        counts.updateWith(a ^ b)(c => Some(c.getOrElse(0) + 1))
+      for (d <- 0L until (1L << bits)) {
+        val expect = if (java.lang.Long.bitCount(d) <= radius) 1 else 0
+        assert(counts.getOrElse(d, 0) == expect,
+          s"bits=$bits radius=$radius d=$d seen=${counts.getOrElse(d, 0)} want=$expect")
+      }
+    }
+  }
 }
