@@ -7,16 +7,23 @@ import graft.{Det, Q, T}
 /** Multimodal-column plumbing: media as opaque binary columns with typed
   * metadata. The Spark-side pipeline — binary payload column, metadata
   * struct schema, per-row feature extraction, partition-friendly batch
-  * shape — is real and oracle-checked; the actual media *decode* is a
-  * STUB (this container has no image/audio codecs): `fakeDecode` derives
-  * deterministic pseudo-dimensions from the payload, standing in for a
-  * real `mapInPandas`/JNI decoder at the marked seam.
+  * shape — is real and oracle-checked, and the decode kernel now parses
+  * REAL container headers (PNG IHDR, JPEG SOFn, GIF logical screen
+  * descriptor) by pure byte arithmetic — no codec library. Payloads that
+  * are not recognizable media (e.g. the text corpus cast to binary) take
+  * a deterministic length-derived fallback, which is also the formula the
+  * oracle-checked column pipeline mirrors, so the two paths agree on
+  * text-only tables end-to-end. Full pixel decode (which WOULD need a
+  * codec, absent in this container) would slot in at the same
+  * one-init-per-partition seam.
   */
 object Multimodal {
 
-  /** G. Binary payload + metadata extraction. `width/height/frames` are
-    * the STUBBED decode outputs (see object doc) — deterministic functions
-    * of payload length so the oracle can verify the plumbing end-to-end.
+  /** G. Binary payload + metadata extraction over the text corpus.
+    * `width/height/frames` are the deterministic non-media fallback
+    * outputs (the documents table carries no media payloads — media bytes
+    * go through [[parseHeader]] in the batch seam), expressed as columns
+    * so the oracle can verify the plumbing end-to-end.
     */
   val multimodalMeta: Q = Q(
     "q_multimodal_meta",
@@ -47,22 +54,76 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
       frames: Int, sha256_hex: String)
 
-  /** STUB decode kernel — the seam where a real codec (JNI/FFI image or
-    * audio library, absent in this container) would process one partition's
-    * batch of payloads. Batch shape is the real contract: the decoder gets
-    * an iterator per partition so a native codec can amortize init across
-    * the batch; output is a typed row per media object. The fake decode is
-    * deterministic in the payload bytes.
+  /** Width/height from real media container headers — pure byte
+    * arithmetic, no codec library:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk (the spec requires it
+    *    first): big-endian width at offset 16, height at 20.
+    *  - JPEG: SOI (FFD8), then marker segments walked by their big-endian
+    *    lengths until a SOFn frame header (C0–CF minus C4/C8/CC), which
+    *    carries precision(1), height(2), width(2) after the length; stops
+    *    at SOS — dimensions must precede entropy-coded data.
+    *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
+    *    little-endian width at offset 6, height at 8.
+    *
+    * None for anything else (malformed media included) — never a guess.
+    */
+  private[graft] def parseHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b.length >= 24 &&
+        u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      Some((be32(16), be32(20)))
+    } else if (b.length >= 10 &&
+        b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      Some((le16(6), le16(8)))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 1 < b.length) {
+        if (u8(i) != 0xff) return None // desynced — not a marker stream
+        var j = i + 1
+        while (j < b.length && u8(j) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return None
+        val marker = u8(j)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return if (j + 7 < b.length) Some((be16(j + 6), be16(j + 4))) else None
+        }
+        if (marker == 0xda) return None // SOS: no SOF seen before scan data
+        if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) i = j + 1 // standalone
+        else if (j + 2 < b.length && be16(j + 1) >= 2) i = j + 1 + be16(j + 1)
+        else return None
+      }
+      None
+    } else None
+  }
+
+  /** Batch decode kernel — the per-partition seam. Batch shape is the
+    * contract: the decoder gets an iterator per partition so expensive
+    * init (here the SHA digest; in a pixel-decode deployment, a JNI/FFI
+    * codec) is amortized across the batch; output is a typed row per
+    * media object. Dimensions come from [[parseHeader]] for real media
+    * payloads (frames=1 for stills), with a deterministic length-derived
+    * fallback for non-media bytes — the same formula the column pipeline
+    * mirrors, so both paths agree on text corpora.
     */
   def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta] = {
-    // >>> real codec init would happen here, once per partition <<<
+    // >>> once-per-partition init (real pixel codec would go here) <<<
     val digest = java.security.MessageDigest.getInstance("SHA-256")
     batch.map { case (id, bytes) =>
       val n = bytes.length.toLong
       val sha = digest.digest(bytes).map("%02x".format(_)).mkString
       digest.reset()
-      MediaMeta(id, n, (n % 640 + 16).toInt, (n % 480 + 16).toInt,
-        (n % 24 + 1).toInt, sha)
+      parseHeader(bytes) match {
+        case Some((w, h)) => MediaMeta(id, n, w, h, 1, sha)
+        case None => MediaMeta(id, n, (n % 640 + 16).toInt, (n % 480 + 16).toInt,
+          (n % 24 + 1).toInt, sha)
+      }
     }
   }
 
