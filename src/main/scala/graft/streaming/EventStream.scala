@@ -95,8 +95,16 @@ object EventStream {
     // object store, and after the first write this sink only ever adds
     // batch_id= partitions. Names partition discovery itself ignores
     // ('_' and '.' prefixes) are not evidence of a legacy layout.
+    val dataRoot = new Path(outDir, "data")
+    // A memoized outDir whose data/ has vanished was deleted and
+    // recreated out of band — drop the memo so the layout check runs
+    // again on the new incarnation. One exists() per batch is a cheap
+    // metadata op (the memo exists to avoid the O(#batches) listing, not
+    // this probe); a recreation that plants a NON-empty legacy data/ in
+    // the same JVM is still invisible, accepted per-JVM-memo semantics.
+    if (checkedLayouts.contains(outDir) && !fs.exists(dataRoot))
+      checkedLayouts.remove(outDir)
     if (!checkedLayouts.contains(outDir)) {
-      val dataRoot = new Path(outDir, "data")
       if (fs.exists(dataRoot) && fs.listStatus(dataRoot).exists { st =>
           val n = st.getPath.getName
           !n.startsWith("batch_id=") && !n.startsWith("_") && !n.startsWith(".")
@@ -166,12 +174,20 @@ object EventStream {
     * an empty partition and fails to serialize, and after the filter a
     * file-per-partition read can produce one. Partials are one row per
     * micro-batch, so a single partition is also the right plan.
+    *
+    * The partials are cached and forced ONCE, so the emptiness decision
+    * and the returned plan's combine share a single parquet listing+scan
+    * (r5 paid the read twice on the common path). The cache entry is one
+    * coalesced partition of sketch rows — bounded by batch count — and is
+    * dropped eagerly on the empty path; on the non-empty path it backs
+    * the returned lazy plan and ages out under normal storage eviction.
     */
   def heavyHittersEstimate(spark: SparkSession, outDir: String, k: Int = 20,
       budget: Int = 8192): DataFrame = {
     val partials = spark.read.parquet(s"$outDir/data")
       .where(col("sk").isNotNull)
       .coalesce(1)
+      .cache()
     val estimated = partials
       .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $budget), $k)").as("top"))
       .select(explode(col("top")).as("e"))
@@ -179,9 +195,10 @@ object EventStream {
     // all partials null (a pre-guard sink whose every batch was empty):
     // the combine would see its one coalesced partition empty and crash —
     // an empty top-k is the correct answer, same schema
-    if (partials.isEmpty)
+    if (partials.count() == 0) {
+      partials.unpersist()
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], estimated.schema)
-    else estimated
+    } else estimated
   }
 
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value_cents: Long)
