@@ -349,6 +349,68 @@ object Dedup {
     * reachability closure and hash-matches: the iterative plan is exact,
     * not approximate.
     */
+  /** Min-label connected components: label propagation with per-round
+    * pointer jumping (path halving). `nodes` is one `id` column;
+    * `halfEdges` is (a, b), one row per undirected edge in either
+    * orientation. Returns (id, label) with label = the component's
+    * minimum id. Per round the work is one edges⋈labels shuffle (O(E)
+    * rows) plus one labels⋈labels self-join (O(n)); rounds are
+    * O(log diameter); components are never materialized. 25 rounds cover
+    * diameters past 2^24 — unreachable for any physical corpus — and
+    * non-convergence THROWS rather than shipping non-component ids.
+    */
+  private[graft] def connectedComponents(nodes: DataFrame,
+      halfEdges: DataFrame): DataFrame = {
+    val edges = halfEdges.select(col("a"), col("b"))
+      .union(halfEdges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    // sum over zero rows is null — an empty corpus must yield an empty
+    // result, not an NPE
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("label")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < 25) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min("label").as("nbr"))
+      // checkpoint: the jump self-join reads propped on BOTH sides, so
+      // without materialization each round would recompute the
+      // edges⋈labels aggregation twice
+      val propped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      // Pointer jump (path halving): label := label(label). Labels are
+      // always ids inside the node's own component (min-propagation
+      // only moves ids along edges), so one extra self-join per round
+      // compounds the progress of every earlier round — rounds drop
+      // from O(diameter) to O(log diameter), which removes the r4
+      // correctness cliff where a diameter-16+ template-drift chain
+      // exhausted the round budget and shipped non-component ids.
+      val jump = propped.select(col("id").as("label"), col("label").as("plabel"))
+      labels = propped.join(jump, Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s2 = labelSum(labels)
+      converged = s2 == prevSum
+      prevSum = s2
+      round += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException("connectedComponents: label " +
+        "propagation did not converge within 25 pointer-jumping rounds — " +
+        "refusing to emit non-component ids")
+    labels
+  }
+
   val clusters: Q = Q(
     "q_dedup_clusters",
     (s, d) => {
@@ -364,60 +426,9 @@ object Dedup {
         .where(col("jaccard") >= 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val half = exactE.union(ngramE)
-      val edges = half
-        .union(half.select(col("b").as("a"), col("a").as("b")))
-        .distinct()
-        .cache()
-      var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-        .localCheckpoint()
-      // sum over zero rows is null — an empty corpus must yield an empty
-      // result, not an NPE
-      def labelSum(df: DataFrame): Long =
-        Option(df.agg(sum("label")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
-      var prevSum = labelSum(labels)
-      var converged = false
-      var round = 0
-      while (!converged && round < 25) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("b"), col("label")), "b")
-          .groupBy(col("a").as("doc_id"))
-          .agg(min("label").as("nbr"))
-        // checkpoint: the jump self-join reads propped on BOTH sides, so
-        // without materialization each round would recompute the
-        // edges⋈labels aggregation twice
-        val propped = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-          .localCheckpoint()
-        // Pointer jump (path halving): label := label(label). Labels are
-        // always doc_ids inside the node's own component (min-propagation
-        // only moves ids along edges), so one extra self-join per round
-        // compounds the progress of every earlier round — rounds drop
-        // from O(diameter) to O(log diameter), which removes the r4
-        // correctness cliff where a diameter-16+ template-drift chain
-        // exhausted the round budget and shipped non-component ids.
-        val jump = propped.select(col("doc_id").as("label"), col("label").as("plabel"))
-        labels = propped.join(jump, Seq("label"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-          .localCheckpoint()
-        val s2 = labelSum(labels)
-        converged = s2 == prevSum
-        prevSum = s2
-        round += 1
-      }
-      edges.unpersist()
-      // 25 prop+jump rounds cover diameters past 2^24 — unreachable for
-      // any physical corpus. If it ever trips, fail the job: wrong
-      // cluster ids must never ship behind a stderr warning (the r4
-      // behavior this replaces).
-      if (!converged)
-        throw new IllegalStateException("dedupClusters: label propagation " +
-          "did not converge within 25 pointer-jumping rounds — refusing to " +
-          "emit non-component cluster ids")
       val wc = Window.partitionBy("cluster_id")
-      labels
-        .select(col("doc_id"), col("label").as("cluster_id"))
+      connectedComponents(docs.select(col("doc_id").as("id")), half)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(wc))
         .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
         .transform(Det.sortAll)

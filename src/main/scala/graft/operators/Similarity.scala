@@ -195,7 +195,14 @@ object Similarity {
     */
   val dedupEmbed: Q = Q(
     "q_dedup_embed",
-    (s, d) => {
+    (s, d) => embedPairs(s, d).transform(Det.sortAll),
+    None
+  )
+
+  /** The q_dedup_embed dataflow, unsorted — shared by the registered
+    * query and [[semanticDedup]]'s component graph.
+    */
+  private[graft] def embedPairs(s: SparkSession, d: String): DataFrame = {
       // Exact-duplicate pre-collapse, the embedding twin of
       // Dedup.collapseExact: identical vectors (the k×-duplicated-page
       // norm — every copy embeds to the same point) share every band
@@ -274,6 +281,33 @@ object Similarity {
         // it does not exclude NaN pairs
         .where(col("cosine") >= dedupTau)
       cross.union(within)
+  }
+
+  /** G. SemDeDup-style semantic dedup decision: connected components
+    * over the [[embedPairs]] near-dup graph with min-id representative
+    * selection — the end-to-end "which rows do I keep" answer for
+    * embedding-level dedup (the pair list alone leaves the transitive
+    * grouping to the caller; cf. SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540). Pair generation is the LSH-bucketed scale path;
+    * components are [[Dedup.connectedComponents]]'s pointer-jumping
+    * O(log diameter) propagation, so the whole operator is
+    * candidate-capped joins + O(E)-per-round label passes — no corpus
+    * broadcast, no quadratic stage. Output mirrors q_dedup_clusters:
+    * (vec_id, cluster_id, cluster_size, is_dup), keep = cluster_id ==
+    * vec_id. Approximate (inherits LSH candidate recall) ⇒ rows-only
+    * driver check; the spec replays the emitted pair graph through a
+    * local union-find and asserts the labels are EXACTLY its closure.
+    */
+  val semanticDedup: Q = Q(
+    "q_dedup_semantic",
+    (s, d) => {
+      val wc = Window.partitionBy("cluster_id")
+      Dedup.connectedComponents(
+        vecsRaw(s, d).select(col("vec_id").as("id")),
+        embedPairs(s, d).select(col("vec_a").as("a"), col("vec_b").as("b")))
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .withColumn("is_dup", col("vec_id") =!= col("cluster_id"))
         .transform(Det.sortAll)
     },
     None
@@ -375,12 +409,19 @@ object Similarity {
   /** Distributed Lloyd's k-means over the embedding column, trained on a
     * deterministic modulo sample (≲4·1024 vectors) — how IVF codebooks are
     * actually built at scale: train on a bounded sample, assign the full
-    * corpus with the resulting broadcast codebook. Each iteration is two
-    * shuffles over the SAMPLE only (argmax assignment via min-struct agg,
-    * then an element-wise mean by (cluster, position) that never
-    * materializes a per-cluster vector list). Seeds are the first k sample
-    * vectors; empty clusters keep their previous centroid (standard Lloyd
-    * fallback), so k is stable across iterations.
+    * corpus with the resulting broadcast codebook. Centroids live on the
+    * DRIVER between iterations (≤k rows — the same fit-side shape the
+    * serve split materializes anyway), so each iteration is one narrow
+    * [[graft.expressions.NearestCentroid]] assignment pass over the
+    * sample plus the element-wise mean agg by (cluster, position) — no
+    * crossJoin, no per-vector shuffle, and no lineage-doubling (the r5
+    * DataFrame-resident centroids needed a localCheckpoint per iteration
+    * to stop the sample being re-scanned 2^iters times). The kernel's
+    * argmax tie-breaks (NaN-greatest, smallest c_id) equal the r5
+    * max(struct(ccos, -c_id)) aggregation's, so codebooks are unchanged.
+    * Seeds are the first k sample vectors; empty clusters keep their
+    * previous centroid (standard Lloyd fallback), so k is stable across
+    * iterations.
     */
   private[graft] def kmeansCodebook(e: DataFrame, sampleStep: Long, k: Int,
       iters: Int): DataFrame = {
@@ -388,38 +429,29 @@ object Similarity {
     val sample = e.where(pmod(col("vec_id"), lit(sampleStep)) === 0).cache()
     // seed ids are the sample's first k vec_ids (already distinct — no
     // renumbering window needed)
-    var cents = sample.orderBy("vec_id").limit(k)
+    var cents: Array[(Long, Seq[Double])] = sample.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // ‖c‖ with the kernel's exact summation order (left-to-right)
+    def nrm(v: Seq[Double]): Double = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
     for (_ <- 1 to iters) {
-      val assigned = sample
-        .crossJoin(broadcast(cents.withColumn("cnrm", Vectors.norm(col("cv")))))
-        .withColumn("ccos",
-          Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        // argmax-cosine centroid per vector: a single partial-aggregated
-        // max over (cos, -c_id) structs — no window, no second shuffle
-        .groupBy("vec_id")
-        .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_c"))).as("best"),
-          first(col("v")).as("v"))
-        .select((-col("best.neg_c")).as("c_id"), col("v"))
+      val assigned = sample.select(
+        Vectors.nearestCentroid(col("v"), cents.map(_._1),
+          cents.flatMap(_._2), cents.map(c => nrm(c._2))).as("c_id"),
+        col("v"))
       val means = assigned
         .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos").agg(avg("x").as("m"))
         .groupBy("c_id")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       // empty clusters (nothing assigned this round) retain their centroid
-      cents = cents.select(col("c_id"), col("cv").as("prev"))
-        .join(means, Seq("c_id"), "left")
-        .select(col("c_id"), coalesce(col("cv"), col("prev")).as("cv"))
-        // Truncate the lineage every iteration: cents is referenced twice
-        // downstream (assignment cross join + empty-cluster fallback), so
-        // without this the logical plan doubles per iteration and the
-        // SAMPLE is re-scanned 2^iters times (measured: 64 parquet scans
-        // in the final plan at iters=3). The checkpoint materializes ≤k
-        // rows — the same reason MLlib keeps centroids off the lineage.
-        .localCheckpoint()
+      cents = cents.map { case (id, prev) => (id, means.getOrElse(id, prev)) }
     }
     sample.unpersist()
-    cents.select(col("c_id"), col("cv"), Vectors.norm(col("cv")).as("cnrm"))
+    val s = e.sparkSession
+    s.createDataFrame(cents.map { case (id, cv) => (id, cv, nrm(cv)) }.toIndexedSeq)
+      .toDF("c_id", "cv", "cnrm")
   }
 
   /** Fit/serve split for the IVF codebook: train once per table via
@@ -548,5 +580,5 @@ object Similarity {
     None
   )
 
-  val all: Seq[Q] = Seq(dedupEmbed, annTopK, annLsh, annIvf)
+  val all: Seq[Q] = Seq(dedupEmbed, semanticDedup, annTopK, annLsh, annIvf)
 }

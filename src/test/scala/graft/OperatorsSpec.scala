@@ -230,6 +230,41 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("semantic dedup labels are exactly the closure of the emitted pair graph") {
+    // sf0.01: 500 vectors, ~271 qualifying pairs → real multi-member
+    // components. The operator is approximate only through the pair
+    // graph; GIVEN that graph its labels must be the exact transitive
+    // closure with min-id representatives — replay the emitted pairs
+    // through a local union-find and compare.
+    val dir = "/root/testdata/sf0.01"
+    val pairs = Similarity.dedupEmbed.run(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val out = Similarity.semanticDedup.run(spark, dir)
+      .select("vec_id", "cluster_id", "cluster_size", "is_dup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // attach the larger root under the smaller: roots stay min ids
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = out.map(_._1).map(id => id -> find(id)).toMap
+    val sizes = want.values.groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    assert(out.nonEmpty && out.length == want.size)
+    for ((id, cl, sz, dup) <- out) {
+      assert(cl == want(id), s"vec $id labeled $cl, union-find says ${want(id)}")
+      assert(sz == sizes(cl), s"cluster $cl size $sz, union-find says ${sizes(cl)}")
+      assert(dup == (id != cl))
+    }
+    // the corpus really exercises the transitive grouping
+    assert(out.exists(_._4), "no duplicate rows found — corpus too easy")
+    assert(sizes.values.max >= 3, "no component larger than a single pair")
+  }
+
   test("banded LSH ANN: shared-bucket candidates only, recall floor vs brute force") {
     // sf0.01 (500 vectors) — the scale the r4 floor was specified at
     val dir = "/root/testdata/sf0.01"
@@ -391,7 +426,9 @@ class OperatorsSpec extends SparkSpec {
       val hit = ivf.select("query_id", "neighbor_id").intersect(brute).count()
       val recall = hit.toDouble / brute.count()
       info(f"IVF recall vs brute top-5: $recall%.3f")
-      assert(recall >= 0.5, s"IVF recall $recall below 0.5 floor")
+      // measured 0.930 (deterministic codebook + data); 0.8 matches the
+      // recall floor used across the approximate family
+      assert(recall >= 0.8, s"IVF recall $recall below 0.8 floor")
     } finally ivf.unpersist()
   }
 
