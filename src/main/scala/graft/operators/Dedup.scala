@@ -411,6 +411,20 @@ object Dedup {
     labels
   }
 
+  /** Attach cluster_size to (…, cluster_id) rows via partial-aggregated
+    * counts + an equi-join, NOT a count-over-window: a window partitioned
+    * by cluster_id funnels a giant duplicate component through one
+    * unsplittable sort task at scale, while the groupBy's map-side
+    * combine is skew-proof (one row per cluster leaves each partition)
+    * and AQE skew-join can split the hot probe key. Column order of the
+    * input is preserved, cluster_size appended.
+    */
+  private[graft] def withClusterSize(labeled: DataFrame): DataFrame = {
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select((labeled.columns.map(col) :+ col("cluster_size")).toIndexedSeq: _*)
+  }
+
   val clusters: Q = Q(
     "q_dedup_clusters",
     (s, d) => {
@@ -426,10 +440,9 @@ object Dedup {
         .where(col("jaccard") >= 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val half = exactE.union(ngramE)
-      val wc = Window.partitionBy("cluster_id")
       connectedComponents(docs.select(col("doc_id").as("id")), half)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .transform(withClusterSize)
         .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
         .transform(Det.sortAll)
     },

@@ -133,8 +133,11 @@ object Multimodal {
     */
   def decodeDataset(s: SparkSession, dir: String): Dataset[MediaMeta] = {
     import s.implicits._
+    // no repartition: decode is a narrow per-partition pass, and at scale
+    // a media corpus is many files — scan parallelism is free. An up-front
+    // round-robin shuffle here would move every payload byte across the
+    // cluster just to fix a single-file local-test layout.
     T.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(decodeBatch)

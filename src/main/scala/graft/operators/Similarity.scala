@@ -301,12 +301,11 @@ object Similarity {
   val semanticDedup: Q = Q(
     "q_dedup_semantic",
     (s, d) => {
-      val wc = Window.partitionBy("cluster_id")
       Dedup.connectedComponents(
         vecsRaw(s, d).select(col("vec_id").as("id")),
         embedPairs(s, d).select(col("vec_a").as("a"), col("vec_b").as("b")))
         .select(col("id").as("vec_id"), col("label").as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .transform(Dedup.withClusterSize)
         .withColumn("is_dup", col("vec_id") =!= col("cluster_id"))
         .transform(Det.sortAll)
     },
