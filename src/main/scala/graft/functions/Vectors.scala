@@ -41,4 +41,32 @@ object Vectors {
   def nearestCentroid(v: Column, cids: Array[Long], cents: Array[Double],
       cnorms: Array[Double]): Column =
     graft.expressions.VectorExpressions.nearestCentroid(v, cids, cents, cnorms)
+
+  /** Packed 64-bit product-quantization code (native codegen kernel):
+    * m subspaces, ksub sub-centroids each, nearest-L2 assignment per
+    * subspace, 8 bits per code field. `cents` is the flat [m][ksub][dsub]
+    * sub-codebook matrix.
+    */
+  def pqEncode(v: Column, cents: Array[Double], m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqEncode(
+      ColumnBridge.expression(v), cents, m, ksub))
+  }
+
+  /** Per-query ADC lookup table (m·ksub inner products with every
+    * sub-centroid) — built once per query row, then every corpus code
+    * scores with m adds ([[pqAdc]]).
+    */
+  def pqLut(q: Column, cents: Array[Double], m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqLut(
+      ColumnBridge.expression(q), cents, m, ksub))
+  }
+
+  /** Asymmetric-distance score Σ_s lut[s·ksub + code_s] ≈ ⟨q, x⟩. */
+  def pqAdc(code: Column, lut: Column, m: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqAdc(
+      ColumnBridge.expression(code), ColumnBridge.expression(lut), m))
+  }
 }

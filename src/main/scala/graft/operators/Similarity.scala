@@ -579,5 +579,139 @@ object Similarity {
     None
   )
 
-  val all: Seq[Q] = Seq(dedupEmbed, semanticDedup, annTopK, annLsh, annIvf)
+  /** PQ geometry: 8 subspaces × 256 sub-centroids × (dim/8) dims — one
+    * packed long per vector, the classic 8-bits-per-subspace layout
+    * (FAISS's PQ8 default). ksub=256 matters on THIS corpus: random
+    * directions put every qualifying neighbor near the decision boundary
+    * (the worst case for quantized ranking — ksub=16 measured 0.64
+    * recall, 256 lifts the ADC ranking enough for the exact rescore of
+    * the top-[[pqRescore]] to recover the floor). Seeds wrap when the
+    * training sample is smaller than ksub; duplicate seeds simply leave
+    * dead cells, never break encode determinism.
+    */
+  private[graft] val pqM = 8
+  private[graft] val pqKsub = 256
+  private[graft] val pqRescore = 32
+
+  /** Driver-local per-subspace Lloyd's over the collected sample (the
+    * fit side of the PQ fit/serve split). One pass per iteration trains
+    * all m subspaces simultaneously; assignment uses the SAME
+    * [[graft.expressions.PqKernels.nearestSub]] kernel the serve-side
+    * encode runs, so training and encoding can never disagree on a tie.
+    * Seeds are the first ksub sample subvectors; empty cells keep their
+    * previous centroid (standard Lloyd fallback). ≤4096 × dim doubles of
+    * driver work — the same bounded-sample shape as [[kmeansCodebook]].
+    */
+  private[graft] def pqTrainedCodebook(sample: Array[Array[Double]], dim: Int,
+      m: Int, ksub: Int, iters: Int): Array[Double] = {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val dsub = dim / m
+    val flat = new Array[Double](m * ksub * dsub)
+    for (s <- 0 until m; j <- 0 until ksub; d <- 0 until dsub)
+      flat((s * ksub + j) * dsub + d) = sample(j % sample.length)(s * dsub + d)
+    val rows: Array[ArrayData] = sample.map(a => new GenericArrayData(a))
+    for (_ <- 1 to iters) {
+      val sums = new Array[Double](m * ksub * dsub)
+      val cnts = new Array[Long](m * ksub)
+      for (r <- rows; s <- 0 until m) {
+        val j = graft.expressions.PqKernels.nearestSub(r, s, dsub, flat, ksub)
+        cnts(s * ksub + j) += 1
+        val off = (s * ksub + j) * dsub
+        var d = 0
+        while (d < dsub) { sums(off + d) += r.getDouble(s * dsub + d); d += 1 }
+      }
+      for (s <- 0 until m; j <- 0 until ksub; if cnts(s * ksub + j) > 0) {
+        val off = (s * ksub + j) * dsub
+        var d = 0
+        while (d < dsub) { flat(off + d) = sums(off + d) / cnts(s * ksub + j); d += 1 }
+      }
+    }
+    flat
+  }
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Int)]()
+
+  /** Memoized flat PQ codebook + trained dim, keyed like the IVF memo
+    * (path + row count + physical-file fingerprint — a same-path rewrite
+    * retrains, see [[tableFingerprint]]). The training sample is the same
+    * deterministic modulo sample the IVF fit uses, collected once
+    * (≤~4096 rows — bounded regardless of corpus size).
+    */
+  private[graft] def pqCodebook(s: SparkSession, d: String,
+      e: DataFrame): (Array[Double], Int) = {
+    val n = math.max(e.count(), 1L)
+    val fp = tableFingerprint(s, s"$d/embeddings.parquet")
+    if (pqCache.size() > 32) pqCache.clear()
+    pqCache.computeIfAbsent(s"$d#$n#$fp", _ => {
+      val step = math.max(1L, n / 4096L)
+      val sample = e.where(pmod(col("vec_id"), lit(step)) === 0)
+        .orderBy("vec_id")
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      val dim = sample.head.length
+      require(dim % pqM == 0, s"PQ needs dim % $pqM == 0, got dim=$dim")
+      (pqTrainedCodebook(sample, dim, pqM, pqKsub, iters = 8), dim)
+    })
+  }
+
+  /** G. Product-quantization ANN with asymmetric distance (Jégou et al.
+    * 2011) — the memory-bound 100 TB serve path the exact scan can't
+    * walk: the corpus a PQ scan streams is (vec_id, packed code, norm) =
+    * 24 B of live columns per vector instead of the 512 B raw vector, a
+    * ~21× cut in scan traffic, and each candidate scores with m=8 table
+    * adds (PqAdc, whole-stage codegen) instead of a 64-wide multiply-add.
+    *
+    * Dataflow: narrow PqEncode projection over the corpus (fit/serve
+    * split, zero Exchange — same discipline as q_ann_ivf's assignment) →
+    * broadcast the 20 queries each carrying its PqLut ADC table → score
+    * every (query, code) pair → ADC top-[[pqRescore]] per query through
+    * the skinny id/score window (the same Exchange shape as q_ann_topk's,
+    * on 3-column rows) → exact-cosine rescore of the ≤20·32 survivors via
+    * broadcast joins → top-5. Unlike IVF/LSH the candidate set is the
+    * whole corpus (scan-model ANN, no bucketing), so recall loss comes
+    * only from quantization error in the ADC ranking — the exact rescore
+    * then re-ranks the survivors, and only an ADC top-32 miss of a true
+    * top-5 neighbor costs recall (measured ≥0.9 in the spec).
+    * Approximate ⇒ rows-only driver check; specs pin the kernel against a
+    * local reference, the k-bound, and the recall floor vs brute force.
+    */
+  val annPq: Q = Q(
+    "q_ann_pq",
+    (s, d) => {
+      val e = vecsRaw(s, d)
+      val (cents, _) = pqCodebook(s, d, e)
+      val corpus = e.select(col("vec_id"),
+        Vectors.pqEncode(col("v"), cents, pqM, pqKsub).as("code"), col("nrm"))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          Vectors.pqLut(col("v"), cents, pqM, pqKsub).as("lut"),
+          col("nrm").as("qnrm"))
+      // ADC ranks by cosine ≈ adc/(‖q‖·‖x‖) — within a query ‖q‖ is
+      // constant but keeping the exact stored norm in the denominator
+      // makes the score the actual cosine estimate
+      val wa = Window.partitionBy("query_id")
+        .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      val cand = corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (Vectors.pqAdc(col("code"), col("lut"), pqM) /
+            (col("qnrm") * col("nrm"))).as("adc_cos"))
+        .withColumn("ar", row_number().over(wa))
+        .where(col("ar") <= pqRescore)
+        .select("query_id", "neighbor_id")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(dedupEmbed, semanticDedup, annTopK, annLsh, annIvf, annPq)
 }

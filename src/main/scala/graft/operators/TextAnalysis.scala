@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Q, T}
 
@@ -381,6 +382,63 @@ object TextAnalysis {
             |FROM g ORDER BY ALL""".stripMargin)
   )
 
+  /** G. TF-IDF term importance, top-5 terms per document — the classic
+    * relevance/domain-affinity signal (DSIR-style importance sampling
+    * weighs training documents by exactly this kind of term statistic).
+    * IDF stays LINEAR (score = tf·N/df as an IEEE division of exact
+    * integer counts) rather than logarithmic so the double column is
+    * bit-identical across engines (graft.Num: no transcendental calls in
+    * oracle-checked outputs); ranking is unaffected (log is monotone).
+    *
+    * Plan shape at scale: explode → groupBy(doc_id, term) — the partial
+    * aggregation compresses each document's repeated words map-side
+    * BEFORE the only corpus-sized shuffle, so the Exchange carries tf
+    * rows, not raw tokens. The df table is one more aggregate of those tf
+    * rows and is vocabulary-sized (sublinear in the corpus — Heaps' law),
+    * so it broadcasts; the top-5 window then shuffles tf-sized rows on
+    * doc_id. Two bounded corpus Exchanges of compressed rows, no join
+    * shuffle.
+    */
+  val tfidf: Q = Q(
+    "q_tfidf",
+    (s, d) => {
+      val nDocs = T.documents(s, d).count()
+      val tf = T.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("score",
+          (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+            |  FROM documents
+            |), tf AS (
+            |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+            |), df AS (
+            |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            |), n AS (
+            |  SELECT count(*) AS c FROM documents
+            |), sc AS (
+            |  SELECT doc_id, term, tf, df,
+            |         CAST(tf * c AS DOUBLE) / CAST(df AS DOUBLE) AS score
+            |  FROM tf JOIN df USING (term) CROSS JOIN n
+            |), r AS (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            |              ORDER BY score DESC, term) AS BIGINT) AS rn
+            |  FROM sc
+            |)
+            |SELECT doc_id, term, tf, df, score, rn FROM r WHERE rn <= 5
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore)
+    piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
+    tfidf)
 }

@@ -432,6 +432,26 @@ class OperatorsSpec extends SparkSpec {
     } finally ivf.unpersist()
   }
 
+  test("PQ ANN: k-bound per query, exact-rescore recall floor vs brute force") {
+    // PQ scans the whole corpus (no bucketing), so recall loss can come
+    // ONLY from the quantized ADC ranking dropping a true top-5 neighbor
+    // out of its top-32 rescore set — measure it against the exact scan
+    val dir = "/root/testdata/sf0.01"
+    val pq = Similarity.annPq.run(spark, dir).cache()
+    try {
+      assert(pq.count() > 0)
+      assert(pq.groupBy("query_id").count().where(col("count") > 5).count() == 0)
+      val brute = Similarity.annTopK.run(spark, dir)
+        .select("query_id", "neighbor_id")
+      val hit = pq.select("query_id", "neighbor_id").intersect(brute).count()
+      val recall = hit.toDouble / brute.count()
+      info(f"PQ ADC recall vs brute top-5: $recall%.3f")
+      // deterministic (modulo-sample codebook + fixed data); 0.8 matches
+      // the family-wide recall floor
+      assert(recall >= 0.8, s"PQ recall $recall below 0.8 floor")
+    } finally pq.unpersist()
+  }
+
   test("PII redaction finds and masks planted email / ip / phone") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or call +1 (415) 555-0100 now"),

@@ -27,8 +27,10 @@ class PlanGuardSpec extends SparkSpec {
   // no join — pinned below), and q_mart_union's triangular prefix-sum
   // self-join over the per-partition count table
   // (≤ spark.sql.shuffle.partitions rows)
+  // (q_ann_pq's NLJ broadcasts the 20 queries + their m·ksub-double ADC
+  // tables — same bounded query-set shape as q_ann_topk)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_mart_union")
+    "q_ann_pq", "q_mart_union")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {
@@ -72,6 +74,29 @@ class PlanGuardSpec extends SparkSpec {
       s"streamed side should be the embeddings scan:\n$streamed")
     assert(streamed.toString.contains("graft_nearest_centroid"),
       s"narrow assignment kernel missing from the corpus path:\n$streamed")
+  }
+
+  test("q_ann_pq: corpus path is scan → narrow encode — no Exchange before the ADC window") {
+    // the PQ scan's entire value is streaming 24 B/vector codes instead
+    // of 512 B vectors: pin that the corpus side reaches the ADC scoring
+    // join as scan → graft_pq_encode projection with zero Exchange (the
+    // only corpus shuffle is the skinny id/score window AFTER scoring)
+    val q = SparkEntry.registry.find(_.name == "q_ann_pq").get
+    val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+    val nljs = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nljs.nonEmpty, s"expected the ADC scoring NLJ:\n$plan")
+    // the ADC join is the innermost NLJ (rescore joins sit above it)
+    val j = nljs.last
+    val streamed = j.buildSide match {
+      case BuildLeft  => j.right
+      case BuildRight => j.left
+    }
+    assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"corpus (streamed) side of the ADC join shuffles:\n$streamed")
+    assert(streamed.toString.contains("graft_pq_encode"),
+      s"narrow PQ encode kernel missing from the corpus path:\n$streamed")
   }
 
   test("q_substring_score: no join, no Exchange before the output sort") {

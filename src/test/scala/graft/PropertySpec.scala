@@ -142,4 +142,67 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("PQ kernels match an independent local reference bit-exactly") {
+    // encode / lut / adc evaluated through the DataFrame (codegen path)
+    // vs plain-loop re-implementations here: field packing, L2 argmin
+    // tie-breaks (strictly-less ⇒ smallest index), and the subspace-
+    // grouped ADC summation order must all agree, or the operator's
+    // ranking silently drifts from its documented semantics
+    val m = 8; val ksub = 16; val dim = 64; val dsub = dim / m
+    val rnd = new scala.util.Random(42)
+    val cents = Array.fill(m * ksub * dsub)(rnd.nextDouble() - 0.5)
+    val vecs = (0 until 48).map(i => i.toLong -> Array.fill(dim)(rnd.nextDouble() - 0.5))
+    val query = Array.fill(dim)(rnd.nextDouble() - 0.5)
+
+    def refEncode(v: Array[Double]): Long = {
+      var code = 0L
+      for (s <- 0 until m) {
+        var bestJ = 0; var best = Double.PositiveInfinity
+        for (j <- 0 until ksub) {
+          var d2 = 0.0
+          for (d <- 0 until dsub) {
+            val diff = v(s * dsub + d) - cents((s * ksub + j) * dsub + d)
+            d2 += diff * diff
+          }
+          if (d2 < best) { best = d2; bestJ = j }
+        }
+        code |= bestJ.toLong << (8 * s)
+      }
+      code
+    }
+    def refLut(q: Array[Double]): Array[Double] =
+      Array.tabulate(m * ksub) { i =>
+        val s = i / ksub; val j = i % ksub
+        var dot = 0.0
+        for (d <- 0 until dsub)
+          dot += q(s * dsub + d) * cents((s * ksub + j) * dsub + d)
+        dot
+      }
+    val lutRef = refLut(query)
+    def refAdc(code: Long): Double = {
+      var sum = 0.0
+      for (s <- 0 until m) sum += lutRef(s * ksub + ((code >>> (8 * s)) & 0xFFL).toInt)
+      sum
+    }
+
+    val qlut = Vectors.pqLut(
+      lit(query.map(java.lang.Double.valueOf)).cast("array<double>"), cents, m, ksub)
+    val out = vecs.toDF("id", "v")
+      .select(col("id"), Vectors.pqEncode(col("v"), cents, m, ksub).as("code"),
+        qlut.as("lut"))
+      .select(col("id"), col("code"), col("lut"),
+        Vectors.pqAdc(col("code"), col("lut"), m).as("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+
+    for ((id, code, lutGot, adc) <- out) {
+      val v = vecs(id.toInt)._2
+      assert(code == refEncode(v), s"encode mismatch for vector $id")
+      for (s <- 0 until m)
+        assert(((code >>> (8 * s)) & 0xFFL) < ksub, s"field $s out of range")
+      assert(lutGot.sameElements(lutRef), "lut mismatch")
+      assert(adc == refAdc(code), s"adc mismatch for vector $id")
+    }
+  }
 }
