@@ -393,11 +393,19 @@ object TextAnalysis {
     * Plan shape at scale: explode → groupBy(doc_id, term) — the partial
     * aggregation compresses each document's repeated words map-side
     * BEFORE the only corpus-sized shuffle, so the Exchange carries tf
-    * rows, not raw tokens. The df table is one more aggregate of those tf
-    * rows and is vocabulary-sized (sublinear in the corpus — Heaps' law),
-    * so it broadcasts; the top-5 window then shuffles tf-sized rows on
-    * doc_id. Two bounded corpus Exchanges of compressed rows, no join
-    * shuffle.
+    * rows, not raw tokens. The df/cf branch aggregates the SAME tf
+    * relation; computing cf = sum(tf) there (collection frequency — a
+    * statistic worth emitting anyway) keeps the forked subtree's partial
+    * aggregate canonically identical to the join branch's, and AQE's
+    * exchange reuse then serves both branches from ONE scan + ONE tf
+    * shuffle (verified: the final adaptive plan shows the df branch as a
+    * ReusedExchange of the tf stage). The df/cf table is
+    * vocabulary-sized (sublinear in the corpus — Heaps' law), so it
+    * broadcasts; the top-5 window shuffles tf-sized rows on doc_id, with
+    * WindowGroupLimit pre-pruning to ≤5 rows per doc per map partition
+    * before that Exchange. NOT a count-over-window on term for df: a
+    * stopword's window partition would be corpus-sized on one task —
+    * the groupBy stays skew-proof via map-side combine.
     */
   val tfidf: Q = Q(
     "q_tfidf",
@@ -406,14 +414,15 @@ object TextAnalysis {
       val tf = T.documents(s, d)
         .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"),
+        sum("tf").cast("long").as("cf"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(broadcast(df), "term")
         .withColumn("score",
           (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 5)
-        .select("doc_id", "term", "tf", "df", "score", "rn")
+        .select("doc_id", "term", "tf", "df", "cf", "score", "rn")
         .transform(Det.sortAll)
     },
     Some("""WITH w AS (
@@ -422,11 +431,13 @@ object TextAnalysis {
             |), tf AS (
             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
             |), df AS (
-            |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+            |         CAST(sum(tf) AS BIGINT) AS cf
+            |  FROM tf GROUP BY 1
             |), n AS (
             |  SELECT count(*) AS c FROM documents
             |), sc AS (
-            |  SELECT doc_id, term, tf, df,
+            |  SELECT doc_id, term, tf, df, cf,
             |         CAST(tf * c AS DOUBLE) / CAST(df AS DOUBLE) AS score
             |  FROM tf JOIN df USING (term) CROSS JOIN n
             |), r AS (
@@ -434,7 +445,7 @@ object TextAnalysis {
             |              ORDER BY score DESC, term) AS BIGINT) AS rn
             |  FROM sc
             |)
-            |SELECT doc_id, term, tf, df, score, rn FROM r WHERE rn <= 5
+            |SELECT doc_id, term, tf, df, cf, score, rn FROM r WHERE rn <= 5
             |ORDER BY ALL""".stripMargin)
   )
 
