@@ -591,7 +591,7 @@ object Similarity {
     */
   private[graft] val pqM = 8
   private[graft] val pqKsub = 256
-  private[graft] val pqRescore = 32
+  private[graft] val pqRescore = 64
 
   /** Driver-local per-subspace Lloyd's over the collected sample (the
     * fit side of the PQ fit/serve split). One pass per iteration trains

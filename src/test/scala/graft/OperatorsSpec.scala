@@ -330,6 +330,15 @@ class OperatorsSpec extends SparkSpec {
     // measured 0.910 (deterministic seed/data); 0.8 floor absorbs a
     // regenerated-testdata reroll while still pinning the ≥0.9 design
     assert(annRecall >= 0.8, s"ann_lsh sf0.1 recall $annRecall below 0.8 floor")
+
+    // PQ at the same scale point: quantization error is size-independent
+    // (per-subspace codebooks retrain per corpus) but the ADC top-32
+    // rescore set is a 156×-smaller fraction of n=5000 than of n=500, so
+    // measure that the rescore margin still clears the family floor
+    val pq = Similarity.annPq.run(spark, dir).select("query_id", "neighbor_id")
+    val pqRecall = pq.intersect(bruteTop).count().toDouble / bruteTop.count()
+    info(f"ann_pq recall at sf0.1: $pqRecall%.3f")
+    assert(pqRecall >= 0.8, s"ann_pq sf0.1 recall $pqRecall below 0.8 floor")
   }
 
   test("multi-probe ANN recall in the radius-2 regime (n=40k synthetic corpus)") {
