@@ -549,6 +549,109 @@ object Dedup {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Span-level exact dedup — the ExactSubstr policy of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): doc-level dedup misses the boilerplate CASE —
+    * a license header or nav bar repeated across millions of otherwise-
+    * distinct pages — so count, per document, the 8-word span
+    * occurrences that are corpus-level repeats (every occurrence of a
+    * span except the corpus-global FIRST, in (doc_id, position) order,
+    * is a duplicate). Output: per-doc total/duplicate span counts and
+    * the duplicate fraction — the per-doc trim signal.
+    *
+    * Plan shape at scale: spans are 8-byte xxhash64 values (the ngram-
+    * family convention — the oracle joins the strings; a 64-bit
+    * collision would fail the hash gate), with each occurrence's global
+    * order encoded as ONE long (doc_id·2^20 + pos, positions < 2^20 —
+    * no struct ordering needed cross-engine). The per-(span, doc)
+    * collapse is the only occurrence-sized aggregation and its partial
+    * agg combines map-side; corpus-global span stats are a second
+    * groupBy over the collapsed rows — groupBys + an AQE-skew-splittable
+    * equi-join throughout, NO window over the span key (a boilerplate
+    * span's window partition would be one task holding every document
+    * that contains it). The span→stats fork rides the SAME materialized
+    * (span, doc) Exchange on both branches (AQE exchange reuse — one
+    * scan, like q_tfidf).
+    */
+  val spanDedup: Q = Q(
+    "q_dedup_span",
+    (s, d) => {
+      val span = 8
+      val docs = T.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      // explicit isNotNull: the left-outer join below pushes an
+      // IsNotNull(doc_id) into the probe branch's scan; without the same
+      // filter on the stats branch the two g2 subtrees are canonically
+      // different and AQE cannot reuse the (span, doc) Exchange
+      val g = docs
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .where(size(col("w")) >= span)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(w)-" + span + "), i -> " +
+            "xxhash64(concat_ws(' ', w[i],w[i+1],w[i+2],w[i+3],w[i+4],w[i+5],w[i+6],w[i+7])))"))
+          .as(Seq("pos", "hg")))
+        .select(col("doc_id"), col("hg"),
+          (col("doc_id") * lit(1048576L) + col("pos")).as("ord"))
+      val g2 = g.groupBy("hg", "doc_id")
+        .agg(count(lit(1)).as("occ_d"), min("ord").as("min_ord_d"))
+      val stats = g2.groupBy("hg")
+        .agg(sum("occ_d").as("occs"), min("min_ord_d").as("min_ord"))
+      val perDoc = g2.join(stats, "hg")
+        .select(col("doc_id"), col("occ_d"),
+          when(col("occs") >= 2,
+            col("occ_d") -
+              when(col("min_ord_d") === col("min_ord"), 1L).otherwise(0L))
+            .otherwise(0L).as("dup_d"))
+        .groupBy("doc_id")
+        .agg(sum("occ_d").cast("long").as("total_spans"),
+          sum("dup_d").cast("long").as("dup_spans"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("total_spans"), lit(0L)).as("total_spans"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+        .withColumn("dup_frac",
+          when(col("total_spans") > 0,
+            col("dup_spans").cast("double") / col("total_spans").cast("double"))
+            .otherwise(lit(0.0)))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
+            |), g AS (
+            |  SELECT doc_id, i - 1 AS pos,
+            |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+            |         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS g8
+            |  FROM w, UNNEST(range(1, len(ws)-6)) AS t(i)
+            |  WHERE len(ws) >= 8
+            |), o AS (
+            |  SELECT doc_id, g8, doc_id * 1048576 + pos AS ord FROM g
+            |), g2 AS (
+            |  SELECT g8, doc_id, CAST(count(*) AS BIGINT) AS occ_d,
+            |         min(ord) AS min_ord_d
+            |  FROM o GROUP BY 1, 2
+            |), st AS (
+            |  SELECT g8, CAST(sum(occ_d) AS BIGINT) AS occs,
+            |         min(min_ord_d) AS min_ord
+            |  FROM g2 GROUP BY 1
+            |), pd AS (
+            |  SELECT doc_id,
+            |         CAST(sum(occ_d) AS BIGINT) AS total_spans,
+            |         CAST(sum(CASE WHEN occs >= 2
+            |             THEN occ_d - (CASE WHEN min_ord_d = min_ord THEN 1 ELSE 0 END)
+            |             ELSE 0 END) AS BIGINT) AS dup_spans
+            |  FROM g2 JOIN st USING (g8) GROUP BY 1
+            |)
+            |SELECT d.doc_id,
+            |       COALESCE(p.total_spans, 0) AS total_spans,
+            |       COALESCE(p.dup_spans, 0) AS dup_spans,
+            |       CASE WHEN COALESCE(p.total_spans, 0) > 0
+            |         THEN CAST(p.dup_spans AS DOUBLE) / CAST(p.total_spans AS DOUBLE)
+            |         ELSE 0.0 END AS dup_frac
+            |FROM documents d LEFT JOIN pd p USING (doc_id)
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate)
+    decontaminate, spanDedup)
 }
