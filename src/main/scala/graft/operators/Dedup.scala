@@ -577,8 +577,13 @@ object Dedup {
     "q_dedup_span",
     (s, d) => {
       val span = 8
+      // no up-front repartition (unlike the candidate-pair family, which
+      // spreads a single-file local corpus before its bucket joins): the
+      // gram pipeline's first Exchange is the (span, doc) collapse right
+      // after the narrow explode, so scan parallelism is already what
+      // drives the map side — at 100 TB a round-robin here would move
+      // every text byte across the cluster before hashing it down to 8
       val docs = T.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
       // explicit isNotNull: the left-outer join below pushes an
       // IsNotNull(doc_id) into the probe branch's scan; without the same
       // filter on the stats branch the two g2 subtrees are canonically
