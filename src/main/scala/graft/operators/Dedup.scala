@@ -657,6 +657,74 @@ object Dedup {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Incremental ingest dedup — the steady-state production shape of
+    * dedup: a new batch (one `source` here stands in for today's crawl)
+    * is deduped against the already-ingested corpus, instead of
+    * re-deduping the whole corpus per ingest. The content key is a
+    * coarse prefix fingerprint (md5 of the first 8 normalized words —
+    * the CCNet-style cheap key class; the machinery is key-agnostic, and
+    * the full-text [[normText]] hash is the degenerate choice) so the
+    * decision logic actually exercises on this corpus, where planted
+    * near-dups share prefixes but no document repeats verbatim. Verdict
+    * per batch doc: `in_corpus` (its key already exists outside the
+    * batch), `dup_in_batch` (not the first occurrence of its key within
+    * the batch), `keep` = neither.
+    *
+    * Scale shape — the asymmetry is the whole point: the batch is
+    * ingest-sized (millions of rows), the corpus is the 100 TB side. The
+    * batch's distinct key set BROADCASTS as a semi-join filter over the
+    * corpus, so the corpus is scanned once, narrowly, and never shuffled
+    * — no corpus-wide distinct, no shuffle keyed on corpus rows. Only
+    * the colliding keys (≤ batch size by construction after the
+    * collision-sized distinct) survive to the decision join, which
+    * broadcasts back against the batch. The one wide op keyed on data
+    * volume is the within-batch min-window, and that is batch-sized.
+    */
+  val incremental: Q = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      val prefixKey =
+        md5(concat_ws(" ", slice(split(normText, " "), 1, 8)))
+      val hashed = T.documents(s, d)
+        .select(col("doc_id"), col("source"), prefixKey.as("content_hash"))
+      val fresh = hashed.where(col("source") === "src7")
+        .select("doc_id", "content_hash")
+      val corpus = hashed.where(col("source") =!= "src7")
+      val collided = corpus
+        .join(broadcast(fresh.select("content_hash").distinct()),
+          Seq("content_hash"), "left_semi")
+        .select("content_hash").distinct()
+        .withColumn("in_corpus", lit(true))
+      val w = Window.partitionBy("content_hash")
+      fresh
+        .join(broadcast(collided), Seq("content_hash"), "left")
+        .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+        .withColumn("dup_in_batch", col("doc_id") =!= min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("content_hash"), col("in_corpus"),
+          col("dup_in_batch"),
+          (!col("in_corpus") && !col("dup_in_batch")).as("keep"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH h AS (
+            |  SELECT doc_id, source,
+            |         md5(array_to_string(
+            |           (regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))[:8],
+            |           ' ')) AS content_hash
+            |  FROM documents
+            |), fresh AS (
+            |  SELECT doc_id, content_hash FROM h WHERE source = 'src7'
+            |), corpus AS (
+            |  SELECT DISTINCT content_hash FROM h WHERE source <> 'src7'
+            |)
+            |SELECT f.doc_id, f.content_hash,
+            |       (c.content_hash IS NOT NULL) AS in_corpus,
+            |       f.doc_id <> MIN(f.doc_id) OVER (PARTITION BY f.content_hash) AS dup_in_batch,
+            |       ((c.content_hash IS NULL) AND
+            |        f.doc_id = MIN(f.doc_id) OVER (PARTITION BY f.content_hash)) AS keep
+            |FROM fresh f LEFT JOIN corpus c USING (content_hash)
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate, spanDedup)
+    decontaminate, spanDedup, incremental)
 }

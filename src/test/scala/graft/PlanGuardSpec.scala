@@ -99,6 +99,31 @@ class PlanGuardSpec extends SparkSpec {
       s"narrow PQ encode kernel missing from the corpus path:\n$streamed")
   }
 
+  test("q_dedup_incremental: corpus side reaches the semi join with no Exchange") {
+    // the operator's whole point is the batch≪corpus asymmetry: the
+    // batch hash set broadcasts as a semi-join filter, so the corpus is
+    // scanned narrowly and never shuffled — only colliding rows survive
+    // to downstream (collision-sized) wide ops. Pin the broadcast semi
+    // join and the shuffle-free streamed corpus path.
+    val q = SparkEntry.registry.find(_.name == "q_dedup_incremental").get
+    val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size == 1,
+      s"expected exactly one broadcast LEFT SEMI (the corpus filter), got ${semis.size}:\n$plan")
+    val j = semis.head
+    val streamed = j.buildSide match {
+      case BuildLeft  => j.right
+      case BuildRight => j.left
+    }
+    assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"corpus (streamed) side of the semi join shuffles:\n$streamed")
+    assert(streamed.collectLeaves().exists(_.toString.contains("documents")),
+      s"streamed side should be the documents scan:\n$streamed")
+  }
+
   test("q_substring_score: no join, no Exchange before the output sort") {
     // the r5 rewrite turned this into a pure narrow projection; pin it so
     // a regression can't quietly reintroduce the broadcast cross join the
