@@ -132,6 +132,37 @@ object EventStream {
         writeBatchIdempotent(batch.toDF(), batchId, outDir); ()
       })
 
+  /** H. Streaming incremental ingest dedup — the streaming twin of
+    * q_dedup_incremental (Dedup.incremental), i.e. the shape a crawl
+    * ingest actually runs as: documents arrive continuously, each must be
+    * kept only if its content key is new BOTH against the already-
+    * ingested corpus and against everything seen earlier in the stream.
+    *
+    * Two stages, cheapest filter first:
+    *  1. stream-static LEFT ANTI join against the corpus key set — per
+    *     micro-batch, stateless. At 100 TB the static side is the compact
+    *     ingested-key table (8-byte hashes, not documents), bucketed on
+    *     the key so the per-batch join is bucket-local; Spark's runtime
+    *     bloom/DPP filtering prunes corpus partitions the batch's keys
+    *     can't touch.
+    *  2. dropDuplicatesWithinWatermark on the key — first arrival wins
+    *     within the stream, state bounded by the watermark (a crawl
+    *     frontier re-emits a URL within hours, not months; older keys are
+    *     already in the corpus table once the ingest compacts, which is
+    *     what makes the bounded state sound: the corpus side of stage 1
+    *     takes over exactly where the watermark evicts).
+    *
+    * The anti join runs first so only corpus-novel keys ever enter the
+    * dedup state store. Inputs: `fresh` streaming (…, ts, content_hash),
+    * `corpusKeys` static (content_hash). Output: the `keep` rows, ready
+    * for an idempotent append sink ([[idempotentParquetSink]]).
+    */
+  def incrementalDedup(fresh: DataFrame, corpusKeys: DataFrame): DataFrame =
+    fresh
+      .join(corpusKeys.select("content_hash"), Seq("content_hash"), "left_anti")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** H. Streaming heavy hitters — the streaming twin of q_heavy_hitters.
     * Each micro-batch tokenizes its documents and accumulates ONE bounded
     * SpaceSaving sketch (approx_top_k_accumulate), landed as a single

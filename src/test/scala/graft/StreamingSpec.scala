@@ -199,6 +199,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  case class FreshDoc(doc_id: Long, ts: Timestamp, content_hash: String)
+
+  test("streaming incremental dedup: corpus anti join + within-stream first-wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("H1", "H2").toDF("content_hash")
+    val mem = MemoryStream[FreshDoc]
+    val q = EventStream.incrementalDedup(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("inc_dedup_out")
+      .outputMode("append").start()
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    // batch 1: A hits the corpus, B is novel, C duplicates B in-batch
+    mem.addData(FreshDoc(1L, ts(0), "H1"), FreshDoc(2L, ts(1), "H3"),
+      FreshDoc(3L, ts(2), "H3"))
+    q.processAllAvailable()
+    // batch 2: D re-delivers H3 across micro-batches (inside the
+    // watermark -> state must still drop it), E is novel
+    mem.addData(FreshDoc(4L, ts(5), "H3"), FreshDoc(5L, ts(6), "H4"))
+    q.processAllAvailable()
+    val kept = spark.table("inc_dedup_out").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(2L, 5L), s"got $kept")
+    // parity with the batch operator's verdict classes on the same data:
+    // keep == NOT in_corpus AND NOT dup_in_batch, first occurrence wins
+    // (arrival order here == doc_id order, the batch tie-break)
+    val batchKeep = Seq((1L, "H1"), (2L, "H3"), (3L, "H3"), (4L, "H3"), (5L, "H4"))
+      .toDF("doc_id", "content_hash")
+      .join(corpus, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batchKeep, s"stream $kept vs batch $batchKeep")
+  }
+
   test("stateful sessionization closes sessions on gap and emits on later batch") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
