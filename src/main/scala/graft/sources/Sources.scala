@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface. The reference lands API extracts (YouTube/Spotify
@@ -63,6 +64,56 @@ object Sources {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-curve value of two columns: quantize each to `bits` bits over its
+    * [mn, mx] value range (exact integer arithmetic — floor division, no
+    * doubles), then interleave the bits so nearby (a, b) points get
+    * nearby z-values. Pure builtin bit ops (shift/and/or), so the whole
+    * thing stays inside whole-stage codegen — no UDF, no custom
+    * Expression needed.
+    */
+  def zValue(a: Column, b: Column, aMin: Long, aMax: Long,
+      bMin: Long, bMax: Long, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    def quant(c: Column, mn: Long, mx: Long): Column =
+      ((c.cast("long") - lit(mn)) * lit(1L << bits)) / lit(mx - mn + 1)
+    val qa = quant(a, aMin, aMax)
+    val qb = quant(b, bMin, bMax)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(qa, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(qb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order clustered parquet write — the multi-dimensional layout
+    * optimization for tables filtered on MORE than one column. A sort on
+    * one key gives that key perfect file locality and the other key none
+    * (a predicate on the second key must read every file); clustering on
+    * the z-curve gives BOTH keys ~√-fraction locality, so min/max
+    * statistics (parquet row-group/file footers, the same stats every
+    * lakehouse skips by) prune scans on either dimension. At 100 TB this
+    * is the difference between "point-ish queries read a few files" and
+    * "every query on the non-sort key is a full scan".
+    *
+    * Layout: range-partition on the z-value (contiguous z-ranges =
+    * bounded rectangles in (a, b) space, one per output file), sort
+    * within partitions so row-group stats are tight too. The column
+    * ranges come from one cheap stats agg (at scale: catalog/footer
+    * stats — the write itself is one narrow pass + the range shuffle).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int, bits: Int = 8): Unit = {
+    val r = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    val z = zValue(col(colA), col(colB),
+      r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Streaming sink: append stream to partitioned parquet with
     * checkpointing (exactly-once file sink).
