@@ -199,10 +199,42 @@ object Similarity {
     None
   )
 
+  /** The rep-level near-dup graph behind [[embedPairs]] and
+    * [[semanticDedup]]: `members` maps every vec_id to its exact-dup
+    * group representative (the group's min vec_id), `reps` is one row
+    * per distinct vector, `repPairs` the qualifying near-dup pairs
+    * BETWEEN representatives (cosine ≥ τ, both orientations normalized
+    * to rep_a < rep_b).
+    */
+  private[graft] case class EmbedGraph(
+      members: DataFrame, reps: DataFrame, repPairs: DataFrame)
+
   /** The q_dedup_embed dataflow, unsorted — shared by the registered
     * query and [[semanticDedup]]'s component graph.
     */
   private[graft] def embedPairs(s: SparkSession, d: String): DataFrame = {
+    val EmbedGraph(members, e, repPairs) = embedGraph(s, d)
+    val cross = repPairs
+      .join(members.select(col("rep").as("rep_a"), col("vec_id").as("ia")), "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("vec_id").as("ib")), "rep_b")
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"), col("cosine"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+      .join(e.as("g"), col("x.rep") === col("g.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (Vectors.dot(col("g.v"), col("g.v")) / (col("g.nrm") * col("g.nrm"))).as("cosine"))
+      // parity with the direct plan, NaN included: Spark's double
+      // ordering ranks NaN above every value, so a zero vector's NaN
+      // cosine satisfies >= tau here exactly as it would in the
+      // all-pairs plan (and in DuckDB) — the filter preserves behavior,
+      // it does not exclude NaN pairs
+      .where(col("cosine") >= dedupTau)
+    cross.union(within)
+  }
+
+  private[graft] def embedGraph(s: SparkSession, d: String): EmbedGraph = {
       // Exact-duplicate pre-collapse, the embedding twin of
       // Dedup.collapseExact: identical vectors (the k×-duplicated-page
       // norm — every copy embeds to the same point) share every band
@@ -263,24 +295,7 @@ object Similarity {
         .select(col("vec_a").as("rep_a"), col("vec_b").as("rep_b"),
           (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
         .where(col("cosine") >= dedupTau)
-      val cross = repPairs
-        .join(members.select(col("rep").as("rep_a"), col("vec_id").as("ia")), "rep_a")
-        .join(members.select(col("rep").as("rep_b"), col("vec_id").as("ib")), "rep_b")
-        .select(least(col("ia"), col("ib")).as("vec_a"),
-          greatest(col("ia"), col("ib")).as("vec_b"), col("cosine"))
-      val within = members.as("x")
-        .join(members.as("y"),
-          col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
-        .join(e.as("g"), col("x.rep") === col("g.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-          (Vectors.dot(col("g.v"), col("g.v")) / (col("g.nrm") * col("g.nrm"))).as("cosine"))
-        // parity with the direct plan, NaN included: Spark's double
-        // ordering ranks NaN above every value, so a zero vector's NaN
-        // cosine satisfies >= tau here exactly as it would in the
-        // all-pairs plan (and in DuckDB) — the filter preserves behavior,
-        // it does not exclude NaN pairs
-        .where(col("cosine") >= dedupTau)
-      cross.union(within)
+      EmbedGraph(members, e, repPairs)
   }
 
   /** G. SemDeDup-style semantic dedup decision: connected components
@@ -292,19 +307,37 @@ object Similarity {
     * components are [[Dedup.connectedComponents]]'s pointer-jumping
     * O(log diameter) propagation, so the whole operator is
     * candidate-capped joins + O(E)-per-round label passes — no corpus
-    * broadcast, no quadratic stage. Output mirrors q_dedup_clusters:
-    * (vec_id, cluster_id, cluster_size, is_dup), keep = cluster_id ==
-    * vec_id. Approximate (inherits LSH candidate recall) ⇒ rows-only
-    * driver check; the spec replays the emitted pair graph through a
-    * local union-find and asserts the labels are EXACTLY its closure.
+    * broadcast, no quadratic stage.
+    *
+    * CC runs on the REP graph, not the member-expanded pair list (r6):
+    * a k×-duplicated corpus expands every qualifying rep pair to k²
+    * member pairs, so iterating labels over the expanded graph multiplies
+    * every propagation round's edge join by k² for zero information —
+    * the expansion is closure-preserving by construction (each exact-dup
+    * group is a clique through its rep, rep pairs are the only
+    * inter-group edges). Labels solved on distinct vectors then expand
+    * to members with ONE join; the rep is its group's min vec_id, so the
+    * rep-graph component minimum IS the member-graph component minimum
+    * and the output is row-identical to CC over [[embedPairs]] (spec
+    * replays the emitted pairs through a local union-find and asserts
+    * exactly that). At the 100× smoke this is the difference between
+    * propagating 10,000× redundant edges per round and propagating the
+    * sf0.1-sized graph.
+    *
+    * Output mirrors q_dedup_clusters: (vec_id, cluster_id, cluster_size,
+    * is_dup), keep = cluster_id == vec_id. Approximate (inherits LSH
+    * candidate recall) ⇒ rows-only driver check.
     */
   val semanticDedup: Q = Q(
     "q_dedup_semantic",
     (s, d) => {
-      Dedup.connectedComponents(
-        vecsRaw(s, d).select(col("vec_id").as("id")),
-        embedPairs(s, d).select(col("vec_a").as("a"), col("vec_b").as("b")))
-        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      val EmbedGraph(members, reps, repPairs) = embedGraph(s, d)
+      val repLabels = Dedup.connectedComponents(
+        reps.select(col("vec_id").as("id")),
+        repPairs.select(col("rep_a").as("a"), col("rep_b").as("b")))
+      members
+        .join(repLabels, members("rep") === repLabels("id"))
+        .select(col("vec_id"), col("label").as("cluster_id"))
         .transform(Dedup.withClusterSize)
         .withColumn("is_dup", col("vec_id") =!= col("cluster_id"))
         .transform(Det.sortAll)
