@@ -562,8 +562,11 @@ object Dedup {
     * Plan shape at scale: spans are 8-byte xxhash64 values (the ngram-
     * family convention — the oracle joins the strings; a 64-bit
     * collision would fail the hash gate), with each occurrence's global
-    * order encoded as ONE long (doc_id·2^20 + pos, positions < 2^20 —
-    * no struct ordering needed cross-engine). The per-(span, doc)
+    * order encoded as ONE long (doc_id·2^20 + pos — no struct ordering
+    * needed cross-engine; the pos < 2^20 ∧ doc_id < 2^43 precondition
+    * is enforced with raise_error, because an overflow here would
+    * corrupt first-occurrence attribution identically in both engines
+    * and slip the hash gate). The per-(span, doc)
     * collapse is the only occurrence-sized aggregation and its partial
     * agg combines map-side; corpus-global span stats are a second
     * groupBy over the collapsed rows — groupBys + an AQE-skew-splittable
@@ -597,7 +600,18 @@ object Dedup {
             "xxhash64(concat_ws(' ', w[i],w[i+1],w[i+2],w[i+3],w[i+4],w[i+5],w[i+6],w[i+7])))"))
           .as(Seq("pos", "hg")))
         .select(col("doc_id"), col("hg"),
-          (col("doc_id") * lit(1048576L) + col("pos")).as("ord"))
+          // the packing precondition is ENFORCED, not assumed: a doc
+          // with ≥ 2^20 spans (~a few MB of text — plausible in a web
+          // corpus) or a doc_id ≥ 2^43 would bleed ord into the next
+          // document's range, silently mis-attributing the corpus-global
+          // first occurrence — and the oracle uses the identical
+          // formula, so the hash gate could never catch it. Fail loud.
+          when(col("pos") < lit(1048576L) &&
+              col("doc_id").between(0L, Long.MaxValue / 1048576L - 1L),
+            col("doc_id") * lit(1048576L) + col("pos"))
+            .otherwise(raise_error(concat(
+              lit("q_dedup_span ord packing out of range: doc_id="),
+              col("doc_id"), lit(" pos="), col("pos")))).as("ord"))
       val g2 = g.groupBy("hg", "doc_id")
         .agg(count(lit(1)).as("occ_d"), min("ord").as("min_ord_d"))
       val stats = g2.groupBy("hg")

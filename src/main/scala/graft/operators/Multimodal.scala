@@ -63,7 +63,9 @@ object Multimodal {
     *    lengths until a SOFn frame header (C0–CF minus C4/C8/CC), which
     *    carries precision(1), height(2), width(2) after the length; stops
     *    at SOS — dimensions must precede entropy-coded data.
-    *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
+    *  - GIF: "GIF87a"/"GIF89a" magic AND the mandatory 0x3B trailer as
+    *    the final byte (the magic alone is printable ASCII, so text can
+    *    start with it), then the logical screen descriptor's
     *    little-endian width at offset 6, height at 8.
     *
     * None for anything else (malformed media included) — never a guess.
@@ -78,9 +80,17 @@ object Multimodal {
         u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
         b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
       Some((be32(16), be32(20)))
-    } else if (b.length >= 10 &&
+    } else if (b.length >= 13 &&
         b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
-        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a' &&
+        u8(b.length - 1) == 0x3b) {
+      // Unlike PNG's 0x89 and JPEG's 0xFF, the GIF magic is printable
+      // ASCII — a text document can legitimately START with "GIF89a".
+      // Requiring the full logical screen descriptor AND the mandatory
+      // 0x3B trailer as the final byte means a misidentified text doc
+      // must both open with the magic and end with ";" — the same
+      // residual ambiguity file(1)-style sniffing accepts. PNG/JPEG need
+      // no such tie-break: their signatures cannot occur in UTF-8 text.
       Some((le16(6), le16(8)))
     } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2

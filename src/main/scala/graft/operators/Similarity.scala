@@ -699,11 +699,12 @@ object Similarity {
     * broadcast the 20 queries each carrying its PqLut ADC table → score
     * every (query, code) pair → ADC top-[[pqRescore]] per query through
     * the skinny id/score window (the same Exchange shape as q_ann_topk's,
-    * on 3-column rows) → exact-cosine rescore of the ≤20·32 survivors via
+    * on 3-column rows) → exact-cosine rescore of the ≤20·[[pqRescore]]
+    * survivors via
     * broadcast joins → top-5. Unlike IVF/LSH the candidate set is the
     * whole corpus (scan-model ANN, no bucketing), so recall loss comes
     * only from quantization error in the ADC ranking — the exact rescore
-    * then re-ranks the survivors, and only an ADC top-32 miss of a true
+    * then re-ranks the survivors, and only an ADC top-[[pqRescore]] miss of a true
     * top-5 neighbor costs recall (measured ≥0.9 in the spec).
     * Approximate ⇒ rows-only driver check; specs pin the kernel against a
     * local reference, the k-bound, and the recall floor vs brute force.

@@ -65,18 +65,34 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Z-curve value of two columns: quantize each to `bits` bits over its
-    * [mn, mx] value range (exact integer arithmetic — floor division, no
-    * doubles), then interleave the bits so nearby (a, b) points get
-    * nearby z-values. Pure builtin bit ops (shift/and/or), so the whole
-    * thing stays inside whole-stage codegen — no UDF, no custom
-    * Expression needed.
+  /** Z-curve value of two columns: quantize each to at most `bits` bits
+    * over its [mn, mx] value range, then interleave the bits so nearby
+    * (a, b) points get nearby z-values. Pure builtin bit ops
+    * (subtract/shift/and/or), so the whole thing stays inside whole-stage
+    * codegen — no UDF, no custom Expression needed.
+    *
+    * Quantization is a subtract and a RIGHT SHIFT by the smallest s with
+    * (mx−mn)>>s < 2^bits — power-of-two bucket widths, exact long
+    * arithmetic end to end. (A multiply-then-divide quantizer overflows
+    * the long once mx−mn ≥ 2^(63−bits) — e.g. nanosecond-epoch
+    * timestamps — and `Column./` is IEEE double division, which rounds
+    * across bucket boundaries past 2^53; either failure silently
+    * destroys the clustering this function exists for.) Non-power-of-two
+    * ranges use between 2^(bits−1) and 2^bits buckets — same asymptotic
+    * locality, never a wrong bucket.
     */
   def zValue(a: Column, b: Column, aMin: Long, aMax: Long,
       bMin: Long, bMax: Long, bits: Int = 8): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    def quant(c: Column, mn: Long, mx: Long): Column =
-      ((c.cast("long") - lit(mn)) * lit(1L << bits)) / lit(mx - mn + 1)
+    require(aMax >= aMin && bMax >= bMin, "empty column range")
+    require(BigInt(aMax) - BigInt(aMin) <= Long.MaxValue &&
+      BigInt(bMax) - BigInt(bMin) <= Long.MaxValue,
+      "column span must fit in a signed 64-bit range")
+    def quant(c: Column, mn: Long, mx: Long): Column = {
+      val range = mx - mn
+      val s = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(range) - bits)
+      shiftright(c.cast("long") - lit(mn), s)
+    }
     val qa = quant(a, aMin, aMax)
     val qb = quant(b, bMin, bMax)
     (0 until bits).map { i =>
@@ -106,6 +122,13 @@ object Sources {
     val r = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // zero rows (or an all-null cluster column): nothing to cluster —
+      // write the empty/unclustered table instead of NPE-ing on the
+      // null min/max
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val z = zValue(col(colA), col(colB),
       r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), bits)
     df.withColumn("_z", z)

@@ -332,9 +332,10 @@ class OperatorsSpec extends SparkSpec {
     assert(annRecall >= 0.8, s"ann_lsh sf0.1 recall $annRecall below 0.8 floor")
 
     // PQ at the same scale point: quantization error is size-independent
-    // (per-subspace codebooks retrain per corpus) but the ADC top-32
-    // rescore set is a 156×-smaller fraction of n=5000 than of n=500, so
-    // measure that the rescore margin still clears the family floor
+    // (per-subspace codebooks retrain per corpus) but the ADC
+    // top-pqRescore rescore set is a 10×-smaller fraction of n=5000 than
+    // of n=500, so measure that the rescore margin still clears the
+    // family floor
     val pq = Similarity.annPq.run(spark, dir).select("query_id", "neighbor_id")
     val pqRecall = pq.intersect(bruteTop).count().toDouble / bruteTop.count()
     info(f"ann_pq recall at sf0.1: $pqRecall%.3f")
@@ -444,7 +445,7 @@ class OperatorsSpec extends SparkSpec {
   test("PQ ANN: k-bound per query, exact-rescore recall floor vs brute force") {
     // PQ scans the whole corpus (no bucketing), so recall loss can come
     // ONLY from the quantized ADC ranking dropping a true top-5 neighbor
-    // out of its top-32 rescore set — measure it against the exact scan
+    // out of its top-pqRescore rescore set — measure against the exact scan
     val dir = "/root/testdata/sf0.01"
     val pq = Similarity.annPq.run(spark, dir).cache()
     try {
@@ -545,14 +546,17 @@ class OperatorsSpec extends SparkSpec {
     val badPng = png.take(20)
     val badJpg = bytes(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0, 1, 2, 3)
     val txt = "plain text payload".getBytes("UTF-8")
+    // the GIF magic is printable ASCII — a text doc can start with it;
+    // without the mandatory 0x3B trailer it must take the fallback
+    val gifText = "GIF89a is a 1989 image format".getBytes("UTF-8")
     val rows = Seq(1L -> png, 2L -> jpg, 3L -> gif,
-      4L -> txt, 5L -> badPng, 6L -> badJpg)
+      4L -> txt, 5L -> badPng, 6L -> badJpg, 7L -> gifText)
     val out = Multimodal.decodeBatch(rows.iterator)
       .map(m => m.doc_id -> m).toMap
     assert((out(1L).width, out(1L).height, out(1L).frames) == ((100, 50, 1)))
     assert((out(2L).width, out(2L).height, out(2L).frames) == ((640, 480, 1)))
     assert((out(3L).width, out(3L).height, out(3L).frames) == ((12, 34, 1)))
-    for (id <- Seq(4L, 5L, 6L)) {
+    for (id <- Seq(4L, 5L, 6L, 7L)) {
       val n = rows.toMap.apply(id).length
       assert((out(id).width, out(id).height, out(id).frames) ==
         ((n % 640 + 16, n % 480 + 16, n % 24 + 1)), s"fallback for doc $id")

@@ -91,6 +91,27 @@ class SourcesSpec extends SparkSpec {
         .where(col("b").between(100L, 115L)).count())
   }
 
+  test("z-ordered write survives empty input; quantization is exact at wide ranges") {
+    val tmp = Files.createTempDirectory("graftz2").toString
+    // zero rows: min/max agg yields nulls — must write the empty table,
+    // not NPE on Row.getLong
+    val empty = spark.range(0).select(col("id").as("a"), col("id").as("b"))
+    Sources.writeZOrdered(empty, s"$tmp/empty", "a", "b", files = 4)
+    assert(spark.read.parquet(s"$tmp/empty").count() == 0)
+    // near-full-long span (a multiply-then-divide quantizer overflows at
+    // spans >= 2^(63-bits); IEEE-double division rounds across bucket
+    // boundaries past 2^53): extremes and midpoint must land in
+    // distinct, ordered, in-range buckets with min at z=0
+    val mn = Long.MinValue / 2 + 1
+    val mx = Long.MaxValue / 2
+    val z = Seq(mn, mn + (mx - mn) / 2, mx).toDF("a").withColumn("b", col("a"))
+      .select(Sources.zValue(col("a"), col("b"), mn, mx, mn, mx, 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z(0) == 0L, s"min value must quantize to bucket 0, got ${z(0)}")
+    assert(z.sameElements(z.sorted) && z.distinct.length == 3, z.mkString(","))
+    assert(z.forall(v => v >= 0L && v < (1L << 16)), z.mkString(","))
+  }
+
   test("bucketed table join plans without a shuffle on the bucket key") {
     // the in-memory catalog is fresh per JVM but the warehouse directory
     // persists on disk — clear both before re-creating the tables
