@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Q, T}
+
+/** Training-run corpus assembly: the step AFTER filtering/dedup where the
+  * surviving documents become an actual training run — packed into
+  * fixed-length sequences and re-weighted across languages/sources.
+  * Both are first-class large-scale pipeline ops (the reference has no
+  * analogue; these extend the LLM-data surface like the dedup/ANN
+  * families do).
+  */
+object Assembly {
+
+  /** Whitespace token count — q_token_count's ws_tokens expression, the
+    * packing currency.
+    */
+  private def nTok = size(split(trim(col("text")), " +")).cast("long")
+
+  /** Training sequence length (tokens). Small vs the ~24-token synthetic
+    * docs' scale so packing exercises both multi-doc sequences and
+    * multi-sequence docs.
+    */
+  private[graft] val seqLen = 128L
+
+  /** G. Sequence packing — GPT-style concat-and-chunk: documents are
+    * concatenated in doc_id order and the token stream is split into
+    * fixed [[seqLen]]-token training sequences; each document reports the
+    * sequence span it lands in (first/last sequence id, offset in its
+    * first sequence, how many sequences it touches). This is the
+    * assembly step's bookkeeping: which documents co-occupy a sequence
+    * (attention-contamination checks), which straddle a boundary
+    * (truncation accounting), how many total sequences a corpus yields.
+    *
+    * The global running token count is a distributed two-phase prefix
+    * sum — NO single-reducer global window (the naive
+    * `Window.orderBy(doc_id)` with no partition key is one task holding
+    * the whole corpus):
+    *
+    *  1. bucket documents by a DETERMINISTIC arithmetic range of doc_id
+    *     (bucket = (doc_id − min) div width, width sized from one cheap
+    *     min/max stats agg so ~shuffle-parallelism buckets come out);
+    *     within each bucket a per-bucket window computes the local
+    *     running sum — the only corpus-sized Exchange, hash on bucket;
+    *  2. per-bucket totals (a groupBy collapsing to ≤ a few thousand
+    *     rows at any scale) come to the driver — partition METADATA, the
+    *     same driver-size class as range-partition boundary sampling —
+    *     and an exclusive scan turns them into per-bucket offsets,
+    *     broadcast-joined back.
+    *
+    * The bucket function is pure doc_id arithmetic, so the decomposition
+    * is identical on every (re-)execution — correctness does NOT depend
+    * on physical partition placement (a spark_partition_id()-keyed
+    * variant would silently corrupt offsets if the totals job re-sampled
+    * different range boundaries than the window job, which runs as a
+    * separate execution). The skinny tokenized projection is cached so
+    * the text column is scanned/tokenized once across the two phases.
+    * Dense-ish doc_ids keep buckets balanced (true here by construction;
+    * a sparse-id corpus would size buckets from quantile sketches
+    * instead — same two phases).
+    *
+    * All outputs are exact longs (floor div / mod of exact token
+    * counts) → hash-checked against the oracle's global-window
+    * formulation, which proves the two-phase decomposition equals the
+    * single-pass prefix sum.
+    */
+  val packSequences: Q = Q(
+    "q_pack_sequences",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), nTok.as("n_tok"))
+      // one cheap stats pass over the pruned doc_id column (at scale:
+      // parquet footer / catalog stats) sizes the bucket width
+      val stats = toks.agg(min("doc_id"), max("doc_id")).head()
+      val (mnId, mxId) =
+        if (stats.isNullAt(0)) (0L, 0L) else (stats.getLong(0), stats.getLong(1))
+      val nBuckets = math.max(1, s.sparkContext.defaultParallelism)
+      val width = math.max(1L, (mxId - mnId) / nBuckets + 1L)
+      // `div`, not Column./ (IEEE double division) — exact long floor
+      // division; monotone in doc_id, so bucket ranges stay contiguous.
+      // cache(): the skinny (doc_id, n_tok, bucket) projection is
+      // ~24 B/doc (≈0.1% of corpus bytes) — caching it means the text
+      // column is scanned and tokenized ONCE (the totals job populates,
+      // the final plan reads), instead of once per phase
+      val bucketed = toks
+        .withColumn("bucket", expr(s"(doc_id - ${mnId}L) div ${width}L"))
+        .cache()
+      val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = bucketed.withColumn("run", sum("n_tok").over(wLocal))
+      // phase 2: exclusive scan over the ≤nBuckets bucket totals
+      val offsets = bucketed.groupBy("bucket").agg(sum("n_tok").as("tot"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, tot)) => (b, acc + tot) }
+        .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
+      val offDf = s.createDataFrame(offsets).toDF("bucket", "bucket_off")
+      local.join(broadcast(offDf), "bucket")
+        .withColumn("tok_start", col("bucket_off") + col("run") - col("n_tok"))
+        .selectExpr("doc_id", "n_tok", "tok_start",
+          s"tok_start div $seqLen as seq_first",
+          s"(tok_start + n_tok - 1) div $seqLen as seq_last",
+          s"tok_start % $seqLen as seq_off",
+          s"(tok_start + n_tok - 1) div $seqLen - tok_start div $seqLen + 1 as n_seqs")
+        .transform(Det.sortAll)
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+            |  FROM documents WHERE doc_id IS NOT NULL
+            |), c AS (
+            |  SELECT doc_id, n_tok,
+            |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+            |  FROM t
+            |)
+            |SELECT doc_id, n_tok, tok_start,
+            |       tok_start // $seqLen AS seq_first,
+            |       (tok_start + n_tok - 1) // $seqLen AS seq_last,
+            |       tok_start % $seqLen AS seq_off,
+            |       (tok_start + n_tok - 1) // $seqLen - tok_start // $seqLen + 1 AS n_seqs
+            |FROM c ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. Temperature-based mixture reweighting (the multinomial
+    * language/source sampling of XLM-R / mC4, α = 0.5): per-language
+    * document share p_i is flattened to p_i^α and renormalized, so
+    * low-resource languages are up-sampled and the head is down-sampled;
+    * `resample_factor` = weight/share is the per-language multiplier a
+    * sampler (e.g. q_sample_stratified's deterministic hash buckets)
+    * applies. α = 0.5 keeps every emitted double on the
+    * exactly-reproducible path: sqrt IS correctly rounded in IEEE 754
+    * (a general pow(x, α) is not, and could differ cross-engine in the
+    * last ulp), counts are exact longs, and the normalizing sum folds
+    * the per-language terms LEFT-TO-RIGHT in sorted-language order via
+    * an explicit array fold on both engines — no engine-chosen
+    * aggregation order on doubles, so even the weight column
+    * hash-matches.
+    *
+    * Scale shape: one map-side-combined groupBy to a language-sized
+    * frame (tens of rows), then driver-free tiny ops — the corpus is
+    * touched once, narrowly.
+    */
+  val mixWeights: Q = Q(
+    "q_mix_weights",
+    (s, d) => {
+      val counts = T.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))
+      val tot = counts.agg(
+        sum("n_docs").cast("long").as("n_total"),
+        expr("aggregate(transform(array_sort(collect_list(struct(lang, n_docs))), " +
+          "x -> sqrt(cast(x.n_docs as double))), cast(0.0 as double), (s, x) -> s + x)")
+          .as("denom"))
+      // the NLJ here broadcasts exactly ONE aggregated row against the
+      // language-sized counts frame (PlanGuard-allowlisted on that
+      // construction bound; a constant-key equi join just gets folded
+      // back to this same plan)
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_total"),
+          (col("n_docs").cast("double") / col("n_total").cast("double")).as("share"),
+          (sqrt(col("n_docs").cast("double")) / col("denom")).as("weight"))
+        .withColumn("resample_factor", col("weight") / col("share"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH c AS (
+            |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+            |), t AS (
+            |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+            |         list_reduce(list_transform(list(n_docs ORDER BY lang),
+            |           x -> sqrt(CAST(x AS DOUBLE))), (s, x) -> s + x) AS denom
+            |  FROM c
+            |)
+            |SELECT c.lang, c.n_docs, t.n_total,
+            |       CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+            |       sqrt(CAST(c.n_docs AS DOUBLE)) / t.denom AS weight,
+            |       (sqrt(CAST(c.n_docs AS DOUBLE)) / t.denom) /
+            |         (CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)) AS resample_factor
+            |FROM c, t ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(packSequences, mixWeights)
+}

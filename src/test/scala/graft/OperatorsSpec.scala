@@ -640,4 +640,44 @@ class OperatorsSpec extends SparkSpec {
         col("start_ms") - col("prev_end") <= 1800000L)
     assert(bad.count() == 0)
   }
+
+  test("sequence packing: two-phase prefix sum tiles the token stream exactly") {
+    // replay the concat-and-chunk sequentially on the driver and assert
+    // the distributed bucket decomposition produced the identical global
+    // offsets — no gaps, no overlaps, consistent sequence spans
+    val rows = Assembly.packSequences.run(spark, sfDir)
+      .select("doc_id", "n_tok", "tok_start", "seq_first", "seq_last",
+        "seq_off", "n_seqs")
+      .orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    val L = Assembly.seqLen
+    var cum = 0L
+    for (r <- rows) {
+      val (nTok, start) = (r.getLong(1), r.getLong(2))
+      assert(start == cum, s"doc ${r.getLong(0)}: tok_start $start != $cum")
+      assert(r.getLong(3) == start / L && r.getLong(5) == start % L)
+      assert(r.getLong(4) == (start + nTok - 1) / L)
+      assert(r.getLong(6) == r.getLong(4) - r.getLong(3) + 1)
+      cum += nTok
+    }
+    // the corpus straddles sequence boundaries somewhere (else the
+    // packing exercise is vacuous at this seqLen)
+    assert(rows.exists(_.getLong(6) > 1), "no doc spans a sequence boundary")
+  }
+
+  test("mixture reweighting: normalized, anti-monotone temperature flattening") {
+    val rows = Assembly.mixWeights.run(spark, sfDir).collect()
+    assert(rows.length > 1)
+    def sumOf(c: String) = rows.map(_.getAs[Double](c)).sum
+    assert(math.abs(sumOf("share") - 1.0) < 1e-12)
+    assert(math.abs(sumOf("weight") - 1.0) < 1e-12)
+    // α = 0.5 flattening: the resample factor strictly decreases as the
+    // language count grows (low-resource up-sampled, head down-sampled)
+    val byCount = rows.sortBy(_.getAs[Long]("n_docs"))
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Double]("resample_factor")))
+    for (Array((nA, fA), (nB, fB)) <- byCount.sliding(2) if nA < nB)
+      assert(fA > fB, s"factor not anti-monotone: ($nA,$fA) vs ($nB,$fB)")
+    // and the head language is actually down-sampled on this corpus
+    assert(byCount.last._2 < 1.0 && byCount.head._2 > 1.0)
+  }
 }

@@ -29,8 +29,10 @@ class PlanGuardSpec extends SparkSpec {
   // (≤ spark.sql.shuffle.partitions rows)
   // (q_ann_pq's NLJ broadcasts the 20 queries + their m·ksub-double ADC
   // tables — same bounded query-set shape as q_ann_topk)
+  // (q_mix_weights broadcasts ONE global-aggregate row against the
+  // language-sized counts frame)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_ann_pq", "q_mart_union")
+    "q_ann_pq", "q_mart_union", "q_mix_weights")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {
@@ -135,6 +137,21 @@ class PlanGuardSpec extends SparkSpec {
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
     assert(shuffles.forall(_.outputPartitioning.isInstanceOf[RangePartitioning]),
       s"q_substring_score has a non-sort Exchange:\n$plan")
+  }
+
+  test("q_pack_sequences: the only data Exchange is the bucket hash (no global window)") {
+    // the two-phase prefix sum exists to avoid a single-reducer global
+    // window: pin that the final plan's corpus-sized shuffles are exactly
+    // one hash Exchange on the deterministic bucket key (the broadcast
+    // offset join adds none), plus the output sort
+    val q = SparkEntry.registry.find(_.name == "q_pack_sequences").get
+    // executedPlan string, not a node collect: AdaptiveSparkPlanExec
+    // hides the prepared plan from TreeNode traversal
+    val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+    val hashKeys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(hashKeys == List("bucket"),
+      s"expected exactly one hash Exchange keyed on bucket, got $hashKeys:\n$plan")
   }
 
   test("output-order contract: every query ends in a total sort, every oracle in ORDER BY ALL") {
