@@ -178,5 +178,53 @@ object Assembly {
             |FROM c, t ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(packSequences, mixWeights)
+  /** G. Deterministic global shuffle order — the training-order
+    * randomization step: every document gets its rank in a pseudorandom
+    * permutation of the corpus (the order a sequential trainer would
+    * read it in). The permutation key is md5(doc_id) — the same
+    * cross-engine-exact device q_sample_stratified uses; a real pipeline
+    * salts the key with the epoch number to get a fresh permutation per
+    * epoch, same machinery. Reproducible end to end: re-running yields
+    * the identical order (no rand(), no partition-dependent state).
+    *
+    * Global ranking is the same single-reducer-free two-phase shape as
+    * [[packSequences]]: the first 2 hex chars of the key form 256
+    * DETERMINISTIC buckets whose numeric order equals the key's
+    * lexicographic order (hex prefix ⇒ bucket boundaries are contiguous
+    * key ranges); a per-bucket window ranks locally, bucket counts come
+    * to the driver for an exclusive scan, and the offsets broadcast
+    * back. At 1000-executor scale widen the prefix (4 hex chars = 65k
+    * buckets) — the offsets stay partition metadata. The oracle ranks
+    * with one global ROW_NUMBER, so the hash match proves the bucketed
+    * decomposition equals the sequential permutation rank.
+    */
+  val shuffleOrder: Q = Q(
+    "q_shuffle_order",
+    (s, d) => {
+      val keyed = T.documents(s, d)
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("sk"))
+        .withColumn("bucket", conv(substring(col("sk"), 1, 2), 16, 10).cast("long"))
+        .cache()
+      val wLocal = Window.partitionBy("bucket").orderBy("sk", "doc_id")
+      val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+        .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
+      val offDf = s.createDataFrame(offsets).toDF("bucket", "bucket_off")
+      keyed.join(broadcast(offDf), "bucket")
+        .select(col("doc_id"), col("sk"),
+          (col("bucket_off") + row_number().over(wLocal)).cast("long").as("train_rank"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk
+            |  FROM documents WHERE doc_id IS NOT NULL
+            |)
+            |SELECT doc_id, sk,
+            |       CAST(ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS BIGINT) AS train_rank
+            |FROM t ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(packSequences, mixWeights, shuffleOrder)
 }

@@ -665,6 +665,23 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(6) > 1), "no doc spans a sequence boundary")
   }
 
+  test("shuffle order: a bijective, dispersing permutation of the corpus") {
+    val rows = Assembly.shuffleOrder.run(spark, sfDir).collect()
+    val n = rows.length
+    assert(n > 0)
+    // ranks are exactly 1..N — the bucketed two-phase ranking produced a
+    // true permutation (no gap, no collision)
+    assert(rows.map(_.getAs[Long]("train_rank")).sorted.toSeq == (1L to n.toLong))
+    // and it disperses: a hash permutation leaves few doc_id-adjacent
+    // pairs rank-adjacent (identity/near-identity order would fail this)
+    val rankById = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("train_rank"))
+      .sortBy(_._1)
+    val adjacentClose = rankById.sliding(2)
+      .count { case Array((_, a), (_, b)) => math.abs(a - b) == 1L; case _ => false }
+    assert(adjacentClose < n / 10,
+      s"permutation looks near-identity: $adjacentClose/$n adjacent pairs")
+  }
+
   test("mixture reweighting: normalized, anti-monotone temperature flattening") {
     val rows = Assembly.mixWeights.run(spark, sfDir).collect()
     assert(rows.length > 1)

@@ -139,19 +139,21 @@ class PlanGuardSpec extends SparkSpec {
       s"q_substring_score has a non-sort Exchange:\n$plan")
   }
 
-  test("q_pack_sequences: the only data Exchange is the bucket hash (no global window)") {
-    // the two-phase prefix sum exists to avoid a single-reducer global
-    // window: pin that the final plan's corpus-sized shuffles are exactly
-    // one hash Exchange on the deterministic bucket key (the broadcast
-    // offset join adds none), plus the output sort
-    val q = SparkEntry.registry.find(_.name == "q_pack_sequences").get
-    // executedPlan string, not a node collect: AdaptiveSparkPlanExec
-    // hides the prepared plan from TreeNode traversal
-    val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
-    val hashKeys = "Exchange hashpartitioning\\((\\w+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toList
-    assert(hashKeys == List("bucket"),
-      s"expected exactly one hash Exchange keyed on bucket, got $hashKeys:\n$plan")
+  test("two-phase global ordering ops: the only data Exchange is the bucket hash (no global window)") {
+    // the two-phase prefix sum / rank exists to avoid a single-reducer
+    // global window: pin that each final plan's corpus-sized shuffles are
+    // exactly one hash Exchange on the deterministic bucket key (the
+    // broadcast offset join adds none), plus the output sort
+    for (name <- Seq("q_pack_sequences", "q_shuffle_order")) {
+      val q = SparkEntry.registry.find(_.name == name).get
+      // executedPlan string, not a node collect: AdaptiveSparkPlanExec
+      // hides the prepared plan from TreeNode traversal
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      val hashKeys = "Exchange hashpartitioning\\((\\w+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toList
+      assert(hashKeys == List("bucket"),
+        s"$name: expected exactly one hash Exchange keyed on bucket, got $hashKeys:\n$plan")
+    }
   }
 
   test("output-order contract: every query ends in a total sort, every oracle in ORDER BY ALL") {
