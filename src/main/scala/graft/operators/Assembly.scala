@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Q, T}
@@ -65,9 +66,11 @@ object Assembly {
     * formulation, which proves the two-phase decomposition equals the
     * single-pass prefix sum.
     */
-  val packSequences: Q = Q(
-    "q_pack_sequences",
-    (s, d) => {
+  /** The packing dataflow, unsorted, plus the corpus-total token count
+    * (free on the driver from the phase-2 bucket totals) — shared by
+    * [[packSequences]] and [[packManifest]].
+    */
+  private def packedDocs(s: SparkSession, d: String): (DataFrame, Long) = {
       val toks = T.documents(s, d)
         .where(col("doc_id").isNotNull)
         .select(col("doc_id"), nTok.as("n_tok"))
@@ -91,20 +94,25 @@ object Assembly {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = bucketed.withColumn("run", sum("n_tok").over(wLocal))
       // phase 2: exclusive scan over the ≤nBuckets bucket totals
-      val offsets = bucketed.groupBy("bucket").agg(sum("n_tok").as("tot"))
+      val totals = bucketed.groupBy("bucket").agg(sum("n_tok").as("tot"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = totals
         .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, tot)) => (b, acc + tot) }
         .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
       val offDf = s.createDataFrame(offsets).toDF("bucket", "bucket_off")
-      local.join(broadcast(offDf), "bucket")
+      val df = local.join(broadcast(offDf), "bucket")
         .withColumn("tok_start", col("bucket_off") + col("run") - col("n_tok"))
         .selectExpr("doc_id", "n_tok", "tok_start",
           s"tok_start div $seqLen as seq_first",
           s"(tok_start + n_tok - 1) div $seqLen as seq_last",
           s"tok_start % $seqLen as seq_off",
           s"(tok_start + n_tok - 1) div $seqLen - tok_start div $seqLen + 1 as n_seqs")
-        .transform(Det.sortAll)
-    },
+      (df, totals.map(_._2).sum)
+  }
+
+  val packSequences: Q = Q(
+    "q_pack_sequences",
+    (s, d) => packedDocs(s, d)._1.transform(Det.sortAll),
     Some(s"""WITH t AS (
             |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
             |  FROM documents WHERE doc_id IS NOT NULL
@@ -120,6 +128,58 @@ object Assembly {
             |       tok_start % $seqLen AS seq_off,
             |       (tok_start + n_tok - 1) // $seqLen - tok_start // $seqLen + 1 AS n_seqs
             |FROM c ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. Packing manifest — the per-SEQUENCE view of [[packSequences]]:
+    * for each fixed-length training sequence, which documents occupy it
+    * (count, first/last doc, how many documents START in it) and its
+    * token fill. This is the provenance lookup a trainer serves ("what
+    * is sequence s made of") and the attention-contamination audit
+    * surface (n_docs > 1 ⇒ cross-document attention inside the window
+    * unless the attention mask resets at doc boundaries). Derived by
+    * exploding each doc's [seq_first, seq_last] span — output rows
+    * ≈ n_docs + total_tokens/seqLen, linear — then one map-side-combined
+    * groupBy on seq_id; fill_tokens = least(seqLen, total − s·seqLen)
+    * with the corpus total already on the driver from packing phase 2
+    * (every sequence is full except possibly the last — concat-and-chunk
+    * has no padding waste; the manifest proves it).
+    */
+  val packManifest: Q = Q(
+    "q_pack_manifest",
+    (s, d) => {
+      val (docs, total) = packedDocs(s, d)
+      docs
+        .select(col("doc_id"), col("seq_first"),
+          explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("seq_first") === col("seq_id"), 1L).otherwise(0L))
+            .cast("long").as("n_starts"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .withColumn("fill_tokens",
+          least(lit(seqLen), lit(total) - col("seq_id") * lit(seqLen)))
+        .transform(Det.sortAll)
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+            |  FROM documents WHERE doc_id IS NOT NULL
+            |), c AS (
+            |  SELECT doc_id, n_tok,
+            |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+            |  FROM t
+            |), x AS (
+            |  SELECT doc_id, tok_start // $seqLen AS seq_first, u.seq_id
+            |  FROM c, UNNEST(range(tok_start // $seqLen,
+            |                       (tok_start + n_tok - 1) // $seqLen + 1)) AS u(seq_id)
+            |), tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM t)
+            |SELECT x.seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(CASE WHEN seq_first = seq_id THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+            |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+            |       LEAST($seqLen, t2.total - seq_id * $seqLen) AS fill_tokens
+            |FROM x, tot t2
+            |GROUP BY x.seq_id, t2.total ORDER BY ALL""".stripMargin)
   )
 
   /** G. Temperature-based mixture reweighting (the multinomial
@@ -226,5 +286,5 @@ object Assembly {
             |FROM t ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(packSequences, mixWeights, shuffleOrder)
+  val all: Seq[Q] = Seq(packSequences, packManifest, mixWeights, shuffleOrder)
 }

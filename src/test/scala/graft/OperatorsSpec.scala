@@ -665,6 +665,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(6) > 1), "no doc spans a sequence boundary")
   }
 
+  test("packing manifest: sequences fully tiled, consistent with the per-doc view") {
+    val docs = Assembly.packSequences.run(spark, sfDir).collect()
+    val man = Assembly.packManifest.run(spark, sfDir).collect()
+    val L = Assembly.seqLen
+    val total = docs.map(_.getAs[Long]("n_tok")).sum
+    // every sequence 0..ceil(total/L)-1 appears exactly once, and
+    // concat-and-chunk leaves every sequence full except possibly the last
+    val nSeqs = (total + L - 1) / L
+    assert(man.map(_.getAs[Long]("seq_id")).sorted.toSeq == (0L until nSeqs))
+    for (r <- man) {
+      val sid = r.getAs[Long]("seq_id")
+      assert(r.getAs[Long]("fill_tokens") == math.min(L, total - sid * L))
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_starts"))
+    }
+    // each document starts in exactly one sequence
+    assert(man.map(_.getAs[Long]("n_starts")).sum == docs.length.toLong)
+  }
+
   test("shuffle order: a bijective, dispersing permutation of the corpus") {
     val rows = Assembly.shuffleOrder.run(spark, sfDir).collect()
     val n = rows.length
