@@ -106,3 +106,21 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
+
+/** Registry of query-lifetime cache entries. Operators that cache an
+  * intermediate consumed by BOTH an eager phase (a driver collect) and
+  * the returned lazy plan (executed later by the caller's write) cannot
+  * unpersist inside the operator — the storage entry must outlive the
+  * operator call but not the query. They register the frame here, and the
+  * sequential harnesses (Bench / Verify) release after each query's write
+  * completes, so storage no longer accumulates across a 70+-query run and
+  * rely on LRU eviction (ADVICE r6). Tests and ad-hoc callers that never
+  * release simply fall back to that same eviction behavior.
+  */
+object CacheBag {
+  private val bag = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  def track(df: DataFrame): DataFrame = synchronized { df.cache(); bag += df; df }
+  def release(): Unit = synchronized {
+    bag.foreach(_.unpersist(blocking = false)); bag.clear()
+  }
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Det, Q, T}
+import graft.{CacheBag, Det, Q, T}
 
 /** Training-run corpus assembly: the step AFTER filtering/dedup where the
   * surviving documents become an actual training run — packed into
@@ -15,9 +15,19 @@ import graft.{Det, Q, T}
 object Assembly {
 
   /** Whitespace token count — q_token_count's ws_tokens expression, the
-    * packing currency.
+    * packing currency. Coalesced to 0 for null text: Spark's size(split)
+    * is NULL on null input while the oracle's windowed COALESCE(SUM…)
+    * would still emit a concrete tok_start for that row — the two
+    * formulations must agree on how a null-text doc packs (ADVICE r6;
+    * latent until a corpus carries null text). Zero tokens = the doc
+    * occupies no span, both engines.
     */
-  private def nTok = size(split(trim(col("text")), " +")).cast("long")
+  private def nTok =
+    coalesce(size(split(trim(col("text")), " +")).cast("long"), lit(0L))
+
+  /** The oracle-side twin of [[nTok]] — keep the two in sync. */
+  private val nTokSql =
+    "CAST(COALESCE(len(regexp_split_to_array(trim(text), ' +')), 0) AS BIGINT)"
 
   /** Training sequence length (tokens). Small vs the ~24-token synthetic
     * docs' scale so packing exercises both multi-doc sequences and
@@ -86,10 +96,11 @@ object Assembly {
       // cache(): the skinny (doc_id, n_tok, bucket) projection is
       // ~24 B/doc (≈0.1% of corpus bytes) — caching it means the text
       // column is scanned and tokenized ONCE (the totals job populates,
-      // the final plan reads), instead of once per phase
-      val bucketed = toks
-        .withColumn("bucket", expr(s"(doc_id - ${mnId}L) div ${width}L"))
-        .cache()
+      // the final plan reads), instead of once per phase. CacheBag-tracked:
+      // the entry must outlive this call (the returned plan reads it) but
+      // not the query — Bench/Verify release after each query's write.
+      val bucketed = CacheBag.track(toks
+        .withColumn("bucket", expr(s"(doc_id - ${mnId}L) div ${width}L")))
       val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = bucketed.withColumn("run", sum("n_tok").over(wLocal))
@@ -114,7 +125,7 @@ object Assembly {
     "q_pack_sequences",
     (s, d) => packedDocs(s, d)._1.transform(Det.sortAll),
     Some(s"""WITH t AS (
-            |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+            |  SELECT doc_id, $nTokSql AS n_tok
             |  FROM documents WHERE doc_id IS NOT NULL
             |), c AS (
             |  SELECT doc_id, n_tok,
@@ -149,8 +160,14 @@ object Assembly {
     (s, d) => {
       val (docs, total) = packedDocs(s, d)
       docs
+        // guard the degenerate zero-token doc (null text, n_seqs = 0 at a
+        // sequence boundary): Spark's sequence(a, b) with b < a counts
+        // DOWN while the oracle's range() is empty — explode of the
+        // empty-array branch drops the row on both engines identically
         .select(col("doc_id"), col("seq_first"),
-          explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+          explode(when(col("seq_last") >= col("seq_first"),
+            expr(s"sequence(seq_first, seq_last)"))
+            .otherwise(expr("cast(array() as array<bigint>)"))).as("seq_id"))
         .groupBy("seq_id")
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(when(col("seq_first") === col("seq_id"), 1L).otherwise(0L))
@@ -162,7 +179,7 @@ object Assembly {
         .transform(Det.sortAll)
     },
     Some(s"""WITH t AS (
-            |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+            |  SELECT doc_id, $nTokSql AS n_tok
             |  FROM documents WHERE doc_id IS NOT NULL
             |), c AS (
             |  SELECT doc_id, n_tok,
@@ -195,7 +212,12 @@ object Assembly {
     * the per-language terms LEFT-TO-RIGHT in sorted-language order via
     * an explicit array fold on both engines — no engine-chosen
     * aggregation order on doubles, so even the weight column
-    * hash-matches.
+    * hash-matches. The fold order pins nulls explicitly: Spark's
+    * array_sort on struct(lang, n_docs) places a null lang FIRST while
+    * DuckDB's ORDER BY defaults to NULLS LAST, so the oracle says
+    * NULLS FIRST — a null-lang group's sqrt term lands at the same end
+    * of the sum on both engines (ADVICE r6; latent until a corpus
+    * carries null lang).
     *
     * Scale shape: one map-side-combined groupBy to a language-sized
     * frame (tens of rows), then driver-free tiny ops — the corpus is
@@ -226,7 +248,7 @@ object Assembly {
             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
             |), t AS (
             |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
-            |         list_reduce(list_transform(list(n_docs ORDER BY lang),
+            |         list_reduce(list_transform(list(n_docs ORDER BY lang NULLS FIRST),
             |           x -> sqrt(CAST(x AS DOUBLE))), (s, x) -> s + x) AS denom
             |  FROM c
             |)
@@ -261,11 +283,10 @@ object Assembly {
   val shuffleOrder: Q = Q(
     "q_shuffle_order",
     (s, d) => {
-      val keyed = T.documents(s, d)
+      val keyed = CacheBag.track(T.documents(s, d)
         .where(col("doc_id").isNotNull)
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("sk"))
-        .withColumn("bucket", conv(substring(col("sk"), 1, 2), 16, 10).cast("long"))
-        .cache()
+        .withColumn("bucket", conv(substring(col("sk"), 1, 2), 16, 10).cast("long")))
       val wLocal = Window.partitionBy("bucket").orderBy("sk", "doc_id")
       val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

@@ -211,14 +211,15 @@ object EventStream {
     * (r5 paid the read twice on the common path). The cache entry is one
     * coalesced partition of sketch rows — bounded by batch count — and is
     * dropped eagerly on the empty path; on the non-empty path it backs
-    * the returned lazy plan and ages out under normal storage eviction.
+    * the returned lazy plan, so it is CacheBag-tracked and released by
+    * the sequential harnesses once the query's write completes (ADVICE
+    * r6: it previously relied on LRU eviction).
     */
   def heavyHittersEstimate(spark: SparkSession, outDir: String, k: Int = 20,
       budget: Int = 8192): DataFrame = {
-    val partials = spark.read.parquet(s"$outDir/data")
+    val partials = graft.CacheBag.track(spark.read.parquet(s"$outDir/data")
       .where(col("sk").isNotNull)
-      .coalesce(1)
-      .cache()
+      .coalesce(1))
     val estimated = partials
       .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $budget), $k)").as("top"))
       .select(explode(col("top")).as("e"))
