@@ -37,11 +37,14 @@ object MakeScale {
     // One scan per table; crossJoin with the tiny replica range broadcasts
     // the range side, so replication is a narrow map over the source scan.
     def replicate(t: String, keyCols: Seq[String], tsCols: Seq[String] = Nil): DataFrame = {
-      var df = load(t).crossJoin(broadcast(reps))
+      // events goes through T's encoding normalization (long nanos
+      // whether the source is TIMESTAMP(NANOS) or TIMESTAMP(MICROS)) so
+      // the nanos offset below is always long arithmetic
+      var df = (if (t == "events") T.events(spark, src) else load(t))
+        .crossJoin(broadcast(reps))
       for (k <- keyCols) df = df.withColumn(k, col(k) + col("rep") * Off)
       // Nudge timestamps per replica so event-time ops see distinct instants
-      // rather than `factor` perfectly coincident streams. events.ts is
-      // Long nanos under nanosAsLong (see GraftSession) — offset in nanos.
+      // rather than `factor` perfectly coincident streams — offset in nanos.
       for (c <- tsCols)
         df = df.withColumn(c, col(c) + col("rep") * 1000000000L)
       df.drop("rep")

@@ -49,7 +49,24 @@ object T {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** Events with `ts` normalized to LONG EPOCH NANOS regardless of the
+    * table's physical timestamp encoding. The driver's generator has
+    * shipped both TIMESTAMP(NANOS) (reads as long under the session's
+    * nanosAsLong flag) and TIMESTAMP(MICROS) (reads as timestamp_ntz) —
+    * every event-time operator computes on the one long-nanos axis, so
+    * the encoding difference must die here, not in each query. The
+    * micros→nanos widening is exact integer arithmetic (×1000); the NTZ
+    * cast interprets naive micros in the session's UTC zone, matching
+    * DuckDB's naive-timestamp epoch functions on the oracle side.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

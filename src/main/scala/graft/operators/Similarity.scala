@@ -531,28 +531,42 @@ object Similarity {
     */
   private[graft] def codebookRows(s: SparkSession, d: String,
       e: DataFrame): Array[(Long, Seq[Double], Double)] = {
+    val n = math.max(e.count(), 1L)
+    val fp = tableFingerprint(s, s"$d/embeddings.parquet")
+    codebookRowsAt(s, d, e, n, fp)
+  }
+
+  private[graft] def codebookRowsAt(s: SparkSession, d: String, e: DataFrame,
+      n: Long, fp: Long): Array[(Long, Seq[Double], Double)] = {
     // cache key = path + row count + physical-file fingerprint: any
     // rewrite of the table (even same-cardinality, same-path) changes
     // the file listing and retrains instead of serving stale centroids.
-    val n = math.max(e.count(), 1L)
-    val fp = tableFingerprint(s, s"$d/embeddings.parquet")
     // bounded memo: a long-lived session cycling many corpora keeps at
     // most 32 codebooks (~0.5 MB each) — evict wholesale, it's a memo of
     // recomputable values, not state
     if (codebookCache.size() > 32) codebookCache.clear()
-    codebookCache.computeIfAbsent(s"$d#$n#$fp", _ => {
-      // IVF practice: cells ≈ sqrt(n) keep per-cell scan cost O(sqrt(n))
-      // as the corpus grows (fixed k would make each probe O(n/k) — linear
-      // again); capped so the codebook stays trivially broadcastable
-      // (1024 × 64 doubles ≈ 0.5 MB), with the training-sample budget
-      // tied to k (≥32 sample vectors per centroid).
-      val k = math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
-      val sampleTarget = math.max(4096L, 32L * k)
-      kmeansCodebook(e, sampleStep = math.max(1L, n / sampleTarget), k = k, iters = 3)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-    })
+    codebookCache.computeIfAbsent(s"$d#$n#$fp", _ =>
+      // L2: the persisted index (survives the JVM — see AnnIndex); only
+      // on a disk miss does Lloyd actually run (counted, for the specs)
+      AnnIndex.loadIvfCodebook(s, AnnIndex.versionDir(s, d, n, fp)).getOrElse {
+        AnnIndex.ivfFits.incrementAndGet()
+        // IVF practice: cells ≈ sqrt(n) keep per-cell scan cost O(sqrt(n))
+        // as the corpus grows (fixed k would make each probe O(n/k) — linear
+        // again); capped so the codebook stays trivially broadcastable
+        // (1024 × 64 doubles ≈ 0.5 MB), with the training-sample budget
+        // tied to k (≥32 sample vectors per centroid).
+        val k = math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+        val sampleTarget = math.max(4096L, 32L * k)
+        kmeansCodebook(e, sampleStep = math.max(1L, n / sampleTarget), k = k, iters = 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      })
   }
+
+  /** Drop the in-JVM fit memos — spec hook proving the persisted index
+    * serves across "session restarts" (a cleared memo is the restart).
+    */
+  private[graft] def clearMemos(): Unit = { codebookCache.clear(); pqCache.clear() }
 
   private[graft] def codebookFor(s: SparkSession, d: String, e: DataFrame): DataFrame =
     s.createDataFrame(codebookRows(s, d, e).toIndexedSeq).toDF("c_id", "cv", "cnrm")
@@ -579,15 +593,12 @@ object Similarity {
     "q_ann_ivf",
     (s, d) => {
       val e = vecsRaw(s, d)
-      val cb = codebookRows(s, d, e)
-      val cids = cb.map(_._1)
-      val flat = cb.flatMap(_._2)
-      val cnorms = cb.map(_._3)
-      // corpus: narrow per-row argmax against the embedded codebook — no
-      // join, no Exchange between the embeddings scan and the candidate
-      // equi-join below
-      val corpus = e.withColumn("cluster",
-        Vectors.nearestCentroid(col("v"), cids, flat, cnorms))
+      // serve from the PERSISTED index (r7): codebook + cell-partitioned
+      // corpus parquet, fitted+encoded at most once per table content
+      // (AnnIndex; a new session loads instead of re-running Lloyd and
+      // re-assigning the corpus — at 100 TB, re-assignment is a full
+      // corpus pass)
+      val (cb, cells) = AnnIndex.ivf(s, d, e)
       // query side: 20 vectors × k centroids through the tiny window
       val centroids = broadcast(
         s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
@@ -600,8 +611,15 @@ object Similarity {
         .withColumn("crank", row_number().over(wq))
         .where(col("crank") <= 4)
         .select(col("query_id"), col("qv"), col("qnrm"), col("c_id").as("qcluster"))
+      // the probed cell ids are driver-known (nprobe·|queries| ≤ 80 values
+      // — partition METADATA, the offsets size class), so the cells scan
+      // is statically PARTITION-PRUNED: the inverted-file read touches
+      // only the probed directories, ~nprobe/k of the corpus
+      val probed = queries.select("qcluster").distinct()
+        .collect().map(_.getLong(0))
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      corpus.join(broadcast(queries), col("qcluster") === col("cluster") &&
+      cells.where(col("cluster").isin(probed.toIndexedSeq: _*))
+        .join(broadcast(queries), col("qcluster") === col("cluster") &&
           col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cluster"),
           (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
@@ -675,16 +693,23 @@ object Similarity {
       e: DataFrame): (Array[Double], Int) = {
     val n = math.max(e.count(), 1L)
     val fp = tableFingerprint(s, s"$d/embeddings.parquet")
+    pqCodebookAt(s, d, e, n, fp)
+  }
+
+  private[graft] def pqCodebookAt(s: SparkSession, d: String, e: DataFrame,
+      n: Long, fp: Long): (Array[Double], Int) = {
     if (pqCache.size() > 32) pqCache.clear()
-    pqCache.computeIfAbsent(s"$d#$n#$fp", _ => {
-      val step = math.max(1L, n / 4096L)
-      val sample = e.where(pmod(col("vec_id"), lit(step)) === 0)
-        .orderBy("vec_id")
-        .select("v").collect().map(_.getSeq[Double](0).toArray)
-      val dim = sample.head.length
-      require(dim % pqM == 0, s"PQ needs dim % $pqM == 0, got dim=$dim")
-      (pqTrainedCodebook(sample, dim, pqM, pqKsub, iters = 8), dim)
-    })
+    pqCache.computeIfAbsent(s"$d#$n#$fp", _ =>
+      AnnIndex.loadPqCodebook(s, AnnIndex.versionDir(s, d, n, fp)).getOrElse {
+        AnnIndex.pqFits.incrementAndGet()
+        val step = math.max(1L, n / 4096L)
+        val sample = e.where(pmod(col("vec_id"), lit(step)) === 0)
+          .orderBy("vec_id")
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+        val dim = sample.head.length
+        require(dim % pqM == 0, s"PQ needs dim % $pqM == 0, got dim=$dim")
+        (pqTrainedCodebook(sample, dim, pqM, pqKsub, iters = 8), dim)
+      })
   }
 
   /** G. Product-quantization ANN with asymmetric distance (Jégou et al.
@@ -713,9 +738,10 @@ object Similarity {
     "q_ann_pq",
     (s, d) => {
       val e = vecsRaw(s, d)
-      val (cents, _) = pqCodebook(s, d, e)
-      val corpus = e.select(col("vec_id"),
-        Vectors.pqEncode(col("v"), cents, pqM, pqKsub).as("code"), col("nrm"))
+      // serve from the PERSISTED 24 B/vector code table (r7): the ADC scan
+      // streams (vec_id, code, nrm) from parquet — the ~21× read cut no
+      // longer has to be re-encoded into existence each session
+      val (cents, _, corpus) = AnnIndex.pq(s, d, e)
       val queries = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"),
           Vectors.pqLut(col("v"), cents, pqM, pqKsub).as("lut"),

@@ -55,11 +55,13 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  test("q_ann_ivf: corpus assignment is narrow — no Exchange on the streamed side of the candidate join") {
-    // the r5 plan cross-joined the broadcast codebook and ranked with a
-    // partitionBy(vec_id) window, hash-Exchanging the n·k-exploded corpus
-    // (1024×-amplified at production k). Pin the fix: the corpus path is
-    // scan → narrow argmax kernel → broadcast-hash join, shuffle-free.
+  test("q_ann_ivf: serve path is a partition-pruned index scan — no Exchange on the streamed side of the candidate join") {
+    // r7: the corpus side of the candidate join is the PERSISTED
+    // cell-partitioned index (AnnIndex), read with a driver-known probed-
+    // cell filter — pin that it reaches the join (a) shuffle-free and
+    // (b) PARTITION-PRUNED (the isin on the hive partition column must
+    // land in PartitionFilters, not a post-scan Filter: pruning is the
+    // nprobe/k read bound, the point of the inverted-file layout).
     val q = SparkEntry.registry.find(_.name == "q_ann_ivf").get
     val plan = q.run(spark, sfDir).queryExecution.sparkPlan
     val bhjs = plan.collect { case j: BroadcastHashJoinExec => j }
@@ -72,16 +74,20 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       s"corpus (streamed) side of the candidate join shuffles:\n$streamed")
-    assert(streamed.collectLeaves().exists(_.toString.contains("embeddings")),
-      s"streamed side should be the embeddings scan:\n$streamed")
-    assert(streamed.toString.contains("graft_nearest_centroid"),
-      s"narrow assignment kernel missing from the corpus path:\n$streamed")
+    // (the scan's Location string truncates long paths, so match the
+    // index root rather than the ivf_cells leaf)
+    assert(streamed.collectLeaves().exists(_.toString.contains("graft_ann_index")),
+      s"streamed side should be the persisted index scan:\n$streamed")
+    assert("PartitionFilters: \\[[^\\]]*cluster".r
+        .findFirstIn(streamed.toString).isDefined,
+      s"probed-cell filter is not partition-pruning the index scan:\n$streamed")
   }
 
-  test("q_ann_pq: corpus path is scan → narrow encode — no Exchange before the ADC window") {
+  test("q_ann_pq: corpus path is the persisted 24 B/vector code scan — no Exchange before the ADC window") {
     // the PQ scan's entire value is streaming 24 B/vector codes instead
-    // of 512 B vectors: pin that the corpus side reaches the ADC scoring
-    // join as scan → graft_pq_encode projection with zero Exchange (the
+    // of 512 B vectors: r7 persists that code table (AnnIndex), so pin
+    // that the corpus side reaching the ADC scoring join IS the pq_codes
+    // scan (not a re-encode of the raw vectors) with zero Exchange (the
     // only corpus shuffle is the skinny id/score window AFTER scoring)
     val q = SparkEntry.registry.find(_.name == "q_ann_pq").get
     val plan = q.run(spark, sfDir).queryExecution.sparkPlan
@@ -97,8 +103,12 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       s"corpus (streamed) side of the ADC join shuffles:\n$streamed")
-    assert(streamed.toString.contains("graft_pq_encode"),
-      s"narrow PQ encode kernel missing from the corpus path:\n$streamed")
+    // (Location strings truncate; the index root + the 3-column code
+    // schema identify the persisted scan)
+    assert(streamed.collectLeaves().exists(l =>
+        l.toString.contains("graft_ann_index") &&
+          l.toString.contains("struct<vec_id:bigint,code:bigint,nrm:double>")),
+      s"streamed side should be the persisted pq_codes scan:\n$streamed")
   }
 
   test("q_dedup_incremental: corpus side reaches the semi join with no Exchange") {
@@ -144,7 +154,7 @@ class PlanGuardSpec extends SparkSpec {
     // global window: pin that each final plan's corpus-sized shuffles are
     // exactly one hash Exchange on the deterministic bucket key (the
     // broadcast offset join adds none), plus the output sort
-    for (name <- Seq("q_pack_sequences", "q_shuffle_order")) {
+    for (name <- Seq("q_pack_sequences", "q_shuffle_order", "q_pack_shuffled")) {
       val q = SparkEntry.registry.find(_.name == name).get
       // executedPlan string, not a node collect: AdaptiveSparkPlanExec
       // hides the prepared plan from TreeNode traversal
