@@ -76,6 +76,42 @@ object Assembly {
     * formulation, which proves the two-phase decomposition equals the
     * single-pass prefix sum.
     */
+  /** The two-phase distributed prefix sum over `n_tok`, generic in the
+    * concatenation ORDER: `bucketed` must carry a deterministic long
+    * `bucket` column whose numeric order equals the global order's bucket
+    * ranges, and `order` is the total order within a bucket. Phase 1 is
+    * the per-bucket running-sum window (the only corpus-sized Exchange,
+    * hash on bucket); phase 2 exclusive-scans the ≤buckets-sized totals
+    * on the driver and broadcasts the offsets back. Returns the frame
+    * with `tok_start` plus the corpus-total token count (free from the
+    * phase-2 totals). Shared by doc_id-order packing and shuffled-order
+    * packing — the decomposition is order-agnostic as long as bucket
+    * ranges tile the order.
+    */
+  private def prefixSum(s: SparkSession, bucketed: DataFrame,
+      order: Seq[String]): (DataFrame, Long) = {
+    val wLocal = Window.partitionBy("bucket").orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("run", sum("n_tok").over(wLocal))
+    // phase 2: exclusive scan over the ≤nBuckets bucket totals
+    val totals = bucketed.groupBy("bucket").agg(sum("n_tok").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, tot)) => (b, acc + tot) }
+      .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
+    val offDf = s.createDataFrame(offsets).toDF("bucket", "bucket_off")
+    val df = local.join(broadcast(offDf), "bucket")
+      .withColumn("tok_start", col("bucket_off") + col("run") - col("n_tok"))
+    (df, totals.map(_._2).sum)
+  }
+
+  /** tok_start → the per-doc sequence-span bookkeeping columns. */
+  private val seqCols = Seq(
+    s"tok_start div $seqLen as seq_first",
+    s"(tok_start + n_tok - 1) div $seqLen as seq_last",
+    s"tok_start % $seqLen as seq_off",
+    s"(tok_start + n_tok - 1) div $seqLen - tok_start div $seqLen + 1 as n_seqs")
+
   /** The packing dataflow, unsorted, plus the corpus-total token count
     * (free on the driver from the phase-2 bucket totals) — shared by
     * [[packSequences]] and [[packManifest]].
@@ -101,24 +137,8 @@ object Assembly {
       // not the query — Bench/Verify release after each query's write.
       val bucketed = CacheBag.track(toks
         .withColumn("bucket", expr(s"(doc_id - ${mnId}L) div ${width}L")))
-      val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = bucketed.withColumn("run", sum("n_tok").over(wLocal))
-      // phase 2: exclusive scan over the ≤nBuckets bucket totals
-      val totals = bucketed.groupBy("bucket").agg(sum("n_tok").as("tot"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = totals
-        .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, tot)) => (b, acc + tot) }
-        .sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
-      val offDf = s.createDataFrame(offsets).toDF("bucket", "bucket_off")
-      val df = local.join(broadcast(offDf), "bucket")
-        .withColumn("tok_start", col("bucket_off") + col("run") - col("n_tok"))
-        .selectExpr("doc_id", "n_tok", "tok_start",
-          s"tok_start div $seqLen as seq_first",
-          s"(tok_start + n_tok - 1) div $seqLen as seq_last",
-          s"tok_start % $seqLen as seq_off",
-          s"(tok_start + n_tok - 1) div $seqLen - tok_start div $seqLen + 1 as n_seqs")
-      (df, totals.map(_._2).sum)
+      val (df, total) = prefixSum(s, bucketed, Seq("doc_id"))
+      (df.selectExpr(Seq("doc_id", "n_tok", "tok_start") ++ seqCols: _*), total)
   }
 
   val packSequences: Q = Q(
@@ -197,6 +217,50 @@ object Assembly {
             |       LEAST($seqLen, t2.total - seq_id * $seqLen) AS fill_tokens
             |FROM x, tot t2
             |GROUP BY x.seq_id, t2.total ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. Sequence packing in TRAINING order (r7) — [[packSequences]]
+    * composed with [[shuffleOrder]]: real trainers pack the shuffled
+    * document stream, not doc_id order, so the token stream here is
+    * concatenated in (sk = md5(doc_id), doc_id) permutation order and
+    * then split into [[seqLen]]-token sequences. Same two-phase prefix
+    * sum ([[prefixSum]]), different bucketing: the first 2 hex chars of
+    * sk form 256 deterministic buckets whose numeric order equals the
+    * key's lexicographic order (shuffleOrder's device), so bucket ranges
+    * tile the SHUFFLED order and the decomposition carries over
+    * unchanged — machinery shared, only the order swapped. The oracle
+    * windows over (sk, doc_id) globally; the hash match proves the
+    * rank-range bucketing equals the sequential shuffled prefix sum.
+    */
+  val packShuffled: Q = Q(
+    "q_pack_shuffled",
+    (s, d) => {
+      val keyed = CacheBag.track(T.documents(s, d)
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), nTok.as("n_tok"),
+          md5(col("doc_id").cast("string")).as("sk"))
+        .withColumn("bucket",
+          conv(substring(col("sk"), 1, 2), 16, 10).cast("long")))
+      val (df, _) = prefixSum(s, keyed, Seq("sk", "doc_id"))
+      df.selectExpr(Seq("doc_id", "sk", "n_tok", "tok_start") ++ seqCols: _*)
+        .transform(Det.sortAll)
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, $nTokSql AS n_tok,
+            |         md5(CAST(doc_id AS VARCHAR)) AS sk
+            |  FROM documents WHERE doc_id IS NOT NULL
+            |), c AS (
+            |  SELECT doc_id, sk, n_tok,
+            |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY sk, doc_id
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+            |  FROM t
+            |)
+            |SELECT doc_id, sk, n_tok, tok_start,
+            |       tok_start // $seqLen AS seq_first,
+            |       (tok_start + n_tok - 1) // $seqLen AS seq_last,
+            |       tok_start % $seqLen AS seq_off,
+            |       (tok_start + n_tok - 1) // $seqLen - tok_start // $seqLen + 1 AS n_seqs
+            |FROM c ORDER BY ALL""".stripMargin)
   )
 
   /** G. Temperature-based mixture reweighting (the multinomial
@@ -307,5 +371,126 @@ object Assembly {
             |FROM t ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(packSequences, packManifest, mixWeights, shuffleOrder)
+  /** G. Epoch sampling (r7) — [[mixWeights]] APPLIED, composed with the
+    * epoch-salted [[shuffleOrder]]: for each of two epochs, every document
+    * is replicated/downsampled by its language's `resample_factor` and the
+    * surviving copies are ranked in that epoch's pseudorandom training
+    * order. This turns the two r6 bookkeeping ops into the operator a
+    * pipeline actually runs: the materialized epoch sample.
+    *
+    * Sampling is the deterministic hash-bucket device (q_sample_stratified
+    * — no rand(), cross-engine exact): copies = ⌊f⌋ + 1 more iff the doc's
+    * 24-bit epoch-salted hash bucket falls under frac(f)·2^24. frac(f)
+    * comes from the SAME exactly-reproducible weight formula as
+    * q_mix_weights (α=0.5 ⇒ sqrt; left-to-right fold; the factor
+    * comparison multiplies by 2^24 — a power of two, exact in IEEE — so
+    * the keep decision is bit-deterministic on both engines). Each copy
+    * gets its own shuffle key md5(doc:epoch:copy) and a per-epoch rank via
+    * the same hex-prefix two-phase device as [[shuffleOrder]] (buckets
+    * keyed (epoch, prefix); offsets = ≤2·256 rows of partition metadata).
+    * The corpus is touched once, narrowly; the explode is bounded by
+    * Σ⌈f⌉ ≈ |langs|-normalized corpus size.
+    */
+  val epochSample: Q = Q(
+    "q_epoch_sample",
+    (s, d) => {
+      val counts = T.documents(s, d)
+        .where(col("lang").isNotNull)
+        .groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))
+      val tot = counts.agg(
+        sum("n_docs").cast("long").as("n_total"),
+        expr("aggregate(transform(array_sort(collect_list(struct(lang, n_docs))), " +
+          "x -> sqrt(cast(x.n_docs as double))), cast(0.0 as double), (s, x) -> s + x)")
+          .as("denom"))
+      val factors = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          ((sqrt(col("n_docs").cast("double")) / col("denom")) /
+            (col("n_docs").cast("double") / col("n_total").cast("double")))
+            .as("factor"))
+      val epochs = s.createDataFrame(Seq(Tuple1(0L), Tuple1(1L))).toDF("epoch")
+      val keyed = CacheBag.track(T.documents(s, d)
+        .where(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"))
+        .join(broadcast(factors), "lang")
+        .crossJoin(broadcast(epochs))
+        // 24-bit epoch-salted hash bucket decides the fractional copy
+        .withColumn("u", conv(substring(
+          md5(concat_ws(":", col("doc_id"), col("epoch"))), 1, 6), 16, 10)
+          .cast("long"))
+        .withColumn("n_copies",
+          floor(col("factor")).cast("long") +
+            when(col("u").cast("double") <
+              (col("factor") - floor(col("factor"))) * lit(16777216.0), 1L)
+              .otherwise(0L))
+        .select(col("epoch"), col("doc_id"), col("lang"),
+          explode(when(col("n_copies") > 0,
+            expr("sequence(0L, n_copies - 1)"))
+            .otherwise(expr("cast(array() as array<bigint>)"))).as("copy"))
+        .withColumn("sk",
+          md5(concat_ws(":", col("doc_id"), col("epoch"), col("copy"))))
+        .withColumn("bucket",
+          conv(substring(col("sk"), 1, 2), 16, 10).cast("long")))
+      val wLocal = Window.partitionBy("epoch", "bucket")
+        .orderBy("sk", "doc_id", "copy")
+      val df = {
+        // phase 2: per-(epoch, bucket) counts to the driver (≤2·256 rows
+        // of partition metadata); the exclusive scan RESTARTS per epoch —
+        // ranks are per-epoch
+        val rows = keyed.groupBy("epoch", "bucket").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2))
+        var prevEpoch = Long.MinValue
+        var acc = 0L
+        val offs = rows.map { case (e, b, n) =>
+          if (e != prevEpoch) { prevEpoch = e; acc = 0L }
+          val off = acc
+          acc += n
+          (e, b, off)
+        }.toIndexedSeq
+        val offDf = s.createDataFrame(offs).toDF("epoch", "bucket", "bucket_off")
+        keyed.join(broadcast(offDf), Seq("epoch", "bucket"))
+          .select(col("epoch"), col("doc_id"), col("lang"), col("copy"), col("sk"),
+            (col("bucket_off") + row_number().over(wLocal)).cast("long")
+              .as("train_rank"))
+      }
+      df.transform(Det.sortAll)
+    },
+    Some("""WITH c AS (
+            |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+            |  WHERE lang IS NOT NULL GROUP BY 1
+            |), t AS (
+            |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+            |         list_reduce(list_transform(list(n_docs ORDER BY lang NULLS FIRST),
+            |           x -> sqrt(CAST(x AS DOUBLE))), (s, x) -> s + x) AS denom
+            |  FROM c
+            |), f AS (
+            |  SELECT c.lang,
+            |         (sqrt(CAST(c.n_docs AS DOUBLE)) / t.denom) /
+            |           (CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)) AS factor
+            |  FROM c, t
+            |), base AS (
+            |  SELECT d.doc_id, d.lang, f.factor, e.epoch,
+            |         CAST(concat('0x', substr(md5(d.doc_id || ':' || e.epoch), 1, 6)) AS BIGINT) AS u
+            |  FROM documents d JOIN f USING (lang),
+            |       (SELECT UNNEST(range(2)) AS epoch) e
+            |  WHERE d.doc_id IS NOT NULL
+            |), n AS (
+            |  SELECT doc_id, lang, epoch,
+            |         CAST(floor(factor) AS BIGINT) +
+            |           (CASE WHEN CAST(u AS DOUBLE) < (factor - floor(factor)) * 16777216.0
+            |                 THEN 1 ELSE 0 END) AS n_copies
+            |  FROM base
+            |), x AS (
+            |  SELECT doc_id, lang, epoch, CAST(u.copy AS BIGINT) AS copy,
+            |         md5(doc_id || ':' || epoch || ':' || u.copy) AS sk
+            |  FROM n, UNNEST(range(n.n_copies)) AS u(copy)
+            |)
+            |SELECT epoch, doc_id, lang, copy, sk,
+            |       CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+            |         ORDER BY sk, doc_id, copy) AS BIGINT) AS train_rank
+            |FROM x ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(packSequences, packManifest, mixWeights, shuffleOrder,
+    packShuffled, epochSample)
 }

@@ -81,7 +81,7 @@ object Dedup {
     * columns verbatim; doc_a < doc_b orientation is restored with
     * least/greatest (groups are disjoint, so each doc pair appears once).
     */
-  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+  private[operators] def expandPairs(repPairs: DataFrame, members: DataFrame,
       payload: Seq[String]): DataFrame =
     repPairs
       .join(members.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
@@ -671,6 +671,96 @@ object Dedup {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Paragraph-level dedup TRANSFORM (r7) — the CCNet-shape cleaning
+    * step: where [[spanDedup]] *diagnoses* span repetition, this emits the
+    * cleaned text a pipeline actually trains on. Every document is split
+    * into paragraphs, each paragraph is hashed, and only the CORPUS-GLOBAL
+    * first occurrence of each paragraph (in (doc_id, position) order)
+    * survives; surviving paragraphs are reassembled in document order.
+    * Cross-document boilerplate (headers, navigation, license blocks)
+    * disappears from every document except the first that carried it.
+    * Paragraphs here are fixed 16-word blocks — this corpus carries no
+    * newlines, so the block splitter stands in for the '\n'-splitter; the
+    * hash → global-first → reassemble machinery is splitter-agnostic.
+    *
+    * Plan shape: narrow explode → groupBy on the 8-byte paragraph hash
+    * (map-side combined; the only corpus-wide shuffles are on that key,
+    * and the first-occurrence decision is groupBy + equi-join, NOT a
+    * window over the paragraph key — a boilerplate paragraph's window
+    * partition would be one task holding every document that carries it,
+    * the same trap spanDedup dodges) → doc-keyed reassembly groupBy.
+    * Occurrence order packs into one long exactly like spanDedup
+    * (doc·2^20+idx, range-enforced with raise_error — overflow would
+    * mis-attribute first occurrences identically in both engines and slip
+    * the gate). Oracle joins the paragraph STRINGS, so a 64-bit hash
+    * collision fails the hash gate rather than hiding.
+    */
+  val paragraphDedup: Q = Q(
+    "q_dedup_paragraph",
+    (s, d) => {
+      val pw = 16
+      val docs = T.documents(s, d).where(col("doc_id").isNotNull)
+      val paras = docs
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(w)-1) div $pw), " +
+            s"i -> concat_ws(' ', slice(w, i*$pw+1, $pw)))"))
+          .as(Seq("idx", "para")))
+        .select(col("doc_id"), col("idx"), col("para"),
+          xxhash64(col("para")).as("hp"),
+          when(col("idx") < lit(1048576L) &&
+              col("doc_id").between(0L, Long.MaxValue / 1048576L - 1L),
+            col("doc_id") * lit(1048576L) + col("idx"))
+            .otherwise(raise_error(concat(
+              lit("q_dedup_paragraph ord packing out of range: doc_id="),
+              col("doc_id"), lit(" idx="), col("idx")))).as("ord"))
+      val firsts = paras.groupBy("hp").agg(min("ord").as("min_ord"))
+      val kept = paras.join(firsts, "hp").where(col("ord") === col("min_ord"))
+      val clean = kept.groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(idx, para))), " +
+          "p -> p.para))").as("clean_text"))
+      docs
+        .select(col("doc_id"),
+          coalesce(
+            expr(s"(size(split(trim(text), ' +')) - 1) div $pw + 1").cast("long"),
+            lit(0L)).as("n_paras"))
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+            |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            |), p AS (
+            |  SELECT doc_id, CAST(t.i AS BIGINT) AS idx,
+            |         array_to_string(ws[t.i*16+1 : t.i*16+16], ' ') AS para
+            |  FROM w, UNNEST(range((len(ws)-1)//16 + 1)) AS t(i)
+            |), o AS (
+            |  SELECT doc_id, idx, para, doc_id*1048576 + idx AS ord FROM p
+            |), f AS (
+            |  SELECT para, min(ord) AS min_ord FROM o GROUP BY 1
+            |), k AS (
+            |  SELECT o.doc_id, o.idx, o.para
+            |  FROM o JOIN f ON o.para = f.para AND o.ord = f.min_ord
+            |), c AS (
+            |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            |         string_agg(para, ' ' ORDER BY idx) AS clean_text
+            |  FROM k GROUP BY 1
+            |), np AS (
+            |  SELECT doc_id, (len(ws)-1)//16 + 1 AS n_paras FROM w
+            |)
+            |SELECT d.doc_id, COALESCE(np.n_paras, 0) AS n_paras,
+            |       COALESCE(c.n_kept, 0) AS n_kept,
+            |       COALESCE(c.clean_text, '') AS clean_text
+            |FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN c USING (doc_id)
+            |WHERE d.doc_id IS NOT NULL
+            |ORDER BY ALL""".stripMargin)
+  )
+
   /** G. Incremental ingest dedup — the steady-state production shape of
     * dedup: a new batch (one `source` here stands in for today's crawl)
     * is deduped against the already-ingested corpus, instead of
@@ -694,6 +784,47 @@ object Dedup {
     * broadcasts back against the batch. The one wide op keyed on data
     * volume is the within-batch min-window, and that is batch-sized.
     */
+  /** The incremental-dedup decision dataflow, parameterized by the
+    * broadcast guard. The batch≪corpus plan broadcasts the batch's
+    * distinct key set so the corpus is scanned narrowly and never
+    * shuffled — but that silently turns into a driver/executor OOM when a
+    * BACKFILL-sized batch arrives (the broadcast is batch-keyed). The
+    * guard is MEASURED, not assumed: one batch-sized distinct count
+    * (driver sees a single long) picks the plan — under the limit, the
+    * broadcast asymmetry; over it, a bucketed sort-merge semi join (both
+    * sides shuffle on the 16-byte key — the correct shape once the batch
+    * is corpus-class, and the hint pins it so stats can't flip the plan
+    * back to a broadcast that won't fit). Verdict classes are identical
+    * on both paths (spec-proven).
+    */
+  private[graft] def incrementalVerdicts(fresh: DataFrame, corpus: DataFrame,
+      maxBroadcastKeys: Long): DataFrame = {
+    val batchKeys = fresh.select("content_hash").distinct()
+    val smallBatch = batchKeys.count() <= maxBroadcastKeys
+    val keys = if (smallBatch) broadcast(batchKeys) else batchKeys.hint("merge")
+    val collided0 = corpus
+      .join(keys, Seq("content_hash"), "left_semi")
+      .select("content_hash").distinct()
+      .withColumn("in_corpus", lit(true))
+    val collided = if (smallBatch) broadcast(collided0) else collided0.hint("merge")
+    val w = Window.partitionBy("content_hash")
+    fresh
+      .join(collided, Seq("content_hash"), "left")
+      .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+      .withColumn("dup_in_batch", col("doc_id") =!= min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("content_hash"), col("in_corpus"),
+        col("dup_in_batch"),
+        (!col("in_corpus") && !col("dup_in_batch")).as("keep"))
+  }
+
+  /** Batch-distinct-key budget for the broadcast plan: ~16 B of md5 key
+    * per distinct batch doc ⇒ 4M keys ≈ 64 MB of broadcast — the same
+    * size class as the session's autoBroadcastJoinThreshold. A normal
+    * ingest batch sits far under this; a backfill trips the sort-merge
+    * fallback.
+    */
+  private[graft] val incrementalBroadcastKeys = 4L * 1000 * 1000
+
   val incremental: Q = Q(
     "q_dedup_incremental",
     (s, d) => {
@@ -704,19 +835,7 @@ object Dedup {
       val fresh = hashed.where(col("source") === "src7")
         .select("doc_id", "content_hash")
       val corpus = hashed.where(col("source") =!= "src7")
-      val collided = corpus
-        .join(broadcast(fresh.select("content_hash").distinct()),
-          Seq("content_hash"), "left_semi")
-        .select("content_hash").distinct()
-        .withColumn("in_corpus", lit(true))
-      val w = Window.partitionBy("content_hash")
-      fresh
-        .join(broadcast(collided), Seq("content_hash"), "left")
-        .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
-        .withColumn("dup_in_batch", col("doc_id") =!= min(col("doc_id")).over(w))
-        .select(col("doc_id"), col("content_hash"), col("in_corpus"),
-          col("dup_in_batch"),
-          (!col("in_corpus") && !col("dup_in_batch")).as("keep"))
+      incrementalVerdicts(fresh, corpus, incrementalBroadcastKeys)
         .transform(Det.sortAll)
     },
     Some("""WITH h AS (
@@ -740,5 +859,5 @@ object Dedup {
   )
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate, spanDedup, incremental)
+    decontaminate, spanDedup, paragraphDedup, incremental)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Q, T}
 
@@ -153,5 +154,100 @@ object Multimodal {
       .mapPartitions(decodeBatch)
   }
 
-  val all: Seq[Q] = Seq(multimodalMeta)
+  /** G. Binary near-dup (r7) — image/media dedup over opaque payload
+    * bytes, routed through the SAME capped-bucket near-dup family as the
+    * text operators: re-encoded or lightly-edited copies of a media
+    * object (metadata strip, trailing-byte change) differ in a few bytes
+    * but share most byte shingles, so a simhash over 8-byte shingles at
+    * stride 4 puts them within a small hamming distance.
+    *
+    *  - exact pre-collapse on md5(payload): byte-identical copies — the
+    *    mass case in a crawl — collapse before the candidate machinery
+    *    (the collapseExact discipline), so a k×-replicated image costs k,
+    *    not k².
+    *  - per-distinct-payload 64-bit simhash from a bit-majority vote over
+    *    xxhash64(8-byte shingle) values — one narrow explode + one
+    *    groupBy, no UDF, whole-stage codegen throughout. Shingles are
+    *    taken at EVERY byte offset and then sampled by hash value
+    *    (keep h ≡ 0 mod 4) — content-defined sampling, NOT a fixed
+    *    stride: an insertion/deletion shifts all downstream bytes, and
+    *    stride-aligned windows would then sample entirely different
+    *    content (≈50% shingle loss from a 2-byte shift — measured while
+    *    building the planted-pair spec), where the all-offsets window
+    *    SET is shift-invariant outside the edit neighborhood and the
+    *    hash-mod sample inherits that invariance at a quarter of the
+    *    vote volume.
+    *  - 8-bit chunk blocking with the shared [[Dedup.capBuckets]] skew
+    *    guard (≤64 per bucket), hamming ≤ 12 via bit_count(xor) — the
+    *    identical bound class as q_dedup_simhash, so the 100 TB candidate
+    *    analysis carries over verbatim.
+    *
+    * Payloads here are the text corpus cast to binary (the multimodal
+    * convention — no real media in the container); the operator never
+    * looks inside the bytes except through [[parseHeader]]-class byte
+    * arithmetic, so real image payloads take the identical plan.
+    * Approximate blocking ⇒ rows-only driver check + planted-pair spec.
+    */
+  val binaryDedup: Q = Q(
+    "q_dedup_binary",
+    (s, d) => {
+      val wg = Window.partitionBy("ph")
+      val tagged = T.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("ph", md5(col("payload")))
+        .withColumn("rep", min(col("doc_id")).over(wg))
+      val members = tagged.select(col("rep"), col("doc_id"))
+      val reps = tagged.where(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("payload"))
+      // 8-byte shingles at every offset (substring is 1-based; payloads
+      // shorter than 8 bytes yield their whole tail as the one shingle),
+      // then the deterministic hash-mod sample — see the scaladoc on why
+      // a fixed stride would break under byte shifts
+      val sh = reps.select(col("doc_id"),
+          octet_length(col("payload")).as("plen"), explode(expr(
+        "array_distinct(transform(" +
+          "sequence(0, greatest(0L, octet_length(payload) - 8)), " +
+          "i -> xxhash64(substring(payload, cast(i+1 as int), 8))))")).as("h"))
+        // tiny payloads (<32 windows) keep every shingle so their
+        // signature isn't vote-starved by the sample
+        .where(pmod(col("h"), lit(4L)) === 0L || col("plen") < 40)
+        .select("doc_id", "h")
+      val bitSums = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"b$i"))
+      val sigs = sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+            .reduce(_ bitwiseOR _))
+        .select("doc_id", "simhash")
+      val rawChunks = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
+        (0 until 8).map(c => shiftright(col("simhash"), 8 * c).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+      val chunks = Dedup.capBuckets(rawChunks, Seq("chunk_idx", "chunk"), 64)
+      val repPairs = chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+            .as("hamming"))
+        .distinct()
+      val within = members.as("x")
+        .join(members.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(0L).as("hamming"))
+      Dedup.expandPairs(repPairs.where(col("hamming") <= 12), members,
+          Seq("hamming"))
+        .union(within)
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(multimodalMeta, binaryDedup)
 }

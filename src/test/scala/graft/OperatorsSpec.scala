@@ -701,6 +701,127 @@ class OperatorsSpec extends SparkSpec {
       s"permutation looks near-identity: $adjacentClose/$n adjacent pairs")
   }
 
+  test("shuffled packing: same token multiset as doc-order packing, contiguous shuffled stream") {
+    val byDoc = Assembly.packSequences.run(spark, sfDir).collect()
+    val shuffled = Assembly.packShuffled.run(spark, sfDir).collect()
+    // same documents, same token counts — only the order moved
+    assert(shuffled.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"))).sorted.toSeq ==
+      byDoc.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"))).sorted.toSeq)
+    // the shuffled stream tiles exactly: sorting docs by (sk, doc_id)
+    // must give back-to-back tok_start spans from 0 to the corpus total
+    val inOrder = shuffled.sortBy(r => (r.getAs[String]("sk"), r.getAs[Long]("doc_id")))
+    var cum = 0L
+    for (r <- inOrder) {
+      assert(r.getAs[Long]("tok_start") == cum,
+        s"doc ${r.getAs[Long]("doc_id")} shuffled tok_start ${r.getAs[Long]("tok_start")} != $cum")
+      cum += r.getAs[Long]("n_tok")
+    }
+    assert(cum == byDoc.map(_.getAs[Long]("n_tok")).sum)
+    // and the stream order is actually shuffled, not doc_id order
+    assert(inOrder.map(_.getAs[Long]("doc_id")).toSeq !=
+      inOrder.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("epoch sample: per-epoch bijective ranks, factor-shaped replication, epochs differ") {
+    val rows = Assembly.epochSample.run(spark, sfDir).collect()
+    val factors = Assembly.mixWeights.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("resample_factor")).toMap
+    for (epoch <- Seq(0L, 1L)) {
+      val e = rows.filter(_.getAs[Long]("epoch") == epoch)
+      assert(e.nonEmpty)
+      // ranks are exactly 1..N_e — a true per-epoch permutation
+      assert(e.map(_.getAs[Long]("train_rank")).sorted.toSeq == (1L to e.length.toLong))
+      // every doc of an upsampled language appears at least ⌊factor⌋ times
+      val copies = e.groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+        .map { case ((_, lang), rs) => lang -> rs.length }
+      for ((lang, n) <- copies)
+        assert(n >= math.floor(factors(lang)).toLong && n <= math.ceil(factors(lang)).toLong,
+          s"lang $lang: $n copies vs factor ${factors(lang)}")
+    }
+    // aggregate replication approaches the factor: per language, total
+    // copies / docs sampled should land within the ⌊f⌋..⌈f⌉ band strictly
+    // (checked above); epochs must differ as permutations
+    val r0 = rows.filter(_.getAs[Long]("epoch") == 0L)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy")) -> r.getAs[Long]("train_rank")).toMap
+    val r1 = rows.filter(_.getAs[Long]("epoch") == 1L)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy")) -> r.getAs[Long]("train_rank")).toMap
+    val shared = r0.keySet intersect r1.keySet
+    assert(shared.nonEmpty && shared.exists(k => r0(k) != r1(k)),
+      "epoch 0 and epoch 1 produced the identical training order")
+  }
+
+  test("incremental dedup: sort-merge fallback produces the broadcast plan's exact verdicts") {
+    val fresh = Seq((10L, "a"), (11L, "a"), (12L, "b"), (13L, "c"))
+      .toDF("doc_id", "content_hash")
+    val corpus = Seq((1L, "b"), (2L, "d")).toDF("doc_id", "content_hash")
+    val small = Dedup.incrementalVerdicts(fresh, corpus, maxBroadcastKeys = 1000000L)
+    val large = Dedup.incrementalVerdicts(fresh, corpus, maxBroadcastKeys = 0L)
+    // plans actually diverge: broadcast semi vs sort-merge semi
+    val smallPlan = small.queryExecution.executedPlan.toString
+    val largePlan = large.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin") && smallPlan.contains("LeftSemi"),
+      s"small-batch path lost its broadcast semi join:\n$smallPlan")
+    assert(largePlan.contains("SortMergeJoin") && largePlan.contains("LeftSemi"),
+      s"large-batch path did not fall back to sort-merge:\n$largePlan")
+    // identical verdicts
+    val key = Seq("doc_id", "content_hash", "in_corpus", "dup_in_batch", "keep")
+    assert(small.orderBy(key.map(col): _*).collect().toSeq ==
+      large.orderBy(key.map(col): _*).collect().toSeq)
+    // and the verdict classes are the expected ones
+    val m = small.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Boolean]("in_corpus"), r.getAs[Boolean]("dup_in_batch"),
+        r.getAs[Boolean]("keep"))).toMap
+    assert(m(10L) == ((false, false, true)))  // first 'a' in batch, novel
+    assert(m(11L) == ((false, true, false)))  // second 'a' in batch
+    assert(m(12L) == ((true, false, false)))  // 'b' already ingested
+    assert(m(13L) == ((false, false, true)))  // novel
+  }
+
+  test("paragraph dedup keeps only the corpus-global first occurrence and reassembles") {
+    // 16-word paragraphs: P1 is cross-doc boilerplate, P4 repeats within
+    // one doc; P2/P3 are unique
+    def para(tag: String): String = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    val (p1, p2, p3, p4) = (para("a"), para("b"), para("c"), para("d"))
+    val docs = Seq(
+      (1L, s"$p1 $p2"), // first carrier of P1: keeps everything
+      (2L, s"$p1 $p3"), // later carrier: P1 removed, P3 survives
+      (3L, s"$p4 $p4")  // within-doc duplicate: one survives
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftpara").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.paragraphDedup.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((2L, 2L, s"$p1 $p2")))
+    assert(out(2L) == ((2L, 1L, p3)))
+    assert(out(3L) == ((2L, 1L, p4)))
+  }
+
+  test("binary near-dup pairs planted byte-level near-identical payloads") {
+    // two payloads sharing almost all byte shingles (one word edited),
+    // one exact byte-duplicate, one unrelated payload
+    val base = (1 to 120).map(i => s"w${i % 37}").mkString(" ")
+    val edited = base.replace("w5 ", "w999 ")
+    val other = (1 to 120).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, edited), (3L, base), (4L, other))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftbin").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Multimodal.binaryDedup.run(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // exact byte-dup collapses: hamming 0 via the member expansion
+    assert(pairs.get((1L, 3L)).contains(0L), s"exact pair missing: $pairs")
+    // the edited payload pairs with both copies at small hamming
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 12L,
+      s"near-dup pair missing: $pairs")
+    assert(pairs.contains((2L, 3L)), s"expanded near-dup pair missing: $pairs")
+    // the unrelated payload pairs with nothing
+    assert(!pairs.keySet.exists(k => k._1 == 4L || k._2 == 4L),
+      s"unrelated payload paired: $pairs")
+  }
+
   test("mixture reweighting: normalized, anti-monotone temperature flattening") {
     val rows = Assembly.mixWeights.run(spark, sfDir).collect()
     assert(rows.length > 1)

@@ -30,9 +30,10 @@ class PlanGuardSpec extends SparkSpec {
   // (q_ann_pq's NLJ broadcasts the 20 queries + their m·ksub-double ADC
   // tables — same bounded query-set shape as q_ann_topk)
   // (q_mix_weights broadcasts ONE global-aggregate row against the
-  // language-sized counts frame)
+  // language-sized counts frame; q_epoch_sample broadcasts the same
+  // 1-row aggregate plus the 2-row epochs frame)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_ann_pq", "q_mart_union", "q_mix_weights")
+    "q_ann_pq", "q_mart_union", "q_mix_weights", "q_epoch_sample")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {
