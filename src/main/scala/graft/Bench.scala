@@ -49,8 +49,14 @@ object Bench {
     val prior: Map[String, Double] =
       if (java.nio.file.Files.exists(priorPath)) {
         val s = new String(java.nio.file.Files.readAllBytes(priorPath), "UTF-8")
-        """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(s)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // the prior is only a baseline at the SAME scale factor: a 100x
+        // smoke must not poison the sf0.1 comparison (or vice versa), so
+        // the file records its sf and a mismatch disables the trigger
+        // rather than comparing apples to a 100x corpus
+        if (""""sf":"([^"]+)"""".r.findFirstMatchIn(s).exists(_.group(1) == sfDir))
+          """"(q[^"]*)":([0-9.Ee+-]+)""".r.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else Map.empty
       } else Map.empty
     val suspects = SparkEntry.registry.filter { q =>
       (p1(q.name), p2(q.name)) match {
@@ -90,8 +96,9 @@ object Bench {
     java.nio.file.Files.createDirectories(benchOut.getParent)
     java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
     // rewrite bench_prior.json (repo-tracked) with this run's mins — the
-    // next run's trigger (b) baseline
-    java.nio.file.Files.write(priorPath, (qs + "\n").getBytes("UTF-8"))
+    // next same-sf run's trigger (b) baseline
+    java.nio.file.Files.write(priorPath,
+      (s"""{"sf":"$sfDir","queries":$qs}""" + "\n").getBytes("UTF-8"))
     println(line)
     // Compact totals-only line printed LAST: the driver captures a
     // 2000-char stdout tail, and the full 71-query line overflows it
