@@ -449,7 +449,102 @@ object TextAnalysis {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Bigram-LM fluency scoring (r7) — the CCNet perplexity-filter
+    * shape, the quality pillar the family lacked: a language model
+    * trained on the corpus itself scores each document's fluency, and
+    * the tail of the score distribution is the junk a pipeline drops
+    * (keyboard mash, token soup, wrong-language fragments score low —
+    * their bigrams are rare relative to their unigram heads). The model
+    * is the corpus's own bigram table: score(doc) = mean over positions
+    * of P(w[i+1] | w[i]) = bigram_count / unigram_count(head).
+    *
+    * Cross-engine exactness (graft.Num discipline): a real LM multiplies
+    * probabilities into a log-space perplexity — a transcendental per
+    * token, dead on arrival for the bit-exact hash gate. The LINEAR mean
+    * of conditional probabilities keeps every emitted double on the
+    * reproducible path: counts are exact longs, each ratio is one IEEE
+    * division, and the mean's sum folds the per-POSITION ratios
+    * left-to-right in document order via explicit array folds on both
+    * engines (Spark `aggregate` HOF / DuckDB `list_reduce` — the
+    * q_mix_weights device, here keyed by token position, which is unique
+    * per doc so the fold order is total). Low linear-mean ⇔ high
+    * perplexity for filtering purposes; the tail ordering is what the
+    * filter consumes.
+    *
+    * Plan shape at scale: unigram and bigram counts are map-side-combined
+    * groupBys (the q_tfidf discipline — never count-over-window on a
+    * token key, a stopword partition would be one task). The doc-side
+    * probability lookup joins exploded bigram rows to the two count
+    * tables: vocabulary-sized unigrams broadcast (Heaps' law); the
+    * bigram table is bigger but still vocabulary-class — the optimizer
+    * broadcasts it at test scale and AQE picks a shuffle join once it
+    * outgrows the threshold, with skew-splitting on hot bigrams. The
+    * per-doc fold is one doc-keyed ObjectHashAggregate over (pos, ratio)
+    * pairs.
+    */
+  val lmScore: Q = Q(
+    "q_lm_score",
+    (s, d) => {
+      val docs = T.documents(s, d).where(col("doc_id").isNotNull)
+      val toks = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("ws"))
+      val uni = toks.select(explode(col("ws")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).cast("long").as("uc"))
+      val bi = toks.where(size(col("ws")) >= 2)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(ws)-2), " +
+            "i -> struct(ws[i] as head, concat(ws[i], ' ', ws[i+1]) as big))"))
+          .as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("g.head").as("head"), col("g.big").as("big"))
+      val bc = bi.groupBy("big").agg(count(lit(1)).cast("long").as("bc"))
+      val ratios = bi.join(bc, "big")
+        .join(broadcast(uni), col("head") === col("tok"))
+        .select(col("doc_id"), col("pos"),
+          (col("bc").cast("double") / col("uc").cast("double")).as("r"))
+      val sc = ratios.groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        expr("aggregate(transform(array_sort(collect_list(struct(pos, r))), " +
+          "x -> x.r), cast(0.0 as double), (s, x) -> s + x)").as("ssum"))
+      docs.select("doc_id").join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          when(col("n_bigrams") > 0,
+            col("ssum") / col("n_bigrams").cast("double"))
+            .otherwise(lit(0.0)).as("lm_score"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+            |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            |), b AS (
+            |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+            |         ws[t.i+1] AS head, ws[t.i+1] || ' ' || ws[t.i+2] AS big
+            |  FROM w, UNNEST(range(len(ws)-1)) AS t(i)
+            |  WHERE len(ws) >= 2
+            |), uc AS (
+            |  SELECT tok, CAST(count(*) AS BIGINT) AS uc
+            |  FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY 1
+            |), bcn AS (
+            |  SELECT big, CAST(count(*) AS BIGINT) AS bc FROM b GROUP BY 1
+            |), r AS (
+            |  SELECT doc_id, pos, CAST(bcn.bc AS DOUBLE) / CAST(uc.uc AS DOUBLE) AS r
+            |  FROM b JOIN bcn USING (big) JOIN uc ON b.head = uc.tok
+            |), sc AS (
+            |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            |         list_reduce(list_transform(list(r ORDER BY pos), x -> x),
+            |           (s, x) -> s + x) AS ssum
+            |  FROM r GROUP BY 1
+            |)
+            |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+            |       CASE WHEN sc.n_bigrams > 0
+            |         THEN sc.ssum / CAST(sc.n_bigrams AS DOUBLE) ELSE 0.0 END AS lm_score
+            |FROM documents d LEFT JOIN sc USING (doc_id)
+            |WHERE d.doc_id IS NOT NULL
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
-    tfidf)
+    tfidf, lmScore)
 }

@@ -822,6 +822,25 @@ class OperatorsSpec extends SparkSpec {
       s"unrelated payload paired: $pairs")
   }
 
+  test("lm score ranks fluent word order above scrambled junk") {
+    // three fluent copies make their bigrams corpus-common; the scrambled
+    // doc reuses the same vocabulary in an order no other doc has, so its
+    // conditional probabilities are rare-bigram ratios
+    val fluent = "the cat sat on the mat"
+    val docs = Seq((1L, fluent), (2L, fluent), (3L, fluent),
+      (4L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftlm").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.lmScore.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score"))).toMap
+    assert(out(1L)._1 == 5L && out(4L)._1 == 5L)
+    // hand-computed: fluent mean = 0.6, scrambled mean = 0.225
+    assert(math.abs(out(1L)._2 - 0.6) < 1e-12, s"fluent ${out(1L)}")
+    assert(math.abs(out(4L)._2 - 0.225) < 1e-12, s"scrambled ${out(4L)}")
+    assert(out(1L)._2 > out(4L)._2)
+  }
+
   test("mixture reweighting: normalized, anti-monotone temperature flattening") {
     val rows = Assembly.mixWeights.run(spark, sfDir).collect()
     assert(rows.length > 1)
