@@ -163,6 +163,45 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** H. Streaming paragraph-level dedup — the streaming twin of
+    * q_dedup_paragraph, at the granularity below [[incrementalDedup]]'s
+    * whole-document key: each incoming document explodes into paragraphs
+    * (16-word blocks, the batch twin's splitter), and a paragraph
+    * survives only if it is novel against BOTH the ingested corpus and
+    * the stream so far. Same two stages, cheapest filter first:
+    *
+    *  1. stream-static LEFT ANTI join against the corpus's compact
+    *     paragraph-hash table (8-byte hashes — at 100 TB this is the
+    *     by-product the batch transform's `firsts` aggregation already
+    *     materializes, bucketed on the hash) — per micro-batch,
+    *     stateless;
+    *  2. dropDuplicatesWithinWatermark on the paragraph hash — the
+    *     corpus-global-FIRST-occurrence rule of the batch operator,
+    *     enforced across micro-batches with watermark-bounded state
+    *     (boilerplate re-arrives within hours; once the ingest compacts
+    *     the corpus table, stage 1 takes over exactly where the
+    *     watermark evicts — the same soundness argument as
+    *     incrementalDedup's).
+    *
+    * Output is the novel-paragraph stream (doc_id, idx, para, hp) —
+    * doc reassembly (the batch twin's string_agg) is sink-side, where
+    * the per-doc rows of one micro-batch land together. The explode is
+    * stateless and narrow; only corpus-novel paragraph hashes ever
+    * enter the state store.
+    */
+  def paragraphClean(docs: DataFrame, corpusParaHashes: DataFrame,
+      paraWords: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"), split(trim(col("text")), " +").as("w"))
+      .select(col("doc_id"), col("ts"), posexplode(expr(
+        s"transform(sequence(0, (size(w)-1) div $paraWords), " +
+          s"i -> concat_ws(' ', slice(w, i*$paraWords+1, $paraWords)))"))
+        .as(Seq("idx", "para")))
+      .withColumn("hp", xxhash64(col("para")))
+      .join(corpusParaHashes.select("hp"), Seq("hp"), "left_anti")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("hp")
+
   /** H. Streaming heavy hitters — the streaming twin of q_heavy_hitters.
     * Each micro-batch tokenizes its documents and accumulates ONE bounded
     * SpaceSaving sketch (approx_top_k_accumulate), landed as a single

@@ -232,6 +232,52 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKeep, s"stream $kept vs batch $batchKeep")
   }
 
+  case class ParaDoc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("streaming paragraph dedup: corpus anti join + within-stream first paragraph wins") {
+    implicit val sqlCtx = spark.sqlContext
+    def para(tag: String): String = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    val (p1, p2, p3, p4) = (para("a"), para("b"), para("c"), para("d"))
+    // the corpus already carries P1 (as its hash — the compact table the
+    // batch transform's firsts aggregation materializes)
+    val corpus = Seq(p1).toDF("para")
+      .select(xxhash64(col("para")).as("hp"))
+    val mem = MemoryStream[ParaDoc]
+    val q = EventStream.paragraphClean(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("para_clean_out")
+      .outputMode("append").start()
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    // batch 1: docA carries corpus-known P1 + novel P2; docB re-carries
+    // P2 (within-batch duplicate) + novel P3
+    mem.addData(ParaDoc(1L, ts(0), s"$p1 $p2"), ParaDoc(2L, ts(1), s"$p2 $p3"))
+    q.processAllAvailable()
+    // batch 2: docC re-delivers P3 across micro-batches (inside the
+    // watermark -> state drops it) + novel P4
+    mem.addData(ParaDoc(3L, ts(5), s"$p3 $p4"))
+    q.processAllAvailable()
+    val kept = spark.table("para_clean_out")
+      .select("doc_id", "idx", "para")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    q.stop()
+    // P1 corpus-dropped; P2 kept once (docA, its first carrier); P3 kept
+    // once (docB); P4 kept (docC)
+    assert(kept == Set((1L, 1, p2), (2L, 1, p3), (3L, 1, p4)), s"got $kept")
+    // parity with the batch transform on the same corpus+stream: replay
+    // all docs through q_dedup_paragraph with the corpus paragraph
+    // prepended as doc 0 — the kept (non-first-carrier-removed)
+    // paragraphs must agree
+    val tmp = java.nio.file.Files.createTempDirectory("graftparastream").toString
+    Seq((0L, p1), (1L, s"$p1 $p2"), (2L, s"$p2 $p3"), (3L, s"$p3 $p4"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batchClean = operators.Dedup.paragraphDedup.run(spark, tmp)
+      .where(col("doc_id") > 0)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batchClean == Map(1L -> p2, 2L -> p3, 3L -> p4),
+      s"batch twin disagrees: $batchClean")
+  }
+
   test("stateful sessionization closes sessions on gap and emits on later batch") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
