@@ -38,11 +38,13 @@ import graft.functions.Vectors
   */
 object AnnIndex {
 
-  /** Lloyd-fit counters (IVF / PQ) — incremented ONLY when a real fit
-    * runs, so specs can prove a load path retrained nothing.
+  /** Lloyd-fit / signature-encode counters (IVF / PQ / LSH) — incremented
+    * ONLY when a real fit or corpus encode runs, so specs can prove a
+    * load path retrained nothing.
     */
   private[graft] val ivfFits = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val pqFits = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val lshEncodes = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Index root. A real deployment points this at a DFS path; the default
     * keeps local runs self-contained.
@@ -158,5 +160,36 @@ object AnnIndex {
       pruneSiblings(s, vd)
     }
     (cents, dim, s.read.parquet(s"$vd/pq_codes"))
+  }
+
+  /** Ensure the LSH banded-signature table is persisted and return
+    * (bits, bands, radius, capped signatures reader). LSH has no trained
+    * model — the "fit" is the corpus ENCODE (one hyperplane-kernel pass
+    * over every vector, a full corpus scan at 100 TB), which is exactly
+    * what persisting avoids re-running per session. The stored table is
+    * the already skew-capped (vec_id, band_idx, code) rows — 24 B/row of
+    * live columns, the signature analogue of the PQ code table; the cap
+    * is part of the index (a hot bucket is hot for every future query).
+    * Parameters (bits/bands/radius) are a pure function of the corpus
+    * size, so the fingerprint+count version key covers them.
+    */
+  private[graft] def lsh(s: SparkSession, d: String,
+      e: DataFrame): (Int, Int, Int, DataFrame) = {
+    val nRaw = e.count()
+    val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
+    val vd = versionDir(s, d, math.max(nRaw, 1L), fp)
+    val (bits, bands, radius) = Similarity.annLshParams(math.max(nRaw, 2L))
+    if (!exists(s, s"$vd/_GRAFT_OK_LSH")) {
+      lshEncodes.incrementAndGet()
+      val buckets = e
+        .withColumn("sig",
+          Vectors.hyperplaneBands(col("v"), Similarity.annLshSeed, bands, bits))
+        .select(col("vec_id"), posexplode(col("sig")).as(Seq("band_idx", "code")))
+      Dedup.capBuckets(buckets, Seq("band_idx", "code"), 256)
+        .write.mode("overwrite").parquet(s"$vd/lsh_sigs")
+      touch(s, s"$vd/_GRAFT_OK_LSH")
+      pruneSiblings(s, vd)
+    }
+    (bits, bands, radius, s.read.parquet(s"$vd/lsh_sigs"))
   }
 }

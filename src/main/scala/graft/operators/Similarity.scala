@@ -408,12 +408,10 @@ object Similarity {
     "q_ann_lsh",
     (s, d) => {
       val e = vecs(s, d)
-      val n = math.max(e.count(), 2L)
-      val (bits, bands, radius) = annLshParams(n)
-      val buckets = e
-        .withColumn("sig", Vectors.hyperplaneBands(col("v"), annLshSeed, bands, bits))
-        .select(col("vec_id"), posexplode(col("sig")).as(Seq("band_idx", "code")))
-      val capped = Dedup.capBuckets(buckets, Seq("band_idx", "code"), 256)
+      // serve from the PERSISTED capped signature table (r7): the
+      // hyperplane encode is a full corpus pass — run at most once per
+      // table content (AnnIndex), not once per session
+      val (bits, _, radius, capped) = AnnIndex.lsh(s, d, e)
       // multi-probe on the query side: each query signature also visits
       // its hamming-≤radius neighbor codes, recovering the recall the r4
       // band clamp gave up — the corpus side stays exact codes, one row

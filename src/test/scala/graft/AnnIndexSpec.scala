@@ -32,17 +32,20 @@ class AnnIndexSpec extends SparkSpec {
     spark.conf.set("graft.ann.indexRoot", idxRoot)
     try {
       writeVecs(tmp, 0)
-      val (ivf0, pq0) = (AnnIndex.ivfFits.get(), AnnIndex.pqFits.get())
+      val (ivf0, pq0, lsh0) =
+        (AnnIndex.ivfFits.get(), AnnIndex.pqFits.get(), AnnIndex.lshEncodes.get())
       val ivfOut1 = Similarity.annIvf.run(spark, tmp).collect().map(_.toSeq).toSeq
       val pqOut1 = Similarity.annPq.run(spark, tmp).collect().map(_.toSeq).toSeq
-      assert(ivfOut1.nonEmpty && pqOut1.nonEmpty)
+      val lshOut1 = Similarity.annLsh.run(spark, tmp).collect().map(_.toSeq).toSeq
+      assert(ivfOut1.nonEmpty && pqOut1.nonEmpty && lshOut1.nonEmpty)
       assert(AnnIndex.ivfFits.get() == ivf0 + 1, "first serve must fit IVF once")
       assert(AnnIndex.pqFits.get() == pq0 + 1, "first serve must fit PQ once")
+      assert(AnnIndex.lshEncodes.get() == lsh0 + 1, "first serve must encode LSH once")
       // the artifact layout is on disk, complete
       val tableDir = new java.io.File(idxRoot).listFiles().head
       val version = tableDir.listFiles().head
       for (part <- Seq("ivf_codebook", "ivf_cells", "pq_codebook", "pq_codes",
-          "_GRAFT_OK_IVF", "_GRAFT_OK_PQ"))
+          "lsh_sigs", "_GRAFT_OK_IVF", "_GRAFT_OK_PQ", "_GRAFT_OK_LSH"))
         assert(new java.io.File(version, part).exists(), s"missing $part")
       // the cells corpus is hive-partitioned by cell — the directory
       // layout IS the inverted file
@@ -50,14 +53,18 @@ class AnnIndexSpec extends SparkSpec {
         .count(_.getName.startsWith("cluster=")) > 1)
 
       // "restart": drop the in-JVM memos; a second serve must LOAD, not
-      // retrain, and produce the identical result
+      // retrain, and produce the identical result (LSH has no memo — its
+      // guard is the completion marker itself)
       Similarity.clearMemos()
       val ivfOut2 = Similarity.annIvf.run(spark, tmp).collect().map(_.toSeq).toSeq
       val pqOut2 = Similarity.annPq.run(spark, tmp).collect().map(_.toSeq).toSeq
+      val lshOut2 = Similarity.annLsh.run(spark, tmp).collect().map(_.toSeq).toSeq
       assert(AnnIndex.ivfFits.get() == ivf0 + 1, "restart retrained IVF instead of loading")
       assert(AnnIndex.pqFits.get() == pq0 + 1, "restart retrained PQ instead of loading")
+      assert(AnnIndex.lshEncodes.get() == lsh0 + 1, "restart re-encoded LSH instead of loading")
       assert(ivfOut2 == ivfOut1, "IVF results diverged after serving from disk")
       assert(pqOut2 == pqOut1, "PQ results diverged after serving from disk")
+      assert(lshOut2 == lshOut1, "LSH results diverged after serving from disk")
 
       // rewrite the table (same path, same cardinality, different
       // content): the fingerprint changes, both families refit, and the
@@ -66,8 +73,10 @@ class AnnIndexSpec extends SparkSpec {
       Similarity.clearMemos()
       val ivfOut3 = Similarity.annIvf.run(spark, tmp).collect().map(_.toSeq).toSeq
       val pqOut3 = Similarity.annPq.run(spark, tmp).collect().map(_.toSeq).toSeq
+      Similarity.annLsh.run(spark, tmp).collect()
       assert(AnnIndex.ivfFits.get() == ivf0 + 2, "rewrite must refit IVF")
       assert(AnnIndex.pqFits.get() == pq0 + 2, "rewrite must refit PQ")
+      assert(AnnIndex.lshEncodes.get() == lsh0 + 2, "rewrite must re-encode LSH")
       assert(ivfOut3 != ivfOut1 || pqOut3 != pqOut1,
         "rewritten table served the stale index")
       assert(tableDir.listFiles().length == 1, "stale index version not pruned")

@@ -348,21 +348,32 @@ class OperatorsSpec extends SparkSpec {
     // bands at radius 2 under the cap. A deterministic hash-generated
     // corpus (no rand(): reruns are bit-identical) proves the escalated
     // radius actually delivers recall where the clamp used to give it up.
-    val tmp = java.nio.file.Files.createTempDirectory("graftann40k").toString
-    spark.range(40000)
-      .select(col("id").as("vec_id"),
-        expr("transform(sequence(0, 63), " +
-          "j -> CAST((pmod(xxhash64(id, j), 2000) - 1000) / 1000.0 AS FLOAT))")
-          .as("embedding"))
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val (bits, bands, radius) = Similarity.annLshParams(40000L)
-    assert(bits == 11 && radius == 2 && bands <= 64,
-      s"expected the radius-2 regime, got (bits=$bits, bands=$bands, radius=$radius)")
-    val ann = Similarity.annLsh.run(spark, tmp).select("query_id", "neighbor_id")
-    val brute = Similarity.annTopK.run(spark, tmp).select("query_id", "neighbor_id")
-    val recall = ann.intersect(brute).count().toDouble / brute.count()
-    info(f"ann_lsh recall at n=40k (radius 2): $recall%.3f")
-    assert(recall >= 0.8, s"radius-2 recall $recall below 0.8 floor")
+    val tmpPath = java.nio.file.Files.createTempDirectory("graftann40k")
+    val tmp = tmpPath.toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftann40kidx")
+    spark.conf.set("graft.ann.indexRoot", idxRoot.toString)
+    try {
+      spark.range(40000)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> CAST((pmod(xxhash64(id, j), 2000) - 1000) / 1000.0 AS FLOAT))")
+            .as("embedding"))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val (bits, bands, radius) = Similarity.annLshParams(40000L)
+      assert(bits == 11 && radius == 2 && bands <= 64,
+        s"expected the radius-2 regime, got (bits=$bits, bands=$bands, radius=$radius)")
+      val ann = Similarity.annLsh.run(spark, tmp).select("query_id", "neighbor_id")
+      val brute = Similarity.annTopK.run(spark, tmp).select("query_id", "neighbor_id")
+      val recall = ann.intersect(brute).count().toDouble / brute.count()
+      info(f"ann_lsh recall at n=40k (radius 2): $recall%.3f")
+      assert(recall >= 0.8, s"radius-2 recall $recall below 0.8 floor")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      import scala.jdk.CollectionConverters._
+      for (p <- Seq(tmpPath, idxRoot))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   test("multi-probe ANN recall in the radius-3 regime (n=530k synthetic corpus)") {
@@ -375,6 +386,8 @@ class OperatorsSpec extends SparkSpec {
     // reruns are bit-identical).
     val tmpPath = java.nio.file.Files.createTempDirectory("graftann530k")
     val tmp = tmpPath.toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftann530kidx")
+    spark.conf.set("graft.ann.indexRoot", idxRoot.toString)
     try {
       spark.range(530000)
         .select(col("id").as("vec_id"),
@@ -391,10 +404,13 @@ class OperatorsSpec extends SparkSpec {
       info(f"ann_lsh recall at n=530k (radius 3): $recall%.3f")
       assert(recall >= 0.8, s"radius-3 recall $recall below 0.8 floor")
     } finally {
-      // the corpus is ~140 MB — don't leave it in /tmp
+      // the corpus (~140 MB) and its signature index — don't leave them
+      // in /tmp
+      spark.conf.unset("graft.ann.indexRoot")
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      for (p <- Seq(tmpPath, idxRoot))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
 
