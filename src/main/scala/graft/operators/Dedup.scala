@@ -65,15 +65,24 @@ object Dedup {
     * its group size).
     */
   private[operators] def collapseExact(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val wg = Window.partitionBy("th")
-    val tagged = T.documents(s, d)
+    val docs = T.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"), md5(col("text")).as("th"))
-      .withColumn("rep", min(col("doc_id")).over(wg))
-      .withColumn("gsz", count(lit(1)).over(wg))
-    (tagged.select(col("rep"), col("doc_id")),
-      tagged.where(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("text"), col("gsz")))
+    // group identity (keeper id + size) via groupBy + equi-join back, NOT
+    // min/count over Window.partitionBy(th): a window partition is one
+    // unsplittable task, and at web-corpus scale one content key is a
+    // mass-duplicate magnet (empty/whitespace-only docs all normalize to a
+    // single hash; a viral page is byte-identical 10⁷ times) — the groupBy
+    // is map-side combined to one row per distinct text, and the join back
+    // is AQE-skew-splittable. Same device as span/paragraph dedup.
+    val groups = docs.select("doc_id", "th").groupBy("th")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
+    // members: narrow (doc_id, th) rows join the group table — text never
+    // rides this skewed join; reps: fetch text through the doc_id ===
+    // rep equi-join, which is unique-keyed and therefore skew-free.
+    (docs.select("doc_id", "th").join(groups, "th").select(col("rep"), col("doc_id")),
+      docs.join(groups, docs("doc_id") === groups("rep"))
+        .select(docs("doc_id"), col("text"), col("gsz")))
   }
 
   /** Expand representative-level pairs to member-doc pairs: every
@@ -105,16 +114,24 @@ object Dedup {
 
   /** G. Exact dedup: hash-groupBy on normalized content; every doc keeps
     * its group size, keeper id (min doc_id), and dup flag.
+    *
+    * Group size / keeper come from groupBy(content_hash) + equi-join back
+    * — NOT a window over the content hash: a window partition is one
+    * unsplittable task, and a mass-duplicate key (every empty/whitespace
+    * doc normalizes to ONE hash; a viral page repeats byte-identically
+    * 10⁷+ times at web scale) would funnel that whole group through it.
+    * The groupBy is map-side combined and the join back AQE-skew-splits.
     */
   val exact: Q = Q(
     "q_dedup_exact",
     (s, d) => {
-      val w = Window.partitionBy("content_hash")
-      T.documents(s, d)
+      val hashed = T.documents(s, d)
         .select(col("doc_id"), md5(normText).as("content_hash"))
-        .withColumn("group_size", count(lit(1)).over(w))
-        .withColumn("keeper_id", min(col("doc_id")).over(w))
-        .withColumn("is_dup", col("doc_id") =!= col("keeper_id"))
+      val groups = hashed.groupBy("content_hash")
+        .agg(count(lit(1)).as("group_size"), min("doc_id").as("keeper_id"))
+      hashed.join(groups, "content_hash")
+        .select(col("doc_id"), col("content_hash"), col("group_size"),
+          col("keeper_id"), (col("doc_id") =!= col("keeper_id")).as("is_dup"))
         .transform(Det.sortAll)
     },
     Some("""WITH t AS (
@@ -428,12 +445,14 @@ object Dedup {
   val clusters: Q = Q(
     "q_dedup_clusters",
     (s, d) => {
-      val wg = Window.partitionBy("th")
       val docs = T.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-      val exactE = docs
-        .select(col("doc_id"), md5(normText).as("th"))
-        .withColumn("keeper", min(col("doc_id")).over(wg))
+      // exact-dup edges via groupBy + equi-join (the collapseExact device)
+      // rather than min-over-window on the content hash — one mass-dup key
+      // must not become one unsplittable window task
+      val hashed = docs.select(col("doc_id"), md5(normText).as("th"))
+      val keepers = hashed.groupBy("th").agg(min("doc_id").as("keeper"))
+      val exactE = hashed.join(keepers, "th")
         .where(col("doc_id") =!= col("keeper"))
         .select(col("doc_id").as("a"), col("keeper").as("b"))
       val ngramE = ngramPairs(s, d)
@@ -799,7 +818,11 @@ object Dedup {
     */
   private[graft] def incrementalVerdicts(fresh: DataFrame, corpus: DataFrame,
       maxBroadcastKeys: Long): DataFrame = {
-    val batchKeys = fresh.select("content_hash").distinct()
+    // ONE materialization of the batch key set serves both the guard
+    // count and the semi join (it was computed twice — an extra scan +
+    // shuffle of the fresh batch per call); CacheBag releases it after
+    // the query's write completes.
+    val batchKeys = graft.CacheBag.track(fresh.select("content_hash").distinct())
     val smallBatch = batchKeys.count() <= maxBroadcastKeys
     val keys = if (smallBatch) broadcast(batchKeys) else batchKeys.hint("merge")
     val collided0 = corpus
@@ -807,11 +830,17 @@ object Dedup {
       .select("content_hash").distinct()
       .withColumn("in_corpus", lit(true))
     val collided = if (smallBatch) broadcast(collided0) else collided0.hint("merge")
-    val w = Window.partitionBy("content_hash")
+    // first-in-batch via groupBy + equi-join back, NOT min-over-window on
+    // the content hash: the SMJ fallback exists precisely because a batch
+    // can be backfill-sized, and a backfill full of one mass-dup key
+    // (empty docs) would otherwise ride a single unsplittable window task.
+    val firsts0 = fresh.groupBy("content_hash").agg(min("doc_id").as("first_id"))
+    val firsts = if (smallBatch) broadcast(firsts0) else firsts0.hint("merge")
     fresh
       .join(collided, Seq("content_hash"), "left")
+      .join(firsts, Seq("content_hash"))
       .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
-      .withColumn("dup_in_batch", col("doc_id") =!= min(col("doc_id")).over(w))
+      .withColumn("dup_in_batch", col("doc_id") =!= col("first_id"))
       .select(col("doc_id"), col("content_hash"), col("in_corpus"),
         col("dup_in_batch"),
         (!col("in_corpus") && !col("dup_in_batch")).as("keep"))

@@ -191,16 +191,22 @@ object Multimodal {
   val binaryDedup: Q = Q(
     "q_dedup_binary",
     (s, d) => {
-      val wg = Window.partitionBy("ph")
-      val tagged = T.documents(s, d)
+      val hashed = T.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .where(col("text").isNotNull)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .withColumn("ph", md5(col("payload")))
-        .withColumn("rep", min(col("doc_id")).over(wg))
-      val members = tagged.select(col("rep"), col("doc_id"))
-      val reps = tagged.where(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("payload"))
+      // exact pre-collapse via groupBy + equi-join, not a window over the
+      // payload hash: a byte-identical viral image is ONE key carrying
+      // millions of rows at 100 TB, and a window partition is a single
+      // unsplittable task (same device as Dedup.collapseExact; the
+      // doc_id === rep join that fetches payloads is unique-keyed).
+      val groups = hashed.select("doc_id", "ph").groupBy("ph")
+        .agg(min("doc_id").as("rep"))
+      val members = hashed.select("doc_id", "ph").join(groups, "ph")
+        .select(col("rep"), col("doc_id"))
+      val reps = hashed.join(groups, hashed("doc_id") === groups("rep"))
+        .select(hashed("doc_id"), col("payload"))
       // 8-byte shingles at every offset (substring is 1-based; payloads
       // shorter than 8 bytes yield their whole tail as the one shingle),
       // then the deterministic hash-mod sample — see the scaladoc on why

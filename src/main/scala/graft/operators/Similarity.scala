@@ -244,22 +244,26 @@ object Similarity {
       // rescoring. Within-group pairs compute the same dot/(nrm·nrm)
       // expression, so all emitted cosines equal the direct plan's.
       //
-      // The collapse shuffles on an 8-byte xxhash64 of the vector, not
-      // the raw 512-byte array (r5 windowed on `v` itself: same shuffle
-      // count, 64×-fatter routing/sort key). The raw vector stays a
-      // SECONDARY window key so a hash collision of distinct vectors can
-      // never merge them — equality, not hash, decides the group — while
-      // HashPartitioning(vh) already clusters (vh, v), so the window
-      // reuses the explicit hash repartition and adds no second Exchange.
-      val wg = Window.partitionBy("vh", "v")
+      // The collapse is groupBy(vh, v) + equi-join back, NOT min-over-
+      // Window.partitionBy: a mass-duplicate vector (the zero vector, a
+      // viral page's embedding repeated 10⁷ times) is ONE key, and a
+      // window partition is a single unsplittable task — the groupBy's
+      // map-side combine emits one row per distinct vector per partition
+      // and the members join back is AQE-skew-splittable (the r8 device
+      // shared with Dedup.collapseExact). The 8-byte xxhash64 leads the
+      // key for cheap routing; the raw vector stays a SECONDARY equality
+      // key so a hash collision of distinct vectors can never merge them.
+      // The group table IS the reps frame (nrm is a function of v, so
+      // min(nrm) is exact) — no second join to fetch vectors.
       val tagged = vecsRaw(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("vh", xxhash64(col("v")))
-        .repartition(col("vh"))
-        .withColumn("rep", min(col("vec_id")).over(wg))
-        .drop("vh")
-      val members = tagged.select(col("rep"), col("vec_id"))
-      val e = tagged.where(col("vec_id") === col("rep"))
-        .select(col("vec_id"), col("v"), col("nrm"))
+      val groups = tagged.groupBy("vh", "v")
+        .agg(min("vec_id").as("rep"), min("nrm").as("nrm"))
+      val members = tagged.select("vec_id", "vh", "v")
+        .join(groups.select("vh", "v", "rep"), Seq("vh", "v"))
+        .select(col("rep"), col("vec_id"))
+      val e = groups.select(col("rep").as("vec_id"), col("v"), col("nrm"))
       // one cheap stats job over the distinct vectors drives the
       // parameter choice: bits/bands/probe-radius solved by lshParams so
       // the ≥98% boundary-recall equation holds at EVERY n (the r4 band

@@ -52,6 +52,26 @@ class OperatorsSpec extends SparkSpec {
     assert(dups == Set(2L))
   }
 
+  test("mega-duplicate key: exact dedup survives one text ×1M on a single hash") {
+    // the r8 hardening target: a mass-duplicate content key (every empty
+    // doc normalizes to ONE hash; a viral page is byte-identical millions
+    // of times at web scale). Under the old min/count-over-window device
+    // all 1M rows of the group would ride a single unsplittable window
+    // task; the groupBy + equi-join device map-side-combines the group to
+    // one row and lets AQE split the join back.
+    val n = 1000000L
+    val docs = spark.range(n)
+      .select(col("id").as("doc_id"), lit("the viral page text").as("text"))
+      .union(Seq((n, "a unique survivor")).toDF("doc_id", "text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graftmega").toString
+    docs.repartition(4).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.exact.run(spark, tmp)
+    val sizes = out.groupBy("group_size").count().as[(Long, Long)].collect().toMap
+    assert(sizes == Map(n -> n, 1L -> 1L), s"unexpected group sizes: $sizes")
+    assert(out.where(!col("is_dup")).count() == 2L) // exactly one keeper per group
+    assert(out.where(col("keeper_id") === 0L).count() == n)
+  }
+
   test("minhash LSH surfaces a planted near-duplicate pair") {
     // Two docs sharing almost all shingles must collide in >=1 band.
     val base = (1 to 40).map(i => s"w$i").mkString(" ")

@@ -46,6 +46,29 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("no registered query windows over a whole-content identity key") {
+    // r8: group-size / keeper / first-occurrence devices must be
+    // groupBy + equi-join back, never min/count over
+    // Window.partitionBy(content-hash): a window partition is ONE task
+    // and is not AQE-splittable, so at web scale a mass-duplicate key
+    // (every empty doc normalizes to one hash, a viral page/image is
+    // byte-identical 10⁷ times, the zero vector) funnels that whole
+    // group through a single straggler. These are the content-identity
+    // key names across the dedup family (doc text, binary payload,
+    // vector, paragraph, span); bucket/df keys (capBuckets, shingle df)
+    // are a different class — their windows reuse the join's own shuffle
+    // and their keys are post-collapse distinct-text-scoped.
+    val contentKeys = Set("content_hash", "th", "ph", "vh", "hp", "hg")
+    for (q <- SparkEntry.registry) {
+      val offenders = q.run(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow
+          if w.partitionSpec.exists(_.references.exists(a => contentKeys(a.name))) => w
+      }
+      assert(offenders.isEmpty,
+        s"${q.name} windows over a content-identity key:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("no registered query uses a window without a partition spec") {
     for (q <- SparkEntry.registry) {
       val offenders = q.run(spark, sfDir).queryExecution.optimizedPlan.collect {
