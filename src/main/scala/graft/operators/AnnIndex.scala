@@ -17,7 +17,10 @@ import graft.functions.Vectors
   *   ivf_cells/      (vec_id, v, nrm, cluster=…) corpus, PARTITIONED BY cell
   *   pq_codebook/    (dim, cents)                1 row, m·ksub·dsub doubles
   *   pq_codes/       (vec_id, code, nrm)         corpus, 24 B/vector live
-  *   _GRAFT_OK_IVF / _GRAFT_OK_PQ               completion markers
+  *   lsh_sigs/       (vec_id, band_idx, code)    capped banded signatures
+  *   _GRAFT_FILES                                table file inventory
+  *   _GRAFT_META_{IVF,PQ,LSH}                    base pointer, n_fit, params
+  *   _GRAFT_OK_{IVF,PQ,LSH}                      completion markers
   * }}}
   *
   * Layout choices are the serve-path point, not storage bookkeeping:
@@ -29,28 +32,74 @@ import graft.functions.Vectors
   *    scan streams 24 B/vector — the ~21× cut vs raw vectors survives
   *    session restarts instead of being recomputed into it each time.
   *
+  * '''Incremental maintenance (r8).''' An ingest batch appends parquet
+  * files to the embeddings table; without append support the new
+  * fingerprint forces a full refit + re-encode — the exact full-corpus
+  * pass the index exists to avoid, in the steady state
+  * (q_dedup_incremental's batch ≪ corpus shape) where it hurts most. The
+  * append path detects a pure FILE-LEVEL APPEND (the base version's file
+  * inventory, stored in `_GRAFT_FILES` as (path, length, mtime) triples,
+  * is a subset of the current table's), then:
+  *  - encodes ONLY the new files' vectors with the base version's FROZEN
+  *    codebooks/parameters (no Lloyd, no corpus re-encode — the counters
+  *    prove it),
+  *  - IVF/PQ: writes the delta artifact into the new version dir and
+  *    CHAINS to the base via the meta's base pointer — serve reads the
+  *    chain union (filter/partition pruning pushes through the union), so
+  *    the corpus-sized base artifacts are never rewritten;
+  *  - LSH: re-caps base ∪ delta and rewrites `lsh_sigs` whole — the
+  *    bucket cap is defined over the union, and the sig table (24 B/row
+  *    of live columns) is orders cheaper to rewrite than the hyperplane
+  *    encode it replaces; params (bits/bands/radius) stay frozen at their
+  *    fit-time solve so base and delta signatures stay comparable.
+  *
+  * '''Drift policy''': frozen codebooks mis-center as appended mass grows,
+  * so when (n_total − n_fit)/n_total exceeds [[refitFraction]] the append
+  * path refuses and a full refit runs (collapsing the chain). n_fit — the
+  * corpus size at the last TRUE fit — rides the meta through every append.
+  *
   * Correctness of staleness: the version directory name embeds
   * [[Similarity.tableFingerprint]] (path+length+mtime of every physical
   * file) and the row count — a rewritten table resolves to a DIFFERENT
-  * directory and refits; stale sibling versions are pruned at write time.
-  * A crash mid-write leaves no completion marker, so the next call refits
-  * and overwrites. Loading requires the marker.
+  * directory and refits (append only engages when old files are
+  * byte-level untouched); stale versions outside the live chain are
+  * pruned at write time. A crash mid-write leaves no completion marker,
+  * so the next call refits/re-appends and overwrites. Loading requires
+  * the marker PLUS a once-per-session artifact sanity check
+  * ([[validate]]): the root defaults to a per-user directory (a shared
+  * world-writable /tmp root on a multi-tenant host would let another
+  * user pre-create a marker-complete poisoned version, and /tmp cleaners
+  * can delete files between plan build and execution), and the serve
+  * readers verify schema + expected row count against the version key
+  * before the first serve, failing loud rather than silently serving a
+  * truncated or foreign artifact.
   */
 object AnnIndex {
 
   /** Lloyd-fit / signature-encode counters (IVF / PQ / LSH) — incremented
-    * ONLY when a real fit or corpus encode runs, so specs can prove a
-    * load path retrained nothing.
+    * ONLY when a real fit or full corpus encode runs, so specs can prove a
+    * load path retrained nothing. The append counters increment when a
+    * batch-only delta encode runs (and the fit counters then don't).
     */
   private[graft] val ivfFits = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val pqFits = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val lshEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val ivfAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val pqAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val lshAppends = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Append-drift threshold: chain-append while rows encoded with frozen
+    * codebooks are ≤ this fraction of the corpus; past it, refit.
+    */
+  private[graft] val refitFraction = 0.3
 
   /** Index root. A real deployment points this at a DFS path; the default
-    * keeps local runs self-contained.
+    * keeps local runs self-contained and PER-USER — a shared /tmp root on
+    * a multi-tenant host is writable by anyone (see scaladoc).
     */
   private[graft] def root(s: SparkSession): String =
-    s.conf.get("graft.ann.indexRoot", "/tmp/graft_ann_index")
+    s.conf.get("graft.ann.indexRoot",
+      s"${System.getProperty("java.io.tmpdir")}/graft_ann_index-${System.getProperty("user.name")}")
 
   private def md5hex(x: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -70,20 +119,132 @@ object AnnIndex {
   private def touch(s: SparkSession, path: String): Unit =
     fs(s, path).create(new org.apache.hadoop.fs.Path(path), true).close()
 
-  /** Delete stale sibling versions of `vd` (older fingerprints of the same
-    * table). The current version is never touched; concurrent readers of a
-    * stale version are a non-goal (same single-writer discipline as any
-    * table rewrite).
+  private def writeText(s: SparkSession, path: String, content: String): Unit = {
+    val out = fs(s, path).create(new org.apache.hadoop.fs.Path(path), true)
+    out.write(content.getBytes("UTF-8")); out.close()
+  }
+
+  private def readText(s: SparkSession, path: String): Option[String] =
+    if (!exists(s, path)) None
+    else {
+      val in = fs(s, path).open(new org.apache.hadoop.fs.Path(path))
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+
+  /** Physical file inventory of the table — the append detector's unit.
+    * Same (path, length, mtime) triples [[Similarity.tableFingerprint]]
+    * folds, kept unfolded so set-subset (pure append) is decidable.
+    */
+  private def physFiles(s: SparkSession, path: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      // data files only: an append rewrites _SUCCESS (fresh mtime), which
+      // would make every append look like a modification of the base
+      if (!name.startsWith("_") && !name.startsWith("."))
+        out += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  private def writeFileList(s: SparkSession, vd: String,
+      files: Seq[(String, Long, Long)]): Unit =
+    if (!exists(s, s"$vd/_GRAFT_FILES"))
+      writeText(s, s"$vd/_GRAFT_FILES",
+        files.map { case (p, l, m) => s"$p\t$l\t$m" }.mkString("\n"))
+
+  private def readFileList(s: SparkSession, vd: String): Option[Seq[(String, Long, Long)]] =
+    readText(s, s"$vd/_GRAFT_FILES").map(_.split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, l, m) = line.split("\t")
+        (p, l.toLong, m.toLong)
+      })
+
+  /** Per-family version metadata: the append-chain base pointer (sibling
+    * dir name, "-" when the artifact is complete in this dir), the corpus
+    * size at the last true fit, and frozen solve parameters (LSH).
+    */
+  private def writeMeta(s: SparkSession, vd: String, fam: String,
+      base: Option[String], nFit: Long, params: String = ""): Unit =
+    writeText(s, s"$vd/_GRAFT_META_$fam",
+      s"base=${base.getOrElse("-")}\nn_fit=$nFit\nparams=$params")
+
+  private def readMeta(s: SparkSession, vd: String,
+      fam: String): Option[(Option[String], Long, String)] =
+    readText(s, s"$vd/_GRAFT_META_$fam").map { t =>
+      val kv = t.split("\n").map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+      (Some(kv("base")).filter(_ != "-"), kv("n_fit").toLong,
+        kv.getOrElse("params", ""))
+    }
+
+  /** Resolve `fam`'s artifact chain starting at `vd`: the dirs whose
+    * artifacts union into the full corpus view (tip first).
+    */
+  private def chainDirs(s: SparkSession, vd: String, fam: String): Seq[String] = {
+    val parent = new org.apache.hadoop.fs.Path(vd).getParent.toUri.getPath
+    Iterator.iterate(Option(vd)) {
+      case Some(cur) => readMeta(s, cur, fam).flatMap(_._1).map(b => s"$parent/$b")
+      case None => None
+    }.takeWhile(_.isDefined).flatten.toSeq
+  }
+
+  /** Newest usable append base for `fam`: a complete sibling version whose
+    * recorded file inventory is a SUBSET of the current one (pure file
+    * append — any modified/removed file disqualifies). Returns
+    * (base dir, delta file paths, n_fit, frozen params).
+    */
+  private def appendBase(s: SparkSession, vd: String, fam: String,
+      curFiles: Seq[(String, Long, Long)]): Option[(String, Seq[String], Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(vd)
+    val parent = p.getParent
+    val f = fs(s, vd)
+    if (!f.exists(parent)) return None
+    val cur = curFiles.toSet
+    f.listStatus(parent).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName != p.getName)
+      .map(_.getPath.toUri.getPath)
+      .filter(b => exists(s, s"$b/_GRAFT_OK_$fam"))
+      .flatMap { b =>
+        for {
+          files <- readFileList(s, b)
+          (_, nFit, params) <- readMeta(s, b, fam)
+          if files.toSet.subsetOf(cur)
+          delta = curFiles.filterNot(files.toSet).map(_._1)
+          if delta.nonEmpty
+        } yield (b, delta, nFit, params, files.size)
+      }
+      .sortBy(-_._5) // deepest inventory = newest chain tip
+      .headOption.map { case (b, delta, nFit, params, _) => (b, delta, nFit, params) }
+  }
+
+  /** Delete sibling versions of `vd` not reachable from any family's
+    * chain — a full refit collapses the chain, an append keeps its bases.
     */
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
+    val keep = Seq("IVF", "PQ", "LSH").flatMap(chainDirs(s, vd, _))
+      .map(new org.apache.hadoop.fs.Path(_).getName).toSet + new org.apache.hadoop.fs.Path(vd).getName
     val p = new org.apache.hadoop.fs.Path(vd)
     val parent = p.getParent
     val f = fs(s, vd)
     if (f.exists(parent))
       f.listStatus(parent).foreach { st =>
-        if (st.getPath.getName != p.getName) f.delete(st.getPath, true)
+        if (!keep(st.getPath.getName)) f.delete(st.getPath, true)
       }
   }
+
+  /** The delta rows, read from ONLY the appended files, projected exactly
+    * as Similarity.vecsRaw projects the full table.
+    */
+  private def deltaVecs(s: SparkSession, paths: Seq[String]): DataFrame =
+    s.read.parquet(paths: _*)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
 
   private[graft] def loadIvfCodebook(s: SparkSession, vd: String): Option[Array[(Long, Seq[Double], Double)]] =
     if (exists(s, s"$vd/_GRAFT_OK_IVF"))
@@ -100,32 +261,85 @@ object AnnIndex {
         r.getAs[Int]("dim")))
     } else None
 
+  /** Once-per-session artifact sanity check before the first serve of a
+    * version (ADVICE r7): a marker is a promise, not proof — a /tmp
+    * cleaner (or, under a mis-scoped shared root, another tenant) can
+    * leave a complete-looking version whose corpus artifact is truncated
+    * or foreign. Schema mismatches already fail loud (explicit read
+    * schemas); row count is the silent failure mode, so compare the
+    * artifact's count against the version key's count and refuse to
+    * serve on mismatch.
+    */
+  private val validatedVersions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Spec hook: force re-validation (the "fresh session" for the cache). */
+  private[graft] def resetValidation(): Unit = validatedVersions.clear()
+
+  private def validate(vd: String, fam: String, expected: Long,
+      actual: => Long): Unit =
+    if (!validatedVersions.contains(s"$vd#$fam")) {
+      val got = actual
+      if (got != expected)
+        throw new IllegalStateException(
+          s"$fam index at $vd is corrupt: artifact holds $got rows, " +
+            s"version key says $expected — refusing to serve (delete the " +
+            "version dir to force a refit)")
+      validatedVersions.add(s"$vd#$fam")
+    }
+
   /** Ensure the IVF index (codebook + cell-partitioned corpus) is
-    * persisted for `d`'s embeddings table, fitting+encoding at most once
-    * per table content, and return (driver codebook rows, cells reader).
-    * The cells reader is a plain parquet scan whose `cluster` filter
-    * partition-prunes.
+    * persisted for `d`'s embeddings table — fitting at most once per
+    * table content, encoding only appended files on a pure append — and
+    * return (driver codebook rows, cells reader). The cells reader is the
+    * chain union of plain parquet scans; a `cluster` filter
+    * partition-prunes each chain segment.
     */
   private[graft] def ivf(s: SparkSession, d: String,
       e: DataFrame): (Array[(Long, Seq[Double], Double)], DataFrame) = {
-    val n = math.max(e.count(), 1L)
+    val cnt = e.count()
+    val n = math.max(cnt, 1L)
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, n, fp)
-    val cb = Similarity.codebookRowsAt(s, d, e, n, fp) // disk-aware memoized fit
     if (!exists(s, s"$vd/_GRAFT_OK_IVF")) {
-      s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm")
-        .coalesce(1).write.mode("overwrite").parquet(s"$vd/ivf_codebook")
-      // one narrow NearestCentroid pass — the encode leg of the fit; hash-
-      // repartition on cluster so each cell lands as one file in its own
-      // hive partition directory (the inverted-file layout)
-      e.withColumn("cluster",
-          Vectors.nearestCentroid(col("v"), cb.map(_._1), cb.flatMap(_._2),
-            cb.map(_._3)))
-        .repartition(col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$vd/ivf_cells")
-      touch(s, s"$vd/_GRAFT_OK_IVF")
-      pruneSiblings(s, vd)
+      val cur = physFiles(s, s"$d/embeddings.parquet")
+      appendBase(s, vd, "IVF", cur) match {
+        case Some((base, delta, nFit, _)) if (n - nFit).toDouble / n <= refitFraction =>
+          ivfAppends.incrementAndGet()
+          val cb = loadIvfCodebook(s, base).get
+          // copy the (tiny) codebook so codebook loads are chain-free
+          s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm")
+            .coalesce(1).write.mode("overwrite").parquet(s"$vd/ivf_codebook")
+          deltaVecs(s, delta)
+            .withColumn("cluster",
+              Vectors.nearestCentroid(col("v"), cb.map(_._1), cb.flatMap(_._2),
+                cb.map(_._3)))
+            .repartition(col("cluster"))
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$vd/ivf_cells")
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "IVF",
+            Some(new org.apache.hadoop.fs.Path(base).getName), nFit)
+          touch(s, s"$vd/_GRAFT_OK_IVF")
+          pruneSiblings(s, vd)
+        case _ =>
+          val cb = Similarity.codebookRowsAt(s, d, e, n, fp) // Lloyd fit
+          s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm")
+            .coalesce(1).write.mode("overwrite").parquet(s"$vd/ivf_codebook")
+          // one narrow NearestCentroid pass — the encode leg of the fit;
+          // hash-repartition on cluster so each cell lands as one file in
+          // its own hive partition directory (the inverted-file layout)
+          e.withColumn("cluster",
+              Vectors.nearestCentroid(col("v"), cb.map(_._1), cb.flatMap(_._2),
+                cb.map(_._3)))
+            .repartition(col("cluster"))
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$vd/ivf_cells")
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "IVF", None, n)
+          touch(s, s"$vd/_GRAFT_OK_IVF")
+          pruneSiblings(s, vd)
+      }
     }
     // explicit schema: hive partition-column INFERENCE would type `cluster`
     // int when ids are small, and an isin filter would then cast the
@@ -135,31 +349,63 @@ object AnnIndex {
     val cellsSchema = StructType(Seq(
       StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
       StructField("nrm", DoubleType), StructField("cluster", LongType)))
-    (cb, s.read.schema(cellsSchema).parquet(s"$vd/ivf_cells"))
+    val cells = chainDirs(s, vd, "IVF")
+      .map(cd => s.read.schema(cellsSchema).parquet(s"$cd/ivf_cells"))
+      .reduce(_ unionByName _)
+    validate(vd, "IVF", cnt, cells.count())
+    (Similarity.codebookRowsAt(s, d, e, n, fp), cells)
   }
 
   /** Ensure the PQ index (flat codebook + packed codes) is persisted and
     * return (flat centroids, dim, codes reader). `codes` is the 24 B/vector
-    * serve corpus: (vec_id, packed 64-bit code, norm).
+    * serve corpus: (vec_id, packed 64-bit code, norm) — the chain union on
+    * an appended table.
     */
   private[graft] def pq(s: SparkSession, d: String,
       e: DataFrame): (Array[Double], Int, DataFrame) = {
-    val n = math.max(e.count(), 1L)
+    val cnt = e.count()
+    val n = math.max(cnt, 1L)
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, n, fp)
-    val (cents, dim) = Similarity.pqCodebookAt(s, d, e, n, fp) // disk-aware
     if (!exists(s, s"$vd/_GRAFT_OK_PQ")) {
-      s.createDataFrame(Seq((dim, cents.toSeq))).toDF("dim", "cents")
-        .coalesce(1).write.mode("overwrite").parquet(s"$vd/pq_codebook")
-      e.select(col("vec_id"),
-          Vectors.pqEncode(col("v"), cents, Similarity.pqM, Similarity.pqKsub)
-            .as("code"),
-          col("nrm"))
-        .write.mode("overwrite").parquet(s"$vd/pq_codes")
-      touch(s, s"$vd/_GRAFT_OK_PQ")
-      pruneSiblings(s, vd)
+      val cur = physFiles(s, s"$d/embeddings.parquet")
+      appendBase(s, vd, "PQ", cur) match {
+        case Some((base, delta, nFit, _)) if (n - nFit).toDouble / n <= refitFraction =>
+          pqAppends.incrementAndGet()
+          val (cents, dim) = loadPqCodebook(s, base).get
+          s.createDataFrame(Seq((dim, cents.toSeq))).toDF("dim", "cents")
+            .coalesce(1).write.mode("overwrite").parquet(s"$vd/pq_codebook")
+          deltaVecs(s, delta).select(col("vec_id"),
+              Vectors.pqEncode(col("v"), cents, Similarity.pqM, Similarity.pqKsub)
+                .as("code"),
+              col("nrm"))
+            .write.mode("overwrite").parquet(s"$vd/pq_codes")
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "PQ",
+            Some(new org.apache.hadoop.fs.Path(base).getName), nFit)
+          touch(s, s"$vd/_GRAFT_OK_PQ")
+          pruneSiblings(s, vd)
+        case _ =>
+          val (cents, dim) = Similarity.pqCodebookAt(s, d, e, n, fp) // fit
+          s.createDataFrame(Seq((dim, cents.toSeq))).toDF("dim", "cents")
+            .coalesce(1).write.mode("overwrite").parquet(s"$vd/pq_codebook")
+          e.select(col("vec_id"),
+              Vectors.pqEncode(col("v"), cents, Similarity.pqM, Similarity.pqKsub)
+                .as("code"),
+              col("nrm"))
+            .write.mode("overwrite").parquet(s"$vd/pq_codes")
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "PQ", None, n)
+          touch(s, s"$vd/_GRAFT_OK_PQ")
+          pruneSiblings(s, vd)
+      }
     }
-    (cents, dim, s.read.parquet(s"$vd/pq_codes"))
+    val (cents, dim) = Similarity.pqCodebookAt(s, d, e, n, fp)
+    val codes = chainDirs(s, vd, "PQ")
+      .map(cd => s.read.parquet(s"$cd/pq_codes"))
+      .reduce(_ unionByName _)
+    validate(vd, "PQ", cnt, codes.count())
+    (cents, dim, codes)
   }
 
   /** Ensure the LSH banded-signature table is persisted and return
@@ -170,25 +416,53 @@ object AnnIndex {
     * the already skew-capped (vec_id, band_idx, code) rows — 24 B/row of
     * live columns, the signature analogue of the PQ code table; the cap
     * is part of the index (a hot bucket is hot for every future query).
-    * Parameters (bits/bands/radius) are a pure function of the corpus
-    * size, so the fingerprint+count version key covers them.
+    * Parameters (bits/bands/radius) are solved at FIT time and FROZEN in
+    * the meta: an append must encode its delta with the base's geometry
+    * (signatures under different bit counts don't share a bucket space),
+    * and the serve side must probe with the same — re-solving from the
+    * grown n would silently desynchronize them. On append the sig table
+    * is re-capped over base ∪ delta and rewritten whole: cheap relative
+    * to the encode (24 B/row), and cap semantics stay union-global.
     */
   private[graft] def lsh(s: SparkSession, d: String,
       e: DataFrame): (Int, Int, Int, DataFrame) = {
     val nRaw = e.count()
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, math.max(nRaw, 1L), fp)
-    val (bits, bands, radius) = Similarity.annLshParams(math.max(nRaw, 2L))
+    def encode(df: DataFrame, bands: Int, bits: Int): DataFrame = df
+      .withColumn("sig",
+        Vectors.hyperplaneBands(col("v"), Similarity.annLshSeed, bands, bits))
+      .select(col("vec_id"), posexplode(col("sig")).as(Seq("band_idx", "code")))
     if (!exists(s, s"$vd/_GRAFT_OK_LSH")) {
-      lshEncodes.incrementAndGet()
-      val buckets = e
-        .withColumn("sig",
-          Vectors.hyperplaneBands(col("v"), Similarity.annLshSeed, bands, bits))
-        .select(col("vec_id"), posexplode(col("sig")).as(Seq("band_idx", "code")))
-      Dedup.capBuckets(buckets, Seq("band_idx", "code"), 256)
-        .write.mode("overwrite").parquet(s"$vd/lsh_sigs")
-      touch(s, s"$vd/_GRAFT_OK_LSH")
-      pruneSiblings(s, vd)
+      val cur = physFiles(s, s"$d/embeddings.parquet")
+      appendBase(s, vd, "LSH", cur) match {
+        case Some((base, delta, nFit, params))
+            if params.nonEmpty && (nRaw - nFit).toDouble / nRaw <= refitFraction =>
+          lshAppends.incrementAndGet()
+          val Array(bits, bands, radius) = params.split(",").map(_.toInt)
+          val union = s.read.parquet(s"$base/lsh_sigs")
+            .unionByName(encode(deltaVecs(s, delta), bands, bits))
+          Dedup.capBuckets(union, Seq("band_idx", "code"), 256)
+            .write.mode("overwrite").parquet(s"$vd/lsh_sigs")
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "LSH", None, nFit, s"$bits,$bands,$radius")
+          touch(s, s"$vd/_GRAFT_OK_LSH")
+          pruneSiblings(s, vd)
+        case _ =>
+          val (bits, bands, radius) = Similarity.annLshParams(math.max(nRaw, 2L))
+          lshEncodes.incrementAndGet()
+          Dedup.capBuckets(encode(e, bands, bits), Seq("band_idx", "code"), 256)
+            .write.mode("overwrite").parquet(s"$vd/lsh_sigs")
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "LSH", None, nRaw, s"$bits,$bands,$radius")
+          touch(s, s"$vd/_GRAFT_OK_LSH")
+          pruneSiblings(s, vd)
+      }
+    }
+    val (bits, bands, radius) = readMeta(s, vd, "LSH") match {
+      case Some((_, _, params)) if params.nonEmpty =>
+        val Array(b, ba, r) = params.split(",").map(_.toInt); (b, ba, r)
+      case _ => Similarity.annLshParams(math.max(nRaw, 2L)) // pre-meta version
     }
     (bits, bands, radius, s.read.parquet(s"$vd/lsh_sigs"))
   }

@@ -85,4 +85,124 @@ class AnnIndexSpec extends SparkSpec {
       rmTree(tmp); rmTree(idxRoot)
     }
   }
+
+  private def appendVecs(dir: String, ids: Range, seed: Int = 0): Unit =
+    ids.map(i => (i.toLong,
+      Array.tabulate(8)(j => (((i * 7 + j * 13 + seed * 5) % 17) - 8).toFloat)))
+      .toDF("vec_id", "embedding")
+      .repartition(1).write.mode("append").parquet(s"$dir/embeddings.parquet")
+
+  test("incremental append: delta-only encode with frozen codebooks; refit past the drift threshold") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftannapp").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftannapproot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    try {
+      writeVecs(tmp, 0)
+      val (ivf0, pq0, lsh0) =
+        (AnnIndex.ivfFits.get(), AnnIndex.pqFits.get(), AnnIndex.lshEncodes.get())
+      val (ivfA0, pqA0, lshA0) =
+        (AnnIndex.ivfAppends.get(), AnnIndex.pqAppends.get(), AnnIndex.lshAppends.get())
+      Similarity.annIvf.run(spark, tmp).collect()
+      Similarity.annPq.run(spark, tmp).collect()
+      Similarity.annLsh.run(spark, tmp).collect()
+      assert(AnnIndex.ivfFits.get() == ivf0 + 1 && AnnIndex.pqFits.get() == pq0 + 1 &&
+        AnnIndex.lshEncodes.get() == lsh0 + 1)
+
+      // ingest batch: 64 new vectors land as NEW parquet files in the same
+      // table dir (the q_dedup_incremental steady state). Appended mass
+      // 64/320 = 0.2 ≤ refitFraction, so the index must APPEND — frozen
+      // codebooks, delta-only encode — not refit.
+      appendVecs(tmp, 256 until 320)
+      Similarity.clearMemos()
+      Similarity.annIvf.run(spark, tmp).collect()
+      val lshOut = Similarity.annLsh.run(spark, tmp)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      Similarity.annPq.run(spark, tmp).collect()
+      assert(AnnIndex.ivfFits.get() == ivf0 + 1, "append must not re-run Lloyd (IVF)")
+      assert(AnnIndex.pqFits.get() == pq0 + 1, "append must not re-run Lloyd (PQ)")
+      assert(AnnIndex.lshEncodes.get() == lsh0 + 1, "append must not re-encode the corpus (LSH)")
+      assert(AnnIndex.ivfAppends.get() == ivfA0 + 1 &&
+        AnnIndex.pqAppends.get() == pqA0 + 1 && AnnIndex.lshAppends.get() == lshA0 + 1,
+        "every family must take the append path")
+      // the tip version's LOCAL delta artifacts hold exactly the 64
+      // appended vectors — the proof the encode was batch-only
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val tip = tableDir.listFiles().find(_.getName.endsWith("_320")).get
+      assert(spark.read.parquet(s"$tip/pq_codes").count() == 64L,
+        "pq_codes delta is not batch-sized")
+      assert(spark.read.parquet(s"$tip/ivf_cells").count() == 64L,
+        "ivf_cells delta is not batch-sized")
+      assert(tableDir.listFiles().length == 2, "append must chain to the base, not clone it")
+      // the deltas are THE batch (ids 256..319, nothing re-encoded), and
+      // the served views include them: the tip's full recapped signature
+      // table carries appended vec_ids (this corpus's period-17 formula
+      // makes every appended vector an exact duplicate of an existing one,
+      // so smaller-id tie-breaks keep them out of top-5 — artifact
+      // membership, not ranking, is the right servability proof here)
+      val pqIds = spark.read.parquet(s"$tip/pq_codes")
+        .select("vec_id").as[Long].collect().toSet
+      assert(pqIds == (256L until 320L).toSet, "pq_codes delta is not exactly the batch")
+      assert(spark.read.parquet(s"$tip/ivf_cells")
+        .select("vec_id").as[Long].collect().toSet == (256L until 320L).toSet,
+        "ivf_cells delta is not exactly the batch")
+      assert(spark.read.parquet(s"$tip/lsh_sigs").where($"vec_id" >= 256).count() > 0,
+        "appended vectors missing from the served signature table")
+      // recall floor holds through the appended (frozen-parameter) index
+      val brute = Similarity.annTopK.run(spark, tmp)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (lshOut & brute).size.toDouble / brute.size
+      assert(recall >= 0.8, s"post-append LSH recall $recall below the 0.8 floor")
+
+      // second batch pushes cumulative appended mass past the drift
+      // threshold: (480-256)/480 = 0.47 > 0.3 ⇒ full refit, chain collapses
+      appendVecs(tmp, 320 until 480)
+      Similarity.clearMemos()
+      Similarity.annIvf.run(spark, tmp).collect()
+      Similarity.annPq.run(spark, tmp).collect()
+      Similarity.annLsh.run(spark, tmp).collect()
+      assert(AnnIndex.ivfFits.get() == ivf0 + 2, "drift past threshold must refit IVF")
+      assert(AnnIndex.pqFits.get() == pq0 + 2, "drift past threshold must refit PQ")
+      assert(AnnIndex.lshEncodes.get() == lsh0 + 2, "drift past threshold must re-encode LSH")
+      assert(AnnIndex.ivfAppends.get() == ivfA0 + 1, "refit must not also append")
+      assert(tableDir.listFiles().length == 1, "refit did not collapse the chain")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
+  test("artifact validation: a truncated corpus artifact refuses to serve") {
+    // the completion marker is a promise, not proof — a /tmp cleaner (or a
+    // foreign writer under a mis-scoped shared root) can leave a
+    // complete-looking version with a short corpus artifact; the serve
+    // must fail loud, not silently return partial neighbors
+    val tmp = java.nio.file.Files.createTempDirectory("graftannval").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftannvalroot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    try {
+      writeVecs(tmp, 0)
+      Similarity.annPq.run(spark, tmp).collect()
+      // truncate pq_codes to half the corpus behind the marker's back
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val vd = tableDir.listFiles().head
+      val half = spark.read.parquet(s"$vd/pq_codes").limit(128).collect()
+      val schema = spark.read.parquet(s"$vd/pq_codes").schema
+      spark.createDataFrame(java.util.Arrays.asList(half: _*), schema)
+        .write.mode("overwrite").parquet(s"$vd/pq_codes")
+      // fresh JVM-side state: memos and the validation cache both cleared
+      Similarity.clearMemos()
+      AnnIndex.resetValidation()
+      val err = intercept[Exception] {
+        Similarity.annPq.run(spark, tmp).collect()
+      }
+      def rootMsg(t: Throwable): String =
+        if (t.getCause == null) String.valueOf(t.getMessage)
+        else rootMsg(t.getCause) + String.valueOf(t.getMessage)
+      assert(rootMsg(err).contains("corrupt") || err.getMessage.contains("corrupt"),
+        s"expected a corrupt-index failure, got: $err")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
 }
