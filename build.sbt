@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify stdout is machine-parsed from the process tail (the
+// driver captures the last 2000 chars and parses the LAST line): pass
+// the forked JVM's output through verbatim instead of re-logging it
+// with "[info] " prefixes, and drop the "[success] Total time: …"
+// trailer sbt would otherwise print AFTER the compact bench JSON line —
+// three rounds of BENCH_r*.json landed `parsed: null` because of it.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,19 +18,30 @@ object Bench {
     // both in-order passes crossed the same noisy window). A query that
     // throws must not masquerade as a fast one: its elapsed time is
     // discarded and it is reported in a "failed" list instead.
-    def timeOne(q: Q): Either[String, Double] = {
+    // ANN fit/append activity per timing: the persisted index survives
+    // across runs, so a recorded min is usually a pure WARM serve — a
+    // fit-path regression would be invisible unless the artifact says
+    // which timings paid a fit/encode (ADVICE r7). Any counter movement
+    // during a query marks that pass "cold".
+    def fitCount(): Long = {
+      import graft.operators.AnnIndex._
+      ivfFits.get + pqFits.get + lshEncodes.get +
+        ivfAppends.get + pqAppends.get + lshAppends.get
+    }
+    def timeOne(q: Q): (Either[String, Double], Boolean) = {
       val t0 = System.nanoTime()
+      val f0 = fitCount()
       try {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        (Right((System.nanoTime() - t0) / 1e9), fitCount() != f0)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name}: $e")
-          Left(e.getClass.getSimpleName)
+          (Left(e.getClass.getSimpleName), fitCount() != f0)
       } finally CacheBag.release() // drop query-lifetime cache entries so
       // storage doesn't accumulate across the 70+-query × 2-pass run
     }
-    def pass(qs: Seq[Q], seed: Int): Map[String, Either[String, Double]] =
+    def pass(qs: Seq[Q], seed: Int): Map[String, (Either[String, Double], Boolean)] =
       new scala.util.Random(seed).shuffle(qs).map(q => q.name -> timeOne(q)).toMap
     val (p1, p2) = (pass(SparkEntry.registry, 1), pass(SparkEntry.registry, 2))
     // Targeted re-times — two independent triggers, because the two
@@ -59,7 +70,7 @@ object Bench {
         else Map.empty
       } else Map.empty
     val suspects = SparkEntry.registry.filter { q =>
-      (p1(q.name), p2(q.name)) match {
+      (p1(q.name)._1, p2(q.name)._1) match {
         case (Right(a), Right(b)) =>
           val mn = math.min(a, b)
           (mn > 0.3 && math.max(a, b) > 3 * mn) ||
@@ -69,12 +80,13 @@ object Bench {
     }
     val p3 = pass(suspects, 3)
     val results = SparkEntry.registry.flatMap { q =>
-      val timed = Seq(p1(q.name), p2(q.name), p3.getOrElse(q.name, Left("")))
-        .collect { case Right(t) => t }
+      val timed = Seq(p1(q.name), p2(q.name),
+          p3.getOrElse(q.name, (Left(""): Either[String, Double], false)))
+        .collect { case (Right(t), _) => t }
       if (timed.isEmpty) None else Some(q.name -> timed.min)
     }
     val failed = SparkEntry.registry.map(_.name)
-      .filter(n => p1(n).isLeft && p2(n).isLeft)
+      .filter(n => p1(n)._1.isLeft && p2(n)._1.isLeft)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Raw per-pass times (p1, p2, and the targeted p3 where it ran):
     // min≪max within a query's passes is self-evident host contention, so
@@ -83,12 +95,20 @@ object Bench {
     // on provably-unchanged queries; a full re-run measured 80.6 s).
     val passes = SparkEntry.registry.map { q =>
       val ts = (Seq(p1(q.name), p2(q.name)) ++ p3.get(q.name).toSeq)
-        .map { case Right(t) => t.toString; case Left(e) => "\"" + e + "\"" }
+        .map { case (Right(t), _) => t.toString; case (Left(e), _) => "\"" + e + "\"" }
       "\"" + q.name + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Which passes paid an index fit/append (vs a pure warm serve) — the
+    // warm-vs-cold attribution for every ANN timing in "passes"
+    val cold = SparkEntry.registry.flatMap { q =>
+      val cs = (Seq(p1(q.name), p2(q.name)) ++ p3.get(q.name).toSeq).map(_._2)
+      if (cs.contains(true))
+        Some("\"" + q.name + "\":" + cs.mkString("[", ",", "]"))
+      else None
     }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$fs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"cold":$cold,"failed":$fs,"sf":"$sfDir"}"""
     // land the full line as a file, so per-query numbers are machine-
     // readable without scraping an sbt log tail (cwd-relative; create the
     // parent so a non-sbt launcher's cwd can't fail a finished run)
