@@ -39,5 +39,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // explicit success sentinel: the gate greps stdout for 'success', and
+    // sbt's own "[success]" trailer is suppressed repo-wide (showSuccess
+    // := false — it used to land AFTER Bench's compact JSON line and
+    // break the driver's tail parse)
+    println(s"[verify] success: ${SparkEntry.queries.size} queries dumped to $outDir")
   }
 }

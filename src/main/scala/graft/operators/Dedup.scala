@@ -714,18 +714,33 @@ object Dedup {
     * the gate). Oracle joins the paragraph STRINGS, so a 64-bit hash
     * collision fails the hash gate rather than hiding.
     */
-  val paragraphDedup: Q = Q(
-    "q_dedup_paragraph",
-    (s, d) => {
-      val pw = 16
-      val docs = T.documents(s, d).where(col("doc_id").isNotNull)
-      val paras = docs
+  /** Paragraph splitters for [[paragraphClean]] — the machinery is
+    * splitter-agnostic, these decide what a "paragraph" is:
+    *  - [[newlineParas]]: the real-corpus default (CCNet splits on line
+    *    breaks) — trimmed lines, empties dropped;
+    *  - [[blockParas]]: the stand-in for corpora without newlines (the
+    *    driver testdata): fixed 16-word blocks, (size(w)-1) div 16 + 1
+    *    blocks so an empty text is one (empty) block — the behavior the
+    *    hash gate has pinned since r7.
+    */
+  private[graft] def newlineParas(text: Column): Column =
+    filter(transform(split(text, "\n"), p => trim(p)), p => p =!= lit(""))
+
+  private[graft] def blockParas(text: Column): Column = {
+    val w = split(trim(text), " +")
+    transform(sequence(lit(0), floor((size(w) - lit(1)) / lit(16)).cast("int")),
+      i => concat_ws(" ", slice(w, i * lit(16) + lit(1), lit(16))))
+  }
+
+  /** The paragraph-dedup transform dataflow, parameterized by the
+    * splitter (a Column→Column from text to its array of paragraphs).
+    */
+  private[graft] def paragraphClean(docs0: DataFrame,
+      paras: Column => Column): DataFrame = {
+      val docs = docs0.where(col("doc_id").isNotNull)
+      val p = docs
         .where(col("text").isNotNull)
-        .select(col("doc_id"), split(trim(col("text")), " +").as("w"))
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, (size(w)-1) div $pw), " +
-            s"i -> concat_ws(' ', slice(w, i*$pw+1, $pw)))"))
-          .as(Seq("idx", "para")))
+        .select(col("doc_id"), posexplode(paras(col("text"))).as(Seq("idx", "para")))
         .select(col("doc_id"), col("idx"), col("para"),
           xxhash64(col("para")).as("hp"),
           when(col("idx") < lit(1048576L) &&
@@ -734,23 +749,25 @@ object Dedup {
             .otherwise(raise_error(concat(
               lit("q_dedup_paragraph ord packing out of range: doc_id="),
               col("doc_id"), lit(" idx="), col("idx")))).as("ord"))
-      val firsts = paras.groupBy("hp").agg(min("ord").as("min_ord"))
-      val kept = paras.join(firsts, "hp").where(col("ord") === col("min_ord"))
+      val firsts = p.groupBy("hp").agg(min("ord").as("min_ord"))
+      val kept = p.join(firsts, "hp").where(col("ord") === col("min_ord"))
       val clean = kept.groupBy("doc_id").agg(
         count(lit(1)).cast("long").as("n_kept"),
         expr("concat_ws(' ', transform(array_sort(collect_list(struct(idx, para))), " +
           "p -> p.para))").as("clean_text"))
       docs
         .select(col("doc_id"),
-          coalesce(
-            expr(s"(size(split(trim(text), ' +')) - 1) div $pw + 1").cast("long"),
-            lit(0L)).as("n_paras"))
+          coalesce(size(paras(col("text"))).cast("long"), lit(0L)).as("n_paras"))
         .join(clean, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_paras"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .transform(Det.sortAll)
-    },
+  }
+
+  val paragraphDedup: Q = Q(
+    "q_dedup_paragraph",
+    (s, d) => paragraphClean(T.documents(s, d), blockParas),
     Some("""WITH w AS (
             |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL

@@ -834,6 +834,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 1L, p4)))
   }
 
+  test("paragraph dedup through the real newline splitter") {
+    // the 16-word block splitter stands in on the driver corpus (which
+    // carries no newlines); the machinery is splitter-agnostic — prove it
+    // on an actual '\n' corpus (r8: no test had ever run one): trimmed
+    // lines, empty lines dropped, corpus-global first-occurrence keep,
+    // document-order reassembly
+    val docs = Seq(
+      (1L, "header boilerplate\nunique one"),
+      (2L, "header boilerplate\n\n  unique two  \nunique one"),
+      (3L, "\n\n") // only empty lines: zero paragraphs
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphClean(docs, Dedup.newlineParas).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((2L, 2L, "header boilerplate unique one")))
+    // doc 2: the header removed (doc 1 carried it first), empties dropped,
+    // 'unique one' removed as a cross-doc dup, whitespace trimmed
+    assert(out(2L) == ((3L, 1L, "unique two")))
+    assert(out(3L) == ((0L, 0L, "")))
+  }
+
   test("binary near-dup pairs planted byte-level near-identical payloads") {
     // two payloads sharing almost all byte shingles (one word edited),
     // one exact byte-duplicate, one unrelated payload

@@ -205,4 +205,60 @@ class PropertySpec extends SparkSpec {
       assert(adc == refAdc(code), s"adc mismatch for vector $id")
     }
   }
+
+  test("lm score: linear-mean junk-tail ranking agrees with log-perplexity on a planted corpus") {
+    // q_lm_score emits the LINEAR mean of conditional probabilities (the
+    // hash-gate-exact choice); the filter's consumer semantics are
+    // log-space (CCNet thresholds perplexity = -mean log P). Assert the
+    // two rankings agree on what matters — which documents are the junk
+    // tail — on a planted fluent/scrambled corpus, with the log side
+    // recomputed independently from local bigram counts.
+    val fluent1 = "the cat sat on the mat"
+    val fluent2 = "a dog ran in the park"
+    val docs = Seq(
+      1L -> fluent1, 2L -> fluent1, 3L -> fluent1,
+      4L -> fluent2, 5L -> fluent2, 6L -> fluent2,
+      7L -> "mat the on sat cat the", // scrambles: same vocabulary,
+      8L -> "park a in ran dog the")  // bigrams no other doc has
+    val junk = Set(7L, 8L)
+    val tmp = java.nio.file.Files.createTempDirectory("graftlmord").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val linear = operators.TextAnalysis.lmScore.run(spark, tmp)
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+
+    // independent local model: same whitespace tokens, same corpus counts
+    val toks = docs.map { case (id, t) => id -> t.trim.split(" +").toSeq }
+    val uc = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val bc = toks.flatMap(_._2.sliding(2).map(_.mkString(" ")).toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val meanLog = toks.map { case (id, ws) =>
+      val rs = ws.sliding(2).toSeq.map(p =>
+        bc(p.mkString(" ")).toDouble / uc(p.head).toDouble)
+      id -> rs.map(math.log).sum / rs.size
+    }.toMap
+
+    val tailByLinear = linear.toSeq.sortBy(_._2).take(junk.size).map(_._1).toSet
+    val tailByLog = meanLog.toSeq.sortBy(_._2).take(junk.size).map(_._1).toSet
+    assert(tailByLinear == junk, s"linear tail $tailByLinear != planted junk")
+    assert(tailByLog == junk, s"log tail $tailByLog != planted junk")
+    // every junk doc scores strictly below every fluent doc on BOTH axes
+    for (j <- junk; f <- linear.keySet -- junk) {
+      assert(linear(j) < linear(f), s"linear: junk $j not below fluent $f")
+      assert(meanLog(j) < meanLog(f), s"log: junk $j not below fluent $f")
+    }
+
+    // Where the two CAN diverge (documented, pure arithmetic): the linear
+    // mean is dominated by the largest ratio, the log mean by the
+    // smallest — one corpus-common bigram among rare ones can outrank a
+    // uniformly-mediocre doc linearly while losing in log space. The
+    // filter's tail decision is robust to this only when junk is junk on
+    // every position (the planted shape above); borderline docs near the
+    // threshold can reorder.
+    val spiky = Seq(1.0, 0.01, 0.01)
+    val uniform = Seq(0.2, 0.2, 0.2)
+    assert(spiky.sum / 3 > uniform.sum / 3 &&
+      spiky.map(math.log).sum / 3 < uniform.map(math.log).sum / 3,
+      "divergence example no longer diverges")
+  }
 }
