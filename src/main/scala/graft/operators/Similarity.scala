@@ -440,6 +440,42 @@ object Similarity {
     None
   )
 
+  /** r8: the per-micro-batch kernel of the STREAMING ANN serve (the
+    * continuous-retrieval twin of q_ann_lsh, wrapped by
+    * graft.streaming.EventStream.annServeLshSink) — identical candidate /
+    * rescore / top-k dataflow as q_ann_lsh's serve, with the query side a
+    * caller-supplied batch of (query_id, embedding) rows instead of
+    * corpus members. Query vectors are encoded with the index's FROZEN
+    * geometry (the bits/bands/radius recorded at fit time — AnnIndex
+    * returns the persisted solve, so a stream serving across an append
+    * probes the same bucket space the stored signatures live in); the
+    * capped signature table and the corpus scan are the STATIC sides of
+    * a stream-static join. Everything here is stateless per batch — the
+    * scale axis is the persisted index, not stream state.
+    */
+  private[graft] def annServeLshBatch(s: SparkSession, d: String,
+      queryBatch: DataFrame, k: Int = 5): DataFrame = {
+    val e = vecs(s, d)
+    val (bits, bands, radius, capped) = AnnIndex.lsh(s, d, e)
+    val q = queryBatch.select(col("query_id"),
+        Vectors.toDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", Vectors.norm(col("qv")))
+    val qsigs = q.select(col("query_id"),
+      posexplode(Vectors.hyperplaneBands(col("qv"), annLshSeed, bands, bits))
+        .as(Seq("band_idx", "code")))
+    val qb = expandProbes(qsigs, "query_id", bits, radius)
+    val cand = capped.join(broadcast(qb), Seq("band_idx", "code"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+    val scored = e.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Distributed Lloyd's k-means over the embedding column, trained on a
     * deterministic modulo sample (≲4·1024 vectors) — how IVF codebooks are
     * actually built at scale: train on a bounded sample, assign the full

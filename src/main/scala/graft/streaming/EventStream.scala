@@ -202,6 +202,32 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("hp")
 
+  /** H. Streaming ANN serve (r8) — continuous retrieval: a stream of
+    * query vectors served against the PERSISTED LSH index (the r7
+    * fit/serve split's production artifact, AnnIndex's capped
+    * banded-signature table) as a stream-static join — the natural
+    * consumer of the persisted index, and the continuous-retrieval twin
+    * the streaming family lacked. Per micro-batch the whole batch serve
+    * kernel runs (graft.operators.Similarity.annServeLshBatch:
+    * frozen-geometry query encode → hamming-probe ring broadcast against
+    * the static signature table → exact-cosine rescore → top-k window);
+    * the top-k window is a batch op, hence foreachBatch. NO stream state
+    * anywhere — every stage is stateless within its batch and the static
+    * index carries all history, so a replayed micro-batch recomputes
+    * identical rows and [[writeBatchIdempotent]]'s batch-scoped partition
+    * overwrite makes the sink exactly-once downstream.
+    */
+  def annServeLshSink(s: SparkSession, d: String, queries: DataFrame,
+      outDir: String, checkpoint: String, k: Int = 5): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Row], batchId: Long) => {
+        writeBatchIdempotent(
+          graft.operators.Similarity.annServeLshBatch(s, d, batch.toDF(), k),
+          batchId, outDir); ()
+      })
+
   /** H. Streaming heavy hitters — the streaming twin of q_heavy_hitters.
     * Each micro-batch tokenizes its documents and accumulates ONE bounded
     * SpaceSaving sketch (approx_top_k_accumulate), landed as a single

@@ -278,6 +278,36 @@ class StreamingSpec extends SparkSpec {
       s"batch twin disagrees: $batchClean")
   }
 
+  test("streaming ANN serve matches batch q_ann_lsh top-k on the same corpus") {
+    // continuous retrieval against the persisted LSH index: stream the
+    // SAME 20 query vectors batch q_ann_lsh uses (in three micro-batches)
+    // through the stream-static serve; every emitted (query, neighbor,
+    // cosine, rank) row must equal the batch operator's — same frozen
+    // index geometry, same candidate generation, same tie-breaks
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = java.nio.file.Files.createTempDirectory("graftannserve").toString
+    val ck = java.nio.file.Files.createTempDirectory("graftannserveck").toString
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val q = EventStream.annServeLshSink(spark, sfDir,
+      mem.toDF().toDF("query_id", "embedding"), out, ck).start()
+    queries.grouped(7).foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(s"$out/data")
+      .select("query_id", "neighbor_id", "cosine", "rn")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val batch = operators.Similarity.annLsh.run(spark, sfDir)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch top-k mismatch: ${streamed.size} vs ${batch.size} rows; " +
+        s"stream-batch=${(streamed -- batch).take(3)} batch-stream=${(batch -- streamed).take(3)}")
+  }
+
   test("stateful sessionization closes sessions on gap and emits on later batch") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
