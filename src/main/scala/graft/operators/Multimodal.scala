@@ -211,15 +211,30 @@ object Multimodal {
       // shorter than 8 bytes yield their whole tail as the one shingle),
       // then the deterministic hash-mod sample — see the scaladoc on why
       // a fixed stride would break under byte shifts
-      val sh = reps.select(col("doc_id"),
-          octet_length(col("payload")).as("plen"), explode(expr(
+      val shingleExpr = expr(
         "array_distinct(transform(" +
           "sequence(0, greatest(0L, octet_length(payload) - 8)), " +
-          "i -> xxhash64(substring(payload, cast(i+1 as int), 8))))")).as("h"))
-        // tiny payloads (<32 windows) keep every shingle so their
-        // signature isn't vote-starved by the sample
-        .where(pmod(col("h"), lit(4L)) === 0L || col("plen") < 40)
+          "i -> xxhash64(substring(payload, cast(i+1 as int), 8))))")
+      val allSh = reps.select(col("doc_id"),
+          octet_length(col("payload")).as("plen"), explode(shingleExpr).as("h"))
+      // tiny payloads (<32 windows ⇔ plen < 39: windows = plen − 7) keep
+      // every shingle so their signature isn't vote-starved by the sample
+      val sampled = allSh
+        .where(pmod(col("h"), lit(4L)) === 0L || col("plen") < 39)
         .select("doc_id", "h")
+      // sampled-out backstop: a payload just above the tiny cutoff whose
+      // EVERY window hash misses h ≡ 0 (mod 4) — P ≈ 0.75^windows, rare
+      // but real — would emit no signature and silently become unpairable
+      // by anything but an exact byte copy. Such reps fall back to voting
+      // with ALL their shingles (the tiny-payload rule applied a
+      // posteriori). The fallback doc list is expected-empty, so the
+      // re-explode almost never materializes a row.
+      val starvedDocs = reps.select("doc_id")
+        .join(sampled.groupBy("doc_id").agg(count(lit(1)).as("nsh")),
+          Seq("doc_id"), "left_anti")
+      val starvedSh = reps.join(starvedDocs, Seq("doc_id"))
+        .select(col("doc_id"), explode(shingleExpr).as("h"))
+      val sh = sampled.union(starvedSh)
       val bitSums = (0 until 64).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L)).as(s"b$i"))

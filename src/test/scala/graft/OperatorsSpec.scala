@@ -880,6 +880,27 @@ class OperatorsSpec extends SparkSpec {
       s"unrelated payload paired: $pairs")
   }
 
+  test("binary near-dup: sampled-out payloads fall back to full-shingle voting and stay pairable") {
+    // both payloads found by deterministic search: EVERY 8-byte window
+    // xxhash64 misses the h%4==0 sample (P ≈ 0.75^windows each) — before
+    // the r8 backstop neither emitted a signature, so the near-identical
+    // pair below was silently unpairable by anything but an exact copy
+    val starved = "ckivmuqunbwlvkqmsqeckdrfqfamhhnbqcutrohq"
+    val starvedExt = starved + "hak" // 3 appended bytes, still sampled-out
+    val docs = Seq((1L, starved), (2L, starvedExt),
+      (3L, (1 to 120).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftstarv").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Multimodal.binaryDedup.run(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 12L,
+      s"sampled-out pair missing: $pairs")
+    assert(!pairs.keySet.exists(k => k._1 == 3L || k._2 == 3L),
+      s"unrelated payload paired: $pairs")
+  }
+
   test("lm score ranks fluent word order above scrambled junk") {
     // three fluent copies make their bigrams corpus-common; the scrambled
     // doc reuses the same vocabulary in an order no other doc has, so its
