@@ -23,6 +23,19 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); Spark's reader has no
       // nanos timestamp type — read as Long nanos and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner is GC-driven: broadcast/shuffle/RDD blocks are
+      // strongly held by the BlockManager until the cleaner processes the
+      // weak-ref queue, which only fills after a DRIVER GC collects the
+      // small wrapper objects. A long-lived large-heap JVM (the 100×
+      // smoke: 150+ query executions in one 32 GiB local[32] process)
+      // full-GCs rarely, so reclaimable-in-principle blocks accumulate
+      // until an allocation fails mid-query — the allocation does not
+      // wait for the async cleaner, so it OOMs even though the state was
+      // garbage (r7: q_found_agg's sustained p3 re-time died this way
+      // after both scored passes completed). The default periodic-GC
+      // interval is 30 min — longer than the whole run; 1 min bounds
+      // accumulation to a minute of query executions.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       // collect_set/collect_list aggregations: the default sort-based
       // fallback fires at 128 in-memory groups, turning large grouped
       // string-aggs into external sorts; with executor memory sized for

@@ -87,6 +87,8 @@ object AnnIndex {
   private[graft] val ivfAppends = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val pqAppends = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val lshAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val ivfpqEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val ivfpqAppends = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Append-drift threshold: chain-append while rows encoded with frozen
     * codebooks are ≤ this fraction of the corpus; past it, refit.
@@ -227,7 +229,7 @@ object AnnIndex {
     * chain — a full refit collapses the chain, an append keeps its bases.
     */
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
-    val keep = Seq("IVF", "PQ", "LSH").flatMap(chainDirs(s, vd, _))
+    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ").flatMap(chainDirs(s, vd, _))
       .map(new org.apache.hadoop.fs.Path(_).getName).toSet + new org.apache.hadoop.fs.Path(vd).getName
     val p = new org.apache.hadoop.fs.Path(vd)
     val parent = p.getParent
@@ -246,16 +248,18 @@ object AnnIndex {
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
 
-  private[graft] def loadIvfCodebook(s: SparkSession, vd: String): Option[Array[(Long, Seq[Double], Double)]] =
-    if (exists(s, s"$vd/_GRAFT_OK_IVF"))
+  private[graft] def loadIvfCodebook(s: SparkSession, vd: String,
+      okFam: String = "IVF"): Option[Array[(Long, Seq[Double], Double)]] =
+    if (exists(s, s"$vd/_GRAFT_OK_$okFam"))
       Some(s.read.parquet(s"$vd/ivf_codebook")
         .collect().map(r => (r.getAs[Long]("c_id"),
           r.getAs[scala.collection.Seq[Double]]("cv").toSeq,
           r.getAs[Double]("cnrm"))))
     else None
 
-  private[graft] def loadPqCodebook(s: SparkSession, vd: String): Option[(Array[Double], Int)] =
-    if (exists(s, s"$vd/_GRAFT_OK_PQ")) {
+  private[graft] def loadPqCodebook(s: SparkSession, vd: String,
+      okFam: String = "PQ"): Option[(Array[Double], Int)] =
+    if (exists(s, s"$vd/_GRAFT_OK_$okFam")) {
       val r = s.read.parquet(s"$vd/pq_codebook").head()
       Some((r.getAs[scala.collection.Seq[Double]]("cents").toArray,
         r.getAs[Int]("dim")))
@@ -465,5 +469,106 @@ object AnnIndex {
       case _ => Similarity.annLshParams(math.max(nRaw, 2L)) // pre-meta version
     }
     (bits, bands, radius, s.read.parquet(s"$vd/lsh_sigs"))
+  }
+
+  /** Ensure the IVF-PQ index — PQ codes laid out IN the inverted file —
+    * is persisted, and return (coarse codebook rows, flat PQ centroids,
+    * codes reader). This is the composition production ANN actually ships
+    * (FAISS `IVFx,PQy`): IVF alone prunes the read to ~nprobe/k of the
+    * corpus but still streams RAW vectors inside probed cells; PQ alone
+    * streams 24 B/vector codes but must scan the WHOLE corpus. Here the
+    * artifact is `ivfpq_codes/` = (vec_id, packed 64-bit code, nrm)
+    * hive-partitioned by coarse cell: a serve touches nprobe/k of the
+    * corpus AND reads 24 B/vector inside it — both cuts compound
+    * (~k/nprobe × ~21× less bytes than a brute scan).
+    *
+    * Codes quantize the RAW vector against the SAME PQ codebook as
+    * q_ann_pq (not the residual v − centroid): residual-PQ buys recall at
+    * equal code size but needs per-cell LUTs (m·ksub adds per (query,
+    * cell) instead of per query) and a second codebook family; with the
+    * exact-cosine rescore of the ADC top-[[Similarity.pqRescore]]
+    * downstream, the measured recall already clears the family floor, so
+    * the shared-codebook form is the better scale trade here and the
+    * codebook artifacts stay byte-identical across the PQ and IVFPQ
+    * families (both derive from the same memoized fits).
+    *
+    * Same append/chain/validate discipline as the other families: a pure
+    * file-append delta-encodes ONLY the new vectors with frozen coarse +
+    * PQ codebooks (both copied tiny into the tip so codebook loads stay
+    * chain-free), serve reads the chain union (cluster filters
+    * partition-prune every segment), drift past [[refitFraction]]
+    * refits.
+    */
+  private[graft] def ivfpq(s: SparkSession, d: String,
+      e: DataFrame): (Array[(Long, Seq[Double], Double)], Array[Double], DataFrame) = {
+    val cnt = e.count()
+    val n = math.max(cnt, 1L)
+    val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
+    val vd = versionDir(s, d, n, fp)
+    def encodeCodes(df: DataFrame, cb: Array[(Long, Seq[Double], Double)],
+        cents: Array[Double]): DataFrame = df
+      .withColumn("cluster",
+        Vectors.nearestCentroid(col("v"), cb.map(_._1), cb.flatMap(_._2),
+          cb.map(_._3)))
+      .select(col("vec_id"),
+        Vectors.pqEncode(col("v"), cents, Similarity.pqM, Similarity.pqKsub)
+          .as("code"),
+        col("nrm"), col("cluster"))
+    def writeCodebooks(cb: Array[(Long, Seq[Double], Double)],
+        cents: Array[Double], dim: Int): Unit = {
+      // the IVF/PQ families may already have written identical artifacts
+      // into this version dir (same memoized fits) — don't rewrite under
+      // a sibling family's completion marker
+      if (!exists(s, s"$vd/ivf_codebook"))
+        s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm")
+          .coalesce(1).write.mode("overwrite").parquet(s"$vd/ivf_codebook")
+      if (!exists(s, s"$vd/pq_codebook"))
+        s.createDataFrame(Seq((dim, cents.toSeq))).toDF("dim", "cents")
+          .coalesce(1).write.mode("overwrite").parquet(s"$vd/pq_codebook")
+    }
+    if (!exists(s, s"$vd/_GRAFT_OK_IVFPQ")) {
+      val cur = physFiles(s, s"$d/embeddings.parquet")
+      appendBase(s, vd, "IVFPQ", cur) match {
+        case Some((base, delta, nFit, _)) if (n - nFit).toDouble / n <= refitFraction =>
+          ivfpqAppends.incrementAndGet()
+          val cb = loadIvfCodebook(s, base, "IVFPQ").get
+          val (cents, dim) = loadPqCodebook(s, base, "IVFPQ").get
+          writeCodebooks(cb, cents, dim)
+          encodeCodes(deltaVecs(s, delta), cb, cents)
+            .repartition(col("cluster"))
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$vd/ivfpq_codes")
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "IVFPQ",
+            Some(new org.apache.hadoop.fs.Path(base).getName), nFit)
+          touch(s, s"$vd/_GRAFT_OK_IVFPQ")
+          pruneSiblings(s, vd)
+        case _ =>
+          ivfpqEncodes.incrementAndGet()
+          val cb = Similarity.codebookRowsAt(s, d, e, n, fp) // Lloyd (memoized)
+          val (cents, dim) = Similarity.pqCodebookAt(s, d, e, n, fp)
+          writeCodebooks(cb, cents, dim)
+          encodeCodes(e, cb, cents)
+            .repartition(col("cluster"))
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$vd/ivfpq_codes")
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "IVFPQ", None, n)
+          touch(s, s"$vd/_GRAFT_OK_IVFPQ")
+          pruneSiblings(s, vd)
+      }
+    }
+    // explicit schema pins `cluster` LongType against hive partition-column
+    // inference (same defense as the IVF cells reader — an int-inferred
+    // partition column casts the attribute and blocks pruning)
+    import org.apache.spark.sql.types._
+    val codesSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("code", LongType),
+      StructField("nrm", DoubleType), StructField("cluster", LongType)))
+    val codes = chainDirs(s, vd, "IVFPQ")
+      .map(cd => s.read.schema(codesSchema).parquet(s"$cd/ivfpq_codes"))
+      .reduce(_ unionByName _)
+    validate(vd, "IVFPQ", cnt, codes.count())
+    (loadIvfCodebook(s, vd, "IVFPQ").get, loadPqCodebook(s, vd, "IVFPQ").get._1, codes)
   }
 }

@@ -811,5 +811,81 @@ object Similarity {
     None
   )
 
-  val all: Seq[Q] = Seq(dedupEmbed, semanticDedup, annTopK, annLsh, annIvf, annPq)
+  /** G. IVF-PQ ANN (r8) — the two serve-path cuts COMPOSED, the form
+    * production ANN actually ships (FAISS `IVFx,PQy`): coarse-quantize to
+    * probe nprobe=4 cells (the partition-pruned ~nprobe/k read, from
+    * q_ann_ivf) and score inside the probed cells with 24 B/vector ADC
+    * codes (the memory-bound scan, from q_ann_pq). The persisted artifact
+    * is [[AnnIndex.ivfpq]]'s `ivfpq_codes` — PQ codes hive-partitioned BY
+    * CELL, i.e. the inverted file's payload is the code table itself. A
+    * 100 TB serve therefore reads nprobe/k of the corpus AND pays 24 B
+    * per vector within it; q_ann_ivf reads raw 512 B vectors inside
+    * probed cells, q_ann_pq reads every code in the corpus — this reads
+    * neither.
+    *
+    * Recall decomposes multiplicatively: a true neighbor is found iff its
+    * cell is probed (the IVF term) AND the ADC ranking keeps it in the
+    * top-[[pqRescore]] within the probed candidates (the PQ term, easier
+    * here than in whole-corpus PQ — the window competes over ~nprobe/k of
+    * the corpus). The exact-cosine rescore then re-ranks survivors, so
+    * quantization costs recall only via top-[[pqRescore]] misses.
+    * Approximate ⇒ rows-only; spec measures the floor vs brute force and
+    * the fit counters prove the serve is a load, not a re-encode.
+    */
+  val annIvfPq: Q = Q(
+    "q_ann_ivfpq",
+    (s, d) => {
+      val e = vecsRaw(s, d)
+      val (cb, cents, codes) = AnnIndex.ivfpq(s, d, e)
+      val centroids = broadcast(
+        s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
+      val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
+      // query side: 20 vectors × k centroids through the tiny window picks
+      // nprobe cells, then each probe row carries the query's ADC table
+      // (m·ksub doubles — 20·nprobe rows of it, driver-pennies)
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        .crossJoin(centroids)
+        .withColumn("ccos",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("crank", row_number().over(wq))
+        .where(col("crank") <= 4)
+        .select(col("query_id"), col("c_id").as("qcluster"),
+          Vectors.pqLut(col("qv"), cents, pqM, pqKsub).as("lut"), col("qnrm"))
+      val probed = queries.select("qcluster").distinct()
+        .collect().map(_.getLong(0))
+      // probed cells are driver-known ⇒ the codes scan is statically
+      // PARTITION-PRUNED; candidates score by ADC (m table-adds) against
+      // the broadcast per-query LUTs — no raw vector is read until the
+      // rescore join below
+      val wa = Window.partitionBy("query_id")
+        .orderBy(col("adc_cos").desc, col("neighbor_id"))
+      val cand = codes.where(col("cluster").isin(probed.toIndexedSeq: _*))
+        .join(broadcast(queries), col("qcluster") === col("cluster") &&
+          col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (Vectors.pqAdc(col("code"), col("lut"), pqM) /
+            (col("qnrm") * col("nrm"))).as("adc_cos"))
+        .withColumn("ar", row_number().over(wa))
+        .where(col("ar") <= pqRescore)
+        .select("query_id", "neighbor_id")
+      // exact-cosine rescore of the ≤20·pqRescore survivors (point reads
+      // of raw vectors via broadcast joins), then top-5
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(dedupEmbed, semanticDedup, annTopK, annLsh, annIvf,
+    annPq, annIvfPq)
 }

@@ -171,6 +171,50 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ: fit-once, cell-partitioned CODE layout, delta-only append with frozen codebooks") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftivfpq").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftivfpqroot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    try {
+      writeVecs(tmp, 0)
+      val (e0, a0) = (AnnIndex.ivfpqEncodes.get(), AnnIndex.ivfpqAppends.get())
+      val out1 = Similarity.annIvfPq.run(spark, tmp).collect().map(_.toSeq).toSeq
+      assert(out1.nonEmpty)
+      assert(AnnIndex.ivfpqEncodes.get() == e0 + 1, "first serve must encode once")
+      // the artifact is PQ codes laid out in the inverted file: the
+      // partition dirs are cells, the payload schema is the 24 B/vector
+      // code row (no raw vector column)
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val version = tableDir.listFiles().head
+      val codesDir = new java.io.File(version, "ivfpq_codes")
+      assert(codesDir.listFiles().count(_.getName.startsWith("cluster=")) > 1,
+        "ivfpq_codes is not hive-partitioned by cell")
+      assert(spark.read.parquet(codesDir.toString).columns.toSet ==
+        Set("vec_id", "code", "nrm", "cluster"), "code rows must not carry raw vectors")
+      // restart: a second serve loads — bit-identical, no re-encode
+      Similarity.clearMemos()
+      val out2 = Similarity.annIvfPq.run(spark, tmp).collect().map(_.toSeq).toSeq
+      assert(AnnIndex.ivfpqEncodes.get() == e0 + 1, "restart re-encoded instead of loading")
+      assert(out2 == out1, "results diverged after serving from disk")
+      // pure file append within the drift budget: delta-only encode with
+      // the base's frozen coarse + PQ codebooks, chained not cloned
+      appendVecs(tmp, 256 until 320)
+      Similarity.clearMemos()
+      Similarity.annIvfPq.run(spark, tmp).collect()
+      assert(AnnIndex.ivfpqEncodes.get() == e0 + 1, "append must not re-encode the corpus")
+      assert(AnnIndex.ivfpqAppends.get() == a0 + 1, "append must take the append path")
+      val tip = tableDir.listFiles().find(_.getName.endsWith("_320")).get
+      import spark.implicits._
+      assert(spark.read.parquet(s"$tip/ivfpq_codes")
+        .select("vec_id").as[Long].collect().toSet == (256L until 320L).toSet,
+        "ivfpq_codes delta is not exactly the batch")
+      assert(tableDir.listFiles().length == 2, "append must chain to the base, not clone it")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
   test("artifact validation: a truncated corpus artifact refuses to serve") {
     // the completion marker is a promise, not proof — a /tmp cleaner (or a
     // foreign writer under a mis-scoped shared root) can leave a

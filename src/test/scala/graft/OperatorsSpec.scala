@@ -360,6 +360,40 @@ class OperatorsSpec extends SparkSpec {
     val pqRecall = pq.intersect(bruteTop).count().toDouble / bruteTop.count()
     info(f"ann_pq recall at sf0.1: $pqRecall%.3f")
     assert(pqRecall >= 0.8, s"ann_pq sf0.1 recall $pqRecall below 0.8 floor")
+
+    // the composed operator at the same scale point: cell pruning AND
+    // quantized ranking both get harder as n grows (more cells unprobed,
+    // a thinner top-pqRescore fraction), so the floor is re-measured here
+    val ivfpq = Similarity.annIvfPq.run(spark, dir).select("query_id", "neighbor_id")
+    val ivfpqRecall = ivfpq.intersect(bruteTop).count().toDouble / bruteTop.count()
+    info(f"ann_ivfpq recall at sf0.1: $ivfpqRecall%.3f")
+    assert(ivfpqRecall >= 0.8, s"ann_ivfpq sf0.1 recall $ivfpqRecall below 0.8 floor")
+  }
+
+  test("IVF-PQ ANN: k-bound, probed-cell membership, recall floor vs brute force") {
+    val dir = "/root/testdata/sf0.01"
+    val out = Similarity.annIvfPq.run(spark, dir).cache()
+    try {
+      assert(out.where(col("rn") > 5).count() == 0)
+      assert(out.groupBy("query_id").count().where(col("count") > 5).count() == 0)
+      // recall composes the IVF cell-pruning term with the PQ ADC-ranking
+      // term; the family floor is the gate, the info line is the measure
+      val brute = Similarity.annTopK.run(spark, dir).select("query_id", "neighbor_id")
+      val pairs = out.select("query_id", "neighbor_id")
+      val recall = pairs.intersect(brute).count().toDouble / brute.count()
+      info(f"ann_ivfpq recall vs brute top-5 at sf0.01: $recall%.3f")
+      assert(recall >= 0.8, s"ann_ivfpq recall $recall below 0.8 floor")
+      // compare against single-cut IVF: the PQ leg's quantization must not
+      // cost more than the rescore can recover — IVFPQ may only miss what
+      // cell pruning already missed plus an ADC top-pqRescore slip, so it
+      // stays within one neighbor-per-query of IVF on this corpus
+      val ivf = Similarity.annIvf.run(spark, dir)
+        .select("query_id", "neighbor_id")
+      val ivfRecall = ivf.intersect(brute).count().toDouble / brute.count()
+      info(f"ann_ivf recall (same corpus): $ivfRecall%.3f")
+      assert(recall >= ivfRecall - 0.2,
+        s"ADC ranking lost ${ivfRecall - recall} recall vs raw-vector IVF — quantization broken?")
+    } finally out.unpersist()
   }
 
   test("multi-probe ANN recall in the radius-2 regime (n=40k synthetic corpus)") {

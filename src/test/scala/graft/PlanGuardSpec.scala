@@ -33,7 +33,7 @@ class PlanGuardSpec extends SparkSpec {
   // language-sized counts frame; q_epoch_sample broadcasts the same
   // 1-row aggregate plus the 2-row epochs frame)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_ann_pq", "q_mart_union", "q_mix_weights", "q_epoch_sample")
+    "q_ann_pq", "q_ann_ivfpq", "q_mart_union", "q_mix_weights", "q_epoch_sample")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {
@@ -133,6 +133,40 @@ class PlanGuardSpec extends SparkSpec {
         l.toString.contains("graft_ann_index") &&
           l.toString.contains("struct<vec_id:bigint,code:bigint,nrm:double>")),
       s"streamed side should be the persisted pq_codes scan:\n$streamed")
+  }
+
+  test("q_ann_ivfpq: serve path is a partition-pruned CODE scan — both cuts in one plan") {
+    // r8: the composed operator must show BOTH serve-path properties at
+    // once — the candidate join streams the persisted ivfpq_codes scan
+    // (24 B/vector: the 4-column code schema, not raw vectors) with zero
+    // Exchange, and the probed-cell isin lands in PartitionFilters (the
+    // nprobe/k read bound). Either property degrading silently turns the
+    // serve back into one of the single-cut operators.
+    val q = SparkEntry.registry.find(_.name == "q_ann_ivfpq").get
+    val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+    val bhjs = plan.collect { case j: BroadcastHashJoinExec => j }
+    val candStreams = bhjs.map { j =>
+      j.buildSide match {
+        case BuildLeft  => j.right
+        case BuildRight => j.left
+      }
+    }.filter(st => st.collectLeaves().nonEmpty &&
+      st.collectLeaves().forall(_.toString.contains("graft_ann_index")))
+    // exactly the candidate join: the rescore joins above it also carry
+    // the index scan somewhere in their subtree, but their streamed side
+    // mixes in the raw-vector scan — the candidate join's streamed side
+    // is ONLY the persisted code scan
+    assert(candStreams.size == 1,
+      s"expected exactly one join streaming the persisted index, got ${candStreams.size}:\n$plan")
+    val streamed = candStreams.head
+    assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"corpus (streamed) side of the candidate join shuffles:\n$streamed")
+    assert(streamed.collectLeaves().exists(
+        _.toString.contains("struct<vec_id:bigint,code:bigint,nrm:double>")),
+      s"streamed side should be the 24 B/vector code scan, not raw vectors:\n$streamed")
+    assert("PartitionFilters: \\[[^\\]]*cluster".r
+        .findFirstIn(streamed.toString).isDefined,
+      s"probed-cell filter is not partition-pruning the code scan:\n$streamed")
   }
 
   test("q_dedup_incremental: corpus side reaches the semi join with no Exchange") {
