@@ -544,7 +544,113 @@ object TextAnalysis {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. BM25 lexical retrieval (r8) — the sparse twin of the ANN serve
+    * family: rank corpus documents against query documents (doc_id < 5,
+    * their distinct terms are the query) by Okapi BM25 (Robertson &
+    * Spärck Jones; the Elasticsearch/Lucene default), top-10 per query.
+    * A RAG/dedup pipeline runs exactly this next to embedding ANN —
+    * hybrid retrieval is BM25 ∪ ANN — and it doubles as the
+    * "more-like-this" duplicate-candidate generator for sparse text.
+    *
+    * Cross-engine exactness (graft.Num discipline): the classic idf is a
+    * log — transcendental, dead for the hash gate — so the idf keeps the
+    * Robertson RATIO form un-logged: (N−df+0.5)/(df+0.5), each side one
+    * IEEE op chain on exact ints. Per-term monotone to the log form, so
+    * a single term ranks identically; the SUM over terms can diverge
+    * from log-space BM25 ordering where a rare-term pile-up outweighs a
+    * log-damped common term — same declared divergence class as
+    * q_lm_score's linear mean (and the same spec treatment: ordering
+    * pinned on a planted corpus). Every constant is an exact dyadic
+    * rational (k1=1.25, b=0.75 ⇒ k1+1=2.25, 1−b=0.25) so both engines
+    * parse identical doubles; the per-(query,doc) sum folds term scores
+    * in sorted-term order via the explicit-fold device (Spark
+    * `aggregate` HOF / DuckDB `list_reduce` — q_mix_weights/q_lm_score),
+    * so even the double score column hash-matches.
+    *
+    * Plan shape at scale (the inverted-index retrieval shape): tf is the
+    * ONE corpus-sized token shuffle (map-side-combined groupBy — the
+    * q_tfidf discipline); dl = sum(tf) reuses that Exchange (AQE); df is
+    * vocabulary-sized and broadcasts; the query term table (|queries|·
+    * distinct-terms) broadcasts as the candidate filter, so only
+    * matching (query, term, doc) postings — candidate-sized, bounded by
+    * Σ_q df(t) — survive to the dl join and the (query, doc) fold. The
+    * top-10 window rides candidate-sized rows with WindowGroupLimit.
+    */
+  val bm25: Q = Q(
+    "q_bm25",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      val totToks = dl.agg(sum("dl")).head().getLong(0)
+      // one IEEE division of exact ints on both engines
+      val avgdl = totToks.toDouble / nDocs.toDouble
+      val qterms = tf.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("term"))
+      val idf = (lit(nDocs) - col("df")).cast("double") + lit(0.5)
+      val ts = (idf / (col("df").cast("double") + lit(0.5))) *
+        ((col("tf").cast("double") * lit(2.25)) /
+          (col("tf").cast("double") +
+            lit(1.25) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
+      val scored = tf.join(broadcast(qterms), "term")
+        .where(col("doc_id") =!= col("query_id"))
+        .join(dl, "doc_id")
+        .join(broadcast(df), "term")
+        .select(col("query_id"), col("doc_id"), col("term"), ts.as("ts"))
+      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+      scored.groupBy("query_id", "doc_id").agg(
+          count(lit(1)).cast("long").as("n_terms"),
+          expr("aggregate(transform(array_sort(collect_list(struct(term, ts))), " +
+            "x -> x.ts), cast(0.0 as double), (s, x) -> s + x)").as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+        .select("query_id", "doc_id", "n_terms", "score", "rn")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+            |  FROM documents
+            |), tf AS (
+            |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+            |), dl AS (
+            |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+            |), df AS (
+            |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            |), n AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+            |), tot AS (
+            |  SELECT CAST(sum(dl) AS BIGINT) AS toks FROM dl
+            |), q AS (
+            |  SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 5
+            |), ts AS (
+            |  SELECT q.query_id, tf.doc_id, tf.term,
+            |         ((CAST(n.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+            |         * ((CAST(tf.tf AS DOUBLE) * 2.25) /
+            |            (CAST(tf.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+            |              (CAST(dl.dl AS DOUBLE) /
+            |                (CAST(tot.toks AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))) AS ts
+            |  FROM tf JOIN q USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+            |       JOIN df ON tf.term = df.term CROSS JOIN n CROSS JOIN tot
+            |  WHERE tf.doc_id <> q.query_id
+            |), sc AS (
+            |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+            |         list_reduce(list_transform(list(ts ORDER BY term), x -> x),
+            |           (s, x) -> s + x) AS score
+            |  FROM ts GROUP BY 1, 2
+            |), r AS (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |              ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+            |  FROM sc
+            |)
+            |SELECT query_id, doc_id, n_terms, score, rn FROM r WHERE rn <= 10
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
-    tfidf, lmScore)
+    tfidf, lmScore, bm25)
 }

@@ -261,4 +261,55 @@ class PropertySpec extends SparkSpec {
       spiky.map(math.log).sum / 3 < uniform.map(math.log).sum / 3,
       "divergence example no longer diverges")
   }
+
+  test("bm25: ratio-idf ranking agrees with log-idf BM25 on a planted corpus") {
+    // q_bm25 keeps the Robertson idf UN-LOGGED ((N−df+0.5)/(df+0.5), the
+    // hash-gate-exact choice); real BM25 logs it. Per term the map is
+    // monotone, so single-term rankings can't differ — assert the
+    // multi-term ranking also agrees on a planted relevance ladder, with
+    // the log side recomputed independently, then demonstrate the one
+    // shape where the sums CAN reorder.
+    val docs = Seq(
+      0L -> "alpha beta",                      // the query (doc_id < 5)
+      1L -> "zz", 2L -> "zz", 3L -> "zz", 4L -> "zz", // inert query slots
+      10L -> "alpha beta common pad1",         // both query terms
+      11L -> "alpha common pad2 pad3",         // one query term
+      12L -> "common pad4 pad5 pad6",          // no query term — must not appear
+      13L -> "common pad7", 14L -> "common pad8", 15L -> "common pad9")
+    val tmp = java.nio.file.Files.createTempDirectory("graftbm25").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = operators.TextAnalysis.bm25.run(spark, tmp)
+      .where($"query_id" === 0L)
+      .select("doc_id", "score", "rn").as[(Long, Double, Long)].collect()
+    val ranked = out.sortBy(_._3).map(_._1).toSeq
+    assert(ranked == Seq(10L, 11L),
+      s"expected the two-term doc above the one-term doc and nothing else, got $ranked")
+
+    // independent log-idf BM25 over the same counts
+    val toks = docs.map { case (id, t) => id -> t.trim.split(" +").toSeq }
+    val n = toks.size
+    val dfm = toks.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    def logBm25(q: Seq[String], dws: Seq[String]): Double =
+      q.distinct.filter(dws.contains).map { t =>
+        val tf = dws.count(_ == t).toDouble
+        val dl = dws.size.toDouble
+        math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * (dl / avgdl)))
+      }.sum
+    val q0 = toks.toMap.apply(0L)
+    val byLog = Seq(10L, 11L).sortBy(id => -logBm25(q0, toks.toMap.apply(id)))
+    assert(byLog == Seq(10L, 11L), s"log-idf ranking diverged: $byLog")
+
+    // Where the sums CAN reorder (documented, pure arithmetic): the
+    // un-logged idf of one df=1 term can outweigh several moderate-df
+    // terms linearly while losing after the log damps it — N=100, one
+    // rare term (idf 99.5/1.5) vs three df=12 terms (idf 88.5/12.5 each):
+    val rareLinear = 99.5 / 1.5
+    val threeModerateLinear = 3 * (88.5 / 12.5)
+    assert(rareLinear > threeModerateLinear &&
+      math.log(99.5 / 1.5) < 3 * math.log(88.5 / 12.5),
+      "divergence example no longer diverges")
+  }
 }
