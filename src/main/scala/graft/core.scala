@@ -37,10 +37,22 @@ object GraftSession {
       // accumulation to a minute of query executions.
       .config("spark.cleaner.periodicGC.interval", "1min")
       // collect_set/collect_list aggregations: the default sort-based
-      // fallback fires at 128 in-memory groups, turning large grouped
-      // string-aggs into external sorts; with executor memory sized for
-      // the partition count this stays hash-based.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
+      // fallback fires at 128 in-memory groups, turning every real grouped
+      // string-agg into an external sort — but an UNBOUNDED hash threshold
+      // is the opposite failure: the r8 100× smoke OOM'd q_found_agg's
+      // grouped branch inside ObjectAggregationIterator (45M orderkey
+      // groups / 32 concurrent tasks, each task allowed 5M live buffers ×
+      // ~1 KB before fallback ⇒ tens of GiB of aggregation state). The
+      // threshold is the number of PER-TASK in-memory group buffers, so it
+      // must be sized from heap ÷ concurrent tasks, not a constant: a
+      // quarter of each task's heap share at ~1 KB/buffer, floored at 64k
+      // (collect-aggs stay hash-based on every realistic dev corpus) and
+      // capped at 1M. Tasks past the threshold switch to the spillable
+      // sort-based path — bounded memory is the scale-correct behavior,
+      // the spill only touches the mass-group tail.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        math.max(65536L, math.min(1000000L,
+          Runtime.getRuntime.maxMemory / math.max(1, shufflePartitions) / 1024 / 4)).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -31,7 +31,7 @@ object Dedup {
     * disagree on what an exact dup is (their oracle SQL mirrors the same
     * expression; the hash gate catches any drift there).
     */
-  private val normText: Column =
+  private[operators] val normText: Column =
     lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
   /** Distinct 3-word shingles per document: (doc_id, shingle).

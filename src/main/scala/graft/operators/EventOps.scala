@@ -129,5 +129,78 @@ object EventOps {
             |ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin)
+  /** F. SCD2 (slowly-changing-dimension type 2) build from the event
+    * stream — the warehouse CDC shape every mart layer needs: each user's
+    * `event_type` is the tracked attribute, and the output is one
+    * validity interval per attribute RUN — change-capture (drop
+    * consecutive repeats), versioned, with half-open [valid_from,
+    * valid_to) intervals chained so each version's end is the next
+    * version's start. The open (current) interval carries the standard
+    * warehouse high-date sentinel instead of NULL — 253402300800000 ms =
+    * 9999-01-01 — so the output is total-order sortable on both engines
+    * (Spark sorts nulls first, DuckDB last; a NULL valid_to would break
+    * the hash gate's shared row order).
+    *
+    * Plan shape: every window is keyed by user_id — the q_sessionize
+    * class. Per-key state is O(1) (lag/running-sum stream through each
+    * timeline once), partitions split across users, and the second pass
+    * (valid_to via lead) runs on the RUN-level frame, already collapsed
+    * to ≤ changes-per-user rows — both Exchanges carry narrow rows and
+    * AQE-coalesce. A hot user bounds a partition at its own event count,
+    * same bound q_sessionize documents; there is no corpus-global window.
+    */
+  val scd2: Q = Q(
+    "q_scd2",
+    (s, d) => {
+      val highDate = 253402300800000L // 9999-01-01T00:00:00Z epoch ms
+      val e = T.events(s, d).select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"), col("event_type"))
+      val wOrder = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = e
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wOrder))
+        .withColumn("is_change",
+          when(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("version", sum(col("is_change")).over(wRun))
+        .groupBy("user_id", "version")
+        .agg(min(col("event_type")).as("status"), // constant within a run
+          min(col("ts_ms")).as("valid_from_ms"),
+          count(lit(1)).as("n_events"))
+      val wVer = Window.partitionBy("user_id").orderBy("version")
+      runs
+        .withColumn("valid_to_ms",
+          coalesce(lead(col("valid_from_ms"), 1).over(wVer), lit(highDate)))
+        .withColumn("is_current", col("valid_to_ms") === highDate)
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+            |         lag(event_type) OVER (PARTITION BY user_id
+            |           ORDER BY epoch_ms(ts), event_id) AS prev_type
+            |  FROM events
+            |), f AS (
+            |  SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+            |                 THEN 1 ELSE 0 END AS is_change
+            |  FROM t
+            |), v AS (
+            |  SELECT *, CAST(SUM(is_change) OVER (PARTITION BY user_id
+            |              ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING)
+            |            AS BIGINT) AS version
+            |  FROM f
+            |), runs AS (
+            |  SELECT user_id, version, MIN(event_type) AS status,
+            |         MIN(ts_ms) AS valid_from_ms, COUNT(*) AS n_events
+            |  FROM v GROUP BY 1, 2
+            |)
+            |SELECT user_id, version, status, valid_from_ms, n_events,
+            |       COALESCE(lead(valid_from_ms) OVER (PARTITION BY user_id
+            |         ORDER BY version), 253402300800000) AS valid_to_ms,
+            |       COALESCE(lead(valid_from_ms) OVER (PARTITION BY user_id
+            |         ORDER BY version), 253402300800000) = 253402300800000 AS is_current
+            |FROM runs ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin, scd2)
 }

@@ -886,6 +886,128 @@ object Similarity {
     None
   )
 
+  /** G. Hybrid retrieval via reciprocal-rank fusion (r8) — the standard
+    * production serve on top of the two ranker families the engine
+    * already has: BM25 (q_bm25, the sparse leg) and exact cosine top-k
+    * (q_ann_topk, the dense leg), fused per query with RRF
+    * (Cormack et al. 2009): score(d) = Σ_lists 1/(60 + rank_list(d)).
+    * Every RAG stack runs exactly this fusion (Elasticsearch and Vespa
+    * ship it as the default hybrid mode); it is rank-only, so the two
+    * legs' incomparable score scales never need calibration.
+    *
+    * Query space: ids 0–4 are the query entities (q_bm25's query docs);
+    * each leg ranks its own modality of the same corpus — doc_id for
+    * text, vec_id for embeddings — and the fusion joins on the shared id
+    * space (ids present in only one leg fuse with one term, the
+    * full-outer semantics RRF defines). Composition is literal reuse:
+    * both legs are the REGISTERED operators' own runs, so the fusion
+    * inherits their hash-verified rankings instead of re-deriving them.
+    *
+    * Cross-engine exactness: each RRF term is 1/(60+rank) — one IEEE
+    * division of exact ints; absent ranks contribute an exact 0.0 via
+    * the same CASE on both engines (rank columns coalesce to 0, never
+    * NULL — Spark and DuckDB disagree on null sort order, so a nullable
+    * output column would break the shared total order). The two-term sum
+    * is written in the same textual order on both engines. Scale: both
+    * legs end candidate-sized (≤10 and ≤5 rows per query), so the fusion
+    * join, window and sort all run on O(|queries|·k) rows — driver-free,
+    * broadcast-sized, nothing corpus-shaped touches this operator.
+    */
+  val rrfHybrid: Q = Q(
+    "q_rrf_hybrid",
+    (s, d) => {
+      val sparse = TextAnalysis.bm25.run(s, d)
+        .select(col("query_id"), col("doc_id").as("id"),
+          col("rn").as("sparse_rn"))
+      val dense = annTopK.run(s, d)
+        .where(col("query_id") < 5)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rn").as("dense_rn"))
+      val fused = sparse.join(dense, Seq("query_id", "id"), "full_outer")
+        .select(col("query_id"), col("id"),
+          coalesce(col("sparse_rn"), lit(0L)).as("sparse_rn"),
+          coalesce(col("dense_rn"), lit(0L)).as("dense_rn"))
+        .withColumn("rrf",
+          when(col("sparse_rn") > 0,
+            lit(1.0) / (lit(60.0) + col("sparse_rn").cast("double")))
+            .otherwise(lit(0.0)) +
+          when(col("dense_rn") > 0,
+            lit(1.0) / (lit(60.0) + col("dense_rn").cast("double")))
+            .otherwise(lit(0.0)))
+      val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("id"))
+      fused.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+        .transform(Det.sortAll)
+    },
+    Some("""WITH bw AS (
+            |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+            |  FROM documents
+            |), btf AS (
+            |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM bw GROUP BY 1, 2
+            |), bdl AS (
+            |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1
+            |), bdf AS (
+            |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1
+            |), bn AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+            |), btot AS (
+            |  SELECT CAST(sum(dl) AS BIGINT) AS toks FROM bdl
+            |), bq AS (
+            |  SELECT doc_id AS query_id, term FROM btf WHERE doc_id < 5
+            |), bts AS (
+            |  SELECT bq.query_id, btf.doc_id, btf.term,
+            |         ((CAST(bn.n_docs - bdf.df AS DOUBLE) + 0.5) / (CAST(bdf.df AS DOUBLE) + 0.5))
+            |         * ((CAST(btf.tf AS DOUBLE) * 2.25) /
+            |            (CAST(btf.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+            |              (CAST(bdl.dl AS DOUBLE) /
+            |                (CAST(btot.toks AS DOUBLE) / CAST(bn.n_docs AS DOUBLE)))))) AS ts
+            |  FROM btf JOIN bq USING (term) JOIN bdl ON btf.doc_id = bdl.doc_id
+            |       JOIN bdf ON btf.term = bdf.term CROSS JOIN bn CROSS JOIN btot
+            |  WHERE btf.doc_id <> bq.query_id
+            |), bsc AS (
+            |  SELECT query_id, doc_id,
+            |         list_reduce(list_transform(list(ts ORDER BY term), x -> x),
+            |           (s, x) -> s + x) AS score
+            |  FROM bts GROUP BY 1, 2
+            |), br AS (
+            |  SELECT query_id, doc_id AS id,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |           ORDER BY score DESC, doc_id) AS BIGINT) AS sparse_rn
+            |  FROM bsc QUALIFY sparse_rn <= 10
+            |), ae AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |), ap AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS id,
+            |         list_inner_product(a.v, b.v) /
+            |           (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine
+            |  FROM ae a JOIN ae b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+            |), ar AS (
+            |  SELECT query_id, id,
+            |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            |           ORDER BY cosine DESC, id) AS BIGINT) AS dense_rn
+            |  FROM ap QUALIFY dense_rn <= 5
+            |), fused AS (
+            |  SELECT COALESCE(br.query_id, ar.query_id) AS query_id,
+            |         COALESCE(br.id, ar.id) AS id,
+            |         COALESCE(br.sparse_rn, 0) AS sparse_rn,
+            |         COALESCE(ar.dense_rn, 0) AS dense_rn
+            |  FROM br FULL OUTER JOIN ar
+            |    ON br.query_id = ar.query_id AND br.id = ar.id
+            |), scored AS (
+            |  SELECT query_id, id, sparse_rn, dense_rn,
+            |         (CASE WHEN sparse_rn > 0
+            |            THEN 1.0 / (60.0 + CAST(sparse_rn AS DOUBLE)) ELSE 0.0 END)
+            |       + (CASE WHEN dense_rn > 0
+            |            THEN 1.0 / (60.0 + CAST(dense_rn AS DOUBLE)) ELSE 0.0 END) AS rrf
+            |  FROM fused
+            |)
+            |SELECT query_id, id, sparse_rn, dense_rn, rrf,
+            |       CAST(row_number() OVER (PARTITION BY query_id
+            |         ORDER BY rrf DESC, id) AS BIGINT) AS rn
+            |FROM scored QUALIFY rn <= 10
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(dedupEmbed, semanticDedup, annTopK, annLsh, annIvf,
-    annPq, annIvfPq)
+    annPq, annIvfPq, rrfHybrid)
 }

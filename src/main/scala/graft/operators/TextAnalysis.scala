@@ -650,7 +650,105 @@ object TextAnalysis {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. End-to-end curation funnel (r8) — the composed per-document
+    * verdict a FineWeb/Dolma-style pre-training pipeline materializes:
+    * quality filter → exact dedup → stratified sampling, with the stage
+    * precedence a real funnel has. The composition is SEQUENTIAL, not
+    * three independent flags: dedup's keeper election runs over the
+    * QUALITY-SURVIVING set only (a junk doc must not steal keeper-ship
+    * from its clean twin — the verdict would silently drop both), and
+    * sampling applies to what survives both. Each stage reuses the
+    * registered single-stage operator's exact expressions
+    * (q_quality_score's signals, q_dedup_exact's [[Dedup.normText]] md5
+    * key and groupBy+equi-join keeper device, q_sample_stratified's md5
+    * hash buckets), so the funnel can't drift from the stages the gate
+    * already verifies. Verdict precedence: quality → duplicate →
+    * sampled_out → kept.
+    *
+    * Plan shape at 100 TB: quality signals + hash + bucket are ONE
+    * narrow scan-speed projection; only the quality-surviving (doc_id,
+    * md5) 24-byte pairs reach the one corpus-sized Exchange (the dedup
+    * groupBy, map-side combined to one row per distinct text); the join
+    * back is AQE-skew-splittable (never a window over the content key —
+    * the q_dedup_exact discipline); the sampling decision and verdict
+    * CASE are free columns on rows already in hand. No stage rescans
+    * the corpus.
+    */
+  val corpusFunnel: Q = Q(
+    "q_corpus_funnel",
+    (s, d) => {
+      val words = size(split(trim(col("text")), " +")).cast("long")
+      val stopHits = stopwordsEn.map(w =>
+        regexp_count(concat(lit(" "), col("text"), lit(" ")), lit(s"\\s$w\\s")).cast("long"))
+        .reduce(_ + _)
+      val rate = when(col("lang") === "en", 60)
+        .when(col("lang") === "de", 40)
+        .when(col("lang") === "zh", 25)
+        .otherwise(10)
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100)
+      val base = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          words.as("words"), stopHits.as("stop_hits"),
+          bucket.as("bucket"), rate.as("rate_pct"))
+        .withColumn("quality_ok",
+          col("words") >= 10 &&
+            col("stop_hits").cast("double") / col("words").cast("double") <= 0.5)
+      val hashed = base.where(col("quality_ok"))
+        .select(col("doc_id"), md5(Dedup.normText).as("ch"))
+      val groups = hashed.groupBy("ch").agg(min("doc_id").as("keeper_id"))
+      val dd = hashed.join(groups, "ch")
+        .select(col("doc_id"), (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+      base.join(dd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("words"), col("quality_ok"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"),
+          col("bucket"), col("rate_pct"))
+        .withColumn("verdict",
+          when(!col("quality_ok"), lit("quality"))
+            .when(col("is_dup"), lit("duplicate"))
+            .when(col("bucket") >= col("rate_pct"), lit("sampled_out"))
+            .otherwise(lit("kept")))
+        .withColumn("kept", col("verdict") === "kept")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH q AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS words,
+            |    CAST(len(regexp_extract_all(' ' || text || ' ', '\sthe\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sa\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sof\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sand\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sto\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sin\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sis\s'))
+            |       + len(regexp_extract_all(' ' || text || ' ', '\sit\s')) AS BIGINT) AS stop_hits,
+            |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS ch,
+            |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket,
+            |    CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40
+            |              WHEN 'zh' THEN 25 ELSE 10 END AS rate_pct
+            |  FROM documents
+            |), qq AS (
+            |  SELECT *, (words >= 10 AND
+            |    CAST(stop_hits AS DOUBLE) / CAST(words AS DOUBLE) <= 0.5) AS quality_ok
+            |  FROM q
+            |), dd AS (
+            |  SELECT doc_id, doc_id <> MIN(doc_id) OVER (PARTITION BY ch) AS is_dup
+            |  FROM qq WHERE quality_ok
+            |), v AS (
+            |  SELECT qq.doc_id, qq.lang, qq.words, qq.quality_ok,
+            |         COALESCE(dd.is_dup, FALSE) AS is_dup, qq.bucket, qq.rate_pct,
+            |         CASE WHEN NOT qq.quality_ok THEN 'quality'
+            |              WHEN dd.is_dup THEN 'duplicate'
+            |              WHEN qq.bucket >= qq.rate_pct THEN 'sampled_out'
+            |              ELSE 'kept' END AS verdict
+            |  FROM qq LEFT JOIN dd USING (doc_id)
+            |)
+            |SELECT doc_id, lang, words, quality_ok, is_dup, bucket, rate_pct,
+            |       verdict, verdict = 'kept' AS kept
+            |FROM v ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
-    tfidf, lmScore, bm25)
+    tfidf, lmScore, bm25, corpusFunnel)
 }

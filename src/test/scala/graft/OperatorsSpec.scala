@@ -969,4 +969,129 @@ class OperatorsSpec extends SparkSpec {
     // and the head language is actually down-sampled on this corpus
     assert(byCount.last._2 < 1.0 && byCount.head._2 > 1.0)
   }
+
+  test("scd2: change-capture intervals chain, version per run, sentinel current") {
+    val highDate = 253402300800000L
+    val sec = 1000000000L // one second in ns
+    val ev = Seq(
+      (1L, 1L * sec, 7L, "view"),
+      (2L, 2L * sec, 7L, "view"),
+      (3L, 3L * sec, 7L, "purchase"),
+      (4L, 4L * sec, 7L, "view"),
+      (5L, 1L * sec, 8L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("graftscd2").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.scd2.run(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version")) ->
+        (r.getAs[String]("status"), r.getAs[Long]("valid_from_ms"),
+          r.getAs[Long]("valid_to_ms"), r.getAs[Long]("n_events"),
+          r.getAs[Boolean]("is_current"))).toMap
+    // user 7: view(×2) → purchase → view = 3 versions, consecutive repeats
+    // collapsed, intervals chained half-open, last one open on the sentinel
+    assert(out((7L, 1L)) == ("view", 1000L, 3000L, 2L, false))
+    assert(out((7L, 2L)) == ("purchase", 3000L, 4000L, 1L, false))
+    assert(out((7L, 3L)) == ("view", 4000L, highDate, 1L, true))
+    assert(out((8L, 1L)) == ("click", 1000L, highDate, 1L, true))
+    assert(out.size == 4)
+    // on the real corpus: intervals chain exactly and exactly one current
+    // version per user (the SCD2 invariants a mart join depends on)
+    val real = EventOps.scd2.run(spark, sfDir)
+    val byUser = real.collect().groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_ms") == b.getAs[Long]("valid_from_ms"))
+          assert(a.getAs[String]("status") != b.getAs[String]("status"),
+            "consecutive versions must differ (change capture)")
+        case _ =>
+      }
+      assert(rows.count(_.getAs[Boolean]("is_current")) == 1)
+    }
+  }
+
+  test("rrf hybrid: id ranked #1 by both legs fuses to #1; ranks recompute") {
+    // plant a corpus where id 10 is the clear #1 for query 0 in BOTH
+    // modalities: its text shares query 0's rare terms (sparse leg) and
+    // its embedding is colinear with query 0's (dense leg)
+    val noise = (1 to 9).map(i => (100L + i, s"filler$i common words here", "en", "src"))
+    val docs = (Seq(
+      (0L, "zebra quagga okapi", "en", "src"),
+      (10L, "zebra quagga okapi zebra", "en", "src"),
+      (11L, "common words here too", "en", "src")) ++ noise)
+      .toDF("doc_id", "text", "lang", "source")
+    def vec(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val embs = Seq(
+      (0L, vec(1f, 0f), 0), (10L, vec(0.99f, 0.14f), 0),
+      (11L, vec(0f, 1f), 0), (12L, vec(-1f, 0.1f), 0),
+      (13L, vec(0.1f, -1f), 0), (14L, vec(0.5f, 0.86f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graftrrf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    embs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity.rrfHybrid.run(spark, tmp).collect()
+    val q0 = out.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rn"))
+    assert(q0.head.getAs[Long]("id") == 10L, s"fused #1: ${q0.head}")
+    assert(q0.head.getAs[Long]("sparse_rn") == 1L)
+    assert(q0.head.getAs[Long]("dense_rn") == 1L)
+    // every row's rrf recomputes from its two ranks, and the fused order
+    // is exactly rrf desc (id tiebreak)
+    out.foreach { r =>
+      val (srn, drn) = (r.getAs[Long]("sparse_rn"), r.getAs[Long]("dense_rn"))
+      val expect = (if (srn > 0) 1.0 / (60.0 + srn) else 0.0) +
+        (if (drn > 0) 1.0 / (60.0 + drn) else 0.0)
+      assert(r.getAs[Double]("rrf") == expect, s"rrf mismatch: $r")
+      assert(srn > 0 || drn > 0, "fused row must come from at least one leg")
+    }
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Long]("rn"))
+        .map(r => (r.getAs[Double]("rrf"), r.getAs[Long]("id")))
+      byRank.sliding(2).foreach {
+        case Array((ra, ia), (rb, ib)) =>
+          assert(ra > rb || (ra == rb && ia < ib), "fused order must follow rrf")
+        case _ =>
+      }
+    }
+  }
+
+  test("corpus funnel: stage precedence and dedup over quality-survivors only") {
+    // doc 1 (lower id) and doc 2 share ONE normalized content hash
+    // (normText lowercases; stopword counting is case-sensitive), but
+    // doc 1 fails quality (all-lowercase stopwords, ratio 1.0 > 0.5)
+    // while doc 2 passes (uppercase ⇒ 0 stopword hits). Sequential
+    // funnel semantics: the junk copy must NOT steal keeper-ship — doc 2
+    // is elected keeper among survivors and must not be 'duplicate'.
+    val stop10 = Seq("the", "of", "and", "to", "in", "is", "it", "a", "the", "of")
+    val lower10 = stop10.mkString("  ") // double spaces: every hit counted
+    val upper10 = stop10.map(_.toUpperCase).mkString("  ")
+    val clean = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, lower10, "en", "src"),  // fails quality, same hash as doc 2
+      (2L, upper10, "en", "src"),  // passes quality, keeper of the pair
+      (3L, clean, "en", "src"),    // clean singleton
+      (4L, clean, "en", "src"),    // exact dup of 3 → 'duplicate'
+      (5L, "tiny", "en", "src"))   // fails quality (words < 10)
+      .toDF("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graftfunnel").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.corpusFunnel.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Boolean]("quality_ok"),
+          r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(1L)._1 == "quality" && !out(1L)._2)
+    assert(out(5L)._1 == "quality")
+    assert(out(2L)._2 && !out(2L)._3, s"doc 2 must be keeper: ${out(2L)}")
+    assert(Set("kept", "sampled_out")(out(2L)._1))
+    assert(out(4L)._1 == "duplicate")
+    assert(Set("kept", "sampled_out")(out(3L)._1)) // keeper of the pair
+    // funnel agrees with the registered single-stage quality operator
+    val qok = TextAnalysis.qualityScore.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("quality_ok")).toMap
+    out.foreach { case (id, (v, ok, _)) =>
+      assert(ok == qok(id))
+      assert((v == "quality") == !ok, s"precedence broken for doc $id")
+    }
+  }
 }

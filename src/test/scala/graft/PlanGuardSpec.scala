@@ -32,8 +32,11 @@ class PlanGuardSpec extends SparkSpec {
   // (q_mix_weights broadcasts ONE global-aggregate row against the
   // language-sized counts frame; q_epoch_sample broadcasts the same
   // 1-row aggregate plus the 2-row epochs frame)
+  // (q_rrf_hybrid composes q_ann_topk's run as its dense leg, so it
+  // inherits that same bounded broadcast-query-set NLJ)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
-    "q_ann_pq", "q_ann_ivfpq", "q_mart_union", "q_mix_weights", "q_epoch_sample")
+    "q_ann_pq", "q_ann_ivfpq", "q_mart_union", "q_mix_weights", "q_epoch_sample",
+    "q_rrf_hybrid")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {
