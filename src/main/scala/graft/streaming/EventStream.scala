@@ -348,4 +348,59 @@ object EventStream {
           }
       }
   }
+
+  case class TypedEv(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String)
+  case class Scd2Out(user_id: Long, version: Long, status: String,
+      valid_from_ms: Long, valid_to_ms: Long, n_events: Long)
+  // public: Spark's state encoder codegen needs constructor/field access
+  case class OpenVersion(version: Long, status: String, from_ms: Long, n: Long)
+
+  /** H. Streaming SCD2 change capture — the continuous twin of batch
+    * q_scd2 (operators.EventOps): per user, track the current
+    * `event_type` run in state; when an event changes the attribute, emit
+    * the CLOSED half-open interval [valid_from, valid_to) and open the
+    * next version. Closed intervals are append-only facts (they can never
+    * change), so OutputMode.Append is exact; the OPEN interval is the
+    * state itself and emits only when a later change closes it —
+    * identical to the batch operator's non-current rows, which is what
+    * the parity spec pins.
+    *
+    * State discipline: one OpenVersion per user, NoTimeout — this is a
+    * DIMENSION, keyed by entity, so state cardinality is the entity
+    * count (exactly what the batch output itself carries), not
+    * time-unbounded growth; an event-time timeout would wrongly close a
+    * version for a merely-quiet user. Late events: per-batch processing
+    * sorts by (ts, event_id) within the batch; cross-batch late arrivals
+    * are bounded by the source's watermark, the same discipline
+    * [[sessionize]] documents.
+    */
+  def scd2(events: Dataset[TypedEv])(
+      implicit spark: SparkSession): Dataset[Scd2Out] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenVersion, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[OpenVersion]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val closed = Seq.newBuilder[Scd2Out]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(v) if v.status == e.event_type =>
+                open = Some(v.copy(n = v.n + 1))
+              case Some(v) =>
+                closed += Scd2Out(userId, v.version, v.status, v.from_ms, t, v.n)
+                open = Some(OpenVersion(v.version + 1, e.event_type, t, 1))
+              case None =>
+                open = Some(OpenVersion(1, e.event_type, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }

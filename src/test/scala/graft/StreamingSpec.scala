@@ -326,4 +326,47 @@ class StreamingSpec extends SparkSpec {
     // the first session must be closed by the third event
     assert(rows.contains(SessionOut(1L, 1000L, 11000L, 2L, 12L)), s"got $rows")
   }
+
+  test("streaming scd2: closed intervals match batch non-current rows across batches") {
+    import graft.streaming.EventStream.{TypedEv, Scd2Out}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    def ts(ms: Long) = new Timestamp(ms)
+    // (event_id, ms, user, type): user 7 changes twice (one change spans a
+    // batch boundary), user 8 never changes (stays open, never emits)
+    val evs = Seq(
+      (1L, 1000L, 7L, "view"), (2L, 2000L, 7L, "view"),
+      (3L, 3000L, 7L, "purchase"),
+      (4L, 4000L, 7L, "view"), (5L, 1000L, 8L, "click"),
+      (6L, 5000L, 8L, "click"))
+    val mem = MemoryStream[TypedEv]
+    val q = EventStream.scd2(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    // batch 1 ends mid-run: version 2 (purchase) is open at the boundary
+    val (b1, b2) = evs.splitAt(3)
+    mem.addData(b1.map { case (e, m, u, t) => TypedEv(u, e, ts(m), t) }: _*)
+    q.processAllAvailable()
+    val afterB1 = spark.table("scd2_out").as[Scd2Out].collect().toSet
+    assert(afterB1 == Set(Scd2Out(7L, 1L, "view", 1000L, 3000L, 2L)),
+      s"batch 1 must close only version 1: $afterB1")
+    mem.addData(b2.map { case (e, m, u, t) => TypedEv(u, e, ts(m), t) }: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("scd2_out").as[Scd2Out].collect().toSet
+    q.stop()
+    // parity: the streamed closed set IS the batch operator's non-current
+    // rows on the full event set (the open/current intervals live in state)
+    val tmp = java.nio.file.Files.createTempDirectory("graftscd2s").toString
+    evs.map { case (e, m, u, t) => (e, m * 1000000L, u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.operators.EventOps.scd2.run(spark, tmp)
+      .where(!col("is_current"))
+      .select("user_id", "version", "status", "valid_from_ms", "valid_to_ms",
+        "n_events")
+      .as[Scd2Out].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch scd2 mismatch: ${streamed -- batch} vs ${batch -- streamed}")
+  }
 }
