@@ -202,5 +202,49 @@ object EventOps {
             |FROM runs ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin, scd2)
+  /** F. Semi-structured JSON extraction (`events.props`) — the
+    * schema-on-read surface every event pipeline needs: parse the JSON
+    * payload with an EXPLICIT schema via from_json (JsonToStructs — a
+    * narrow codegen'd expression; never schema INFERENCE, which is a
+    * whole extra corpus scan at 100 TB just to guess what you already
+    * know), then aggregate typed fields per event type. PERMISSIVE
+    * malformed-row handling surfaces as a counted `n_bad` column instead
+    * of a query failure — at web scale some payloads are always garbage
+    * and dropping them silently hides producer bugs. Plan: parse +
+    * extract ride the scan projection; ONE map-side-combined groupBy to
+    * an event-type-sized frame; raw JSON never shuffles. Aggregates stay
+    * exact integers (graft.Num rules).
+    */
+  val jsonExtract: Q = Q(
+    "q_json_extract",
+    (s, d) => {
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType)
+      T.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(coalesce(col("k"), lit(0L))).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("k_over_50"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT event_type,
+            |         CASE WHEN json_valid(props)
+            |              THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
+            |  FROM events
+            |)
+            |SELECT event_type, COUNT(*) AS n,
+            |       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+            |       CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum,
+            |       MIN(k) AS k_min, MAX(k) AS k_max,
+            |       CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS k_over_50
+            |FROM t GROUP BY 1 ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin, scd2, jsonExtract)
 }

@@ -1056,6 +1056,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("json extract: explicit-schema parse, malformed rows counted not fatal") {
+    val sec = 1000000000L
+    val ev = Seq(
+      (1L, 1L * sec, 1L, "view", """{"k": 10}"""),
+      (2L, 2L * sec, 1L, "view", """{"k": 60}"""),
+      (3L, 3L * sec, 1L, "view", "not json at all"),
+      (4L, 4L * sec, 1L, "view", """{"other": 5}"""),
+      (5L, 5L * sec, 1L, "buy", """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graftjsonx").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.jsonExtract.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_bad"), r.getAs[Long]("k_sum"),
+          r.getAs[Long]("k_min"), r.getAs[Long]("k_max"),
+          r.getAs[Long]("k_over_50"))).toMap
+    // malformed JSON and missing key both count as bad, never fail the query
+    assert(out("view") == (4L, 2L, 70L, 10L, 60L, 1L), s"got ${out("view")}")
+    assert(out("buy") == (1L, 0L, 3L, 3L, 3L, 0L))
+  }
+
   test("corpus funnel: stage precedence and dedup over quality-survivors only") {
     // doc 1 (lower id) and doc 2 share ONE normalized content hash
     // (normText lowercases; stopword counting is case-sensitive), but
