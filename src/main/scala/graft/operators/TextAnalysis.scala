@@ -748,7 +748,111 @@ object TextAnalysis {
             |FROM v ORDER BY ALL""".stripMargin)
   )
 
+  /** G. CCNet head/middle/tail bucketing (r8) — the final act of the
+    * CCNet pipeline q_lm_score models: per language, split the corpus
+    * into fluency tertiles (head = most fluent third, the tier CCNet
+    * trains on; tail = the junk tier it drops). Composes the registered
+    * q_lm_score run, so the score column is the hash-verified one.
+    *
+    * Tertile BOUNDARIES are defined at 1/256 score resolution: docs land
+    * in sbucket = floor(score·256), per-(lang, bucket) counts cumulate,
+    * and a whole bucket is `tail` iff it fits entirely in the bottom
+    * third (cum_le·3 ≤ n), `head` iff everything at-or-above it fits in
+    * the top third, else `middle` — all exact integer arithmetic on
+    * counts, mirrored verbatim in the oracle. This is deliberate, for
+    * two reasons. Scale: an exact per-lang tertile needs a corpus-wide
+    * rank — a window partitioned by a ~5-value lang key is a handful of
+    * unsplittable straggler tasks at 100 TB, and the mass-tie pile
+    * (every empty doc scores exactly 0.0) can't even be salted because
+    * ties share one rank; here the pile lands in one BUCKET that is
+    * classed wholesale by counts, and nothing corpus-sized ever windows
+    * (the cumulative window runs on the ≤257·langs bucket-count frame).
+    * Fidelity: CCNet itself draws its cutoffs from sampled percentiles,
+    * not exact ranks — bucket-resolution boundaries are the same trade.
+    * Plan: score join is the composed q_lm_score; one map-side-combined
+    * (lang, sbucket) groupBy; the classed 257·langs-row table broadcasts
+    * back — the corpus is touched once beyond the score computation.
+    */
+  val ccnetBucket: Q = Q(
+    "q_ccnet_bucket",
+    (s, d) => {
+      val scores = lmScore.run(s, d).select(col("doc_id"), col("lm_score"))
+      // lang is nullable (the q_mix_weights corpus fact): normalize to ''
+      // so null-lang docs form their own group instead of silently
+      // dropping out of the (lang, sbucket) equi-joins on both engines
+      val docs = T.documents(s, d)
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"))
+      val b = scores.join(docs, "doc_id")
+        .withColumn("sbucket", floor(col("lm_score") * 256).cast("long"))
+      val cnt = b.groupBy("lang", "sbucket").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("lang").orderBy("sbucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val classed = cnt
+        .withColumn("cum_le", sum("c").over(wCum))
+        .withColumn("n_lang", sum("c").over(wAll))
+        .withColumn("bucket",
+          when(col("cum_le") * 3 <= col("n_lang"), lit("tail"))
+            .when((col("n_lang") - (col("cum_le") - col("c"))) * 3 <= col("n_lang"),
+              lit("head"))
+            .otherwise(lit("middle")))
+        .select("lang", "sbucket", "n_lang", "bucket")
+      b.join(broadcast(classed), Seq("lang", "sbucket"))
+        .select("doc_id", "lang", "lm_score", "sbucket", "n_lang", "bucket")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+            |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            |), bg AS (
+            |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+            |         ws[t.i+1] AS head, ws[t.i+1] || ' ' || ws[t.i+2] AS big
+            |  FROM w, UNNEST(range(len(ws)-1)) AS t(i)
+            |  WHERE len(ws) >= 2
+            |), uc AS (
+            |  SELECT tok, CAST(count(*) AS BIGINT) AS uc
+            |  FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY 1
+            |), bcn AS (
+            |  SELECT big, CAST(count(*) AS BIGINT) AS bc FROM bg GROUP BY 1
+            |), r AS (
+            |  SELECT doc_id, pos, CAST(bcn.bc AS DOUBLE) / CAST(uc.uc AS DOUBLE) AS r
+            |  FROM bg JOIN bcn USING (big) JOIN uc ON bg.head = uc.tok
+            |), sc AS (
+            |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            |         list_reduce(list_transform(list(r ORDER BY pos), x -> x),
+            |           (s, x) -> s + x) AS ssum
+            |  FROM r GROUP BY 1
+            |), scores AS (
+            |  SELECT d.doc_id, COALESCE(d.lang, '') AS lang,
+            |         CASE WHEN sc.n_bigrams > 0
+            |           THEN sc.ssum / CAST(sc.n_bigrams AS DOUBLE) ELSE 0.0 END AS lm_score
+            |  FROM documents d LEFT JOIN sc USING (doc_id)
+            |  WHERE d.doc_id IS NOT NULL
+            |), b AS (
+            |  SELECT doc_id, lang, lm_score,
+            |         CAST(floor(lm_score * 256) AS BIGINT) AS sbucket
+            |  FROM scores
+            |), cnt AS (
+            |  SELECT lang, sbucket, CAST(count(*) AS BIGINT) AS c
+            |  FROM b GROUP BY 1, 2
+            |), classed AS (
+            |  SELECT lang, sbucket, c,
+            |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY sbucket
+            |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_le,
+            |         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+            |  FROM cnt
+            |)
+            |SELECT b.doc_id, b.lang, b.lm_score, b.sbucket, cl.n_lang,
+            |       CASE WHEN cl.cum_le * 3 <= cl.n_lang THEN 'tail'
+            |            WHEN (cl.n_lang - (cl.cum_le - cl.c)) * 3 <= cl.n_lang THEN 'head'
+            |            ELSE 'middle' END AS bucket
+            |FROM b JOIN classed cl ON b.lang = cl.lang AND b.sbucket = cl.sbucket
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
-    tfidf, lmScore, bm25, corpusFunnel)
+    tfidf, lmScore, bm25, corpusFunnel, ccnetBucket)
 }

@@ -1056,6 +1056,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ccnet bucket: per-lang fluency tiers, bucket-resolution tertiles") {
+    val fluent = "the cat sat on the mat" // lm spec: mean ratio 0.6
+    val scrambled = "mat the on sat cat the" // 0.225
+    val docs = Seq(
+      (1L, fluent, "en"), (2L, fluent, "en"), (3L, fluent, "en"),
+      (4L, scrambled, "en"),
+      (5L, "qq ww ee rr", "en"), // every bigram ratio 1 → score 1.0
+      (6L, "solo", "en")) // no bigram → 0.0
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("graftccn").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.ccnetBucket.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("bucket"), r.getAs[Double]("lm_score"))).toMap
+    assert(out.size == 6)
+    // score 1.0 bucket fits the top third alone → head; the two lowest
+    // docs (0.0 and 0.225, cumulating to n/3) are exactly the bottom
+    // third → tail; the 0.6 pile (3 docs > n/3) cannot fit a tertile
+    // wholesale → middle, the honest bucket-resolution semantics
+    assert(out(5L) == ("head", 1.0), s"got ${out(5L)}")
+    assert(out(6L)._1 == "tail" && out(4L)._1 == "tail")
+    Seq(1L, 2L, 3L).foreach(id => assert(out(id)._1 == "middle", s"doc $id: ${out(id)}"))
+    // real corpus: every doc classified; head and tail never exceed their
+    // tertile budget per lang (the defining invariant of the cutoff rule)
+    val real = TextAnalysis.ccnetBucket.run(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.groupBy(_.getAs[String]("lang")).values.foreach { rows =>
+      val n = rows.head.getAs[Long]("n_lang")
+      assert(rows.size == n)
+      val byB = rows.groupBy(_.getAs[String]("bucket")).view.mapValues(_.size).toMap
+      assert(byB.getOrElse("head", 0) * 3 <= n)
+      assert(byB.getOrElse("tail", 0) * 3 <= n)
+    }
+  }
+
   test("json extract: explicit-schema parse, malformed rows counted not fatal") {
     val sec = 1000000000L
     val ev = Seq(
