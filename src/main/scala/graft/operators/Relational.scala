@@ -346,7 +346,90 @@ object Relational {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** F. MERGE / upsert (r8) — the warehouse CDC-apply device Delta/
+    * Iceberg call MERGE INTO, expressed Spark-native as ONE full-outer
+    * equi-join + CASE: a change batch derived from the order feed
+    * (per-customer balance deltas; %50 keys carry a delete marker; %97
+    * keys arrive renumbered as net-new customers) applied to the customer
+    * dimension snapshot. Action classes: insert (no target match — row
+    * synthesized), update (balance += delta), delete (matched + marker;
+    * emitted with live=false for auditability, the soft-delete shape),
+    * keep (no source match — the untouched majority rides through).
+    *
+    * Plan shape at scale: the change feed is pre-aggregated per key
+    * map-side BEFORE the join (the feed compresses to ≤|dim| rows), then
+    * ONE AQE-skew-splittable shuffle equi-join on the dimension key —
+    * never a row-at-a-time apply loop. For the batch≪dim steady state the
+    * measured-broadcast guard of q_dedup_incremental is the drop-in
+    * refinement (semi-join filter the dim scan); the full-outer here is
+    * the general backfill-safe shape. Exact integers throughout
+    * (graft.Num cents), so every engine computes identical balances.
+    */
+  val mergeUpsert: Q = Q(
+    "q_merge_upsert",
+    (s, d) => {
+      val dim = T.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        Num.cents(col("c_acctbal")).as("bal"))
+      val src = T.orders(s, d)
+        .groupBy(
+          when(col("o_custkey") % 97 === 0, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("ckey"),
+          (col("o_custkey") % 50 === 0).as("del"))
+        .agg(sum(Num.cents(col("o_totalprice"))).as("delta_cents"),
+          count(lit(1)).as("n_orders"))
+      val m = dim.join(src, dim("c_custkey") === src("ckey"), "full_outer")
+        .withColumn("action",
+          when(dim("c_custkey").isNull, lit("insert"))
+            .when(src("ckey").isNull, lit("keep"))
+            .when(col("del"), lit("delete"))
+            .otherwise(lit("update")))
+      m.select(
+        coalesce(dim("c_custkey"), col("ckey")).as("c_custkey"),
+        col("action"),
+        when(col("action") === "insert",
+          concat(lit("cust#"), col("ckey").cast("string")))
+          .otherwise(dim("c_name")).as("c_name"),
+        coalesce(col("c_mktsegment"), lit("NEW")).as("c_mktsegment"),
+        when(col("action") === "insert", col("delta_cents"))
+          .when(col("action") === "update", col("bal") + col("delta_cents"))
+          .otherwise(col("bal")).as("acctbal_cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        (col("action") =!= "delete").as("live"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH src AS (
+            |  SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 10000000
+            |              ELSE o_custkey END AS ckey,
+            |         o_custkey % 50 = 0 AS del,
+            |         CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS delta_cents,
+            |         COUNT(*) AS n_orders
+            |  FROM orders GROUP BY 1, 2
+            |), dim AS (
+            |  SELECT c_custkey, c_name, c_mktsegment,
+            |         CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal
+            |  FROM customer
+            |), m AS (
+            |  SELECT d.c_custkey AS dk, s.ckey, s.del, s.delta_cents, s.n_orders,
+            |         d.c_name, d.c_mktsegment, d.bal,
+            |         CASE WHEN d.c_custkey IS NULL THEN 'insert'
+            |              WHEN s.ckey IS NULL THEN 'keep'
+            |              WHEN s.del THEN 'delete' ELSE 'update' END AS action
+            |  FROM dim d FULL OUTER JOIN src s ON d.c_custkey = s.ckey
+            |)
+            |SELECT COALESCE(dk, ckey) AS c_custkey, action,
+            |       CASE WHEN action = 'insert' THEN 'cust#' || CAST(ckey AS VARCHAR)
+            |            ELSE c_name END AS c_name,
+            |       COALESCE(c_mktsegment, 'NEW') AS c_mktsegment,
+            |       CASE WHEN action = 'insert' THEN delta_cents
+            |            WHEN action = 'update' THEN bal + delta_cents
+            |            ELSE bal END AS acctbal_cents,
+            |       COALESCE(n_orders, 0) AS n_orders,
+            |       action <> 'delete' AS live
+            |FROM m ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopK, topKPerGroup, rollup, pivot,
     distinctCount, approxDistinct, percentile, saltedAgg, rankFuncs,
-    existsSemi, monthAgg, sqlSurface)
+    existsSemi, monthAgg, sqlSurface, mergeUpsert)
 }

@@ -1056,6 +1056,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("merge upsert: insert/update/delete/keep classes with exact balances") {
+    val ts = new java.sql.Timestamp(0L)
+    val cust = Seq(
+      (1L, "alice", 1, 10.00, "SEG"),   // has orders → update
+      (2L, "bob", 1, 5.00, "SEG"),      // no orders → keep
+      (50L, "carol", 1, 7.00, "SEG"),   // %50 marker → delete
+      (97L, "dave", 1, 3.00, "SEG"))    // its orders renumber away → keep
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ords = Seq(
+      (11L, 1L, "O", 2.50, ts, "1-URGENT"),
+      (12L, 1L, "O", 2.50, ts, "1-URGENT"),
+      (13L, 50L, "O", 1.00, ts, "1-URGENT"),
+      (14L, 97L, "O", 4.00, ts, "1-URGENT")) // lands as insert key 10000097
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val tmp = java.nio.file.Files.createTempDirectory("graftmerge").toString
+    cust.write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    ords.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Relational.mergeUpsert.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        (r.getAs[String]("action"), r.getAs[Long]("acctbal_cents"),
+          r.getAs[Long]("n_orders"), r.getAs[Boolean]("live"),
+          r.getAs[String]("c_name"))).toMap
+    assert(out(1L) == ("update", 1500L, 2L, true, "alice")) // 1000 + 2×250
+    assert(out(2L) == ("keep", 500L, 0L, true, "bob"))
+    assert(out(50L) == ("delete", 700L, 1L, false, "carol"))
+    assert(out(97L) == ("keep", 300L, 0L, true, "dave"))
+    assert(out(10000097L) == ("insert", 400L, 1L, true, "cust#10000097"))
+    assert(out.size == 5)
+  }
+
   test("ccnet bucket: per-lang fluency tiers, bucket-resolution tertiles") {
     val fluent = "the cat sat on the mat" // lm spec: mean ratio 0.6
     val scrambled = "mat the on sat cat the" // 0.225
