@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Det, Q, T}
+import graft.{CacheBag, Det, Q, T}
 
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` corpus. All are narrow maps over built-in Catalyst string
@@ -687,15 +687,22 @@ object TextAnalysis {
         .otherwise(10)
       val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("int") % 100)
-      val base = T.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"),
+      // ALL text-derived signals (quality counts AND the dedup hash) are
+      // computed in ONE projection off the scan, then the fat text column
+      // is dropped and the ~60 B/doc signal frame is CacheBag-cached:
+      // base feeds both the dedup-group derivation and the final verdict
+      // join, and without the cache Spark's lineage recompute would
+      // re-scan (and re-regex) the corpus once per consumer — the r8 plan
+      // audit showed 3 parquet scans; cached it is exactly one.
+      val base = CacheBag.track(T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
           words.as("words"), stopHits.as("stop_hits"),
-          bucket.as("bucket"), rate.as("rate_pct"))
+          bucket.as("bucket"), rate.as("rate_pct"),
+          md5(Dedup.normText).as("ch"))
         .withColumn("quality_ok",
           col("words") >= 10 &&
-            col("stop_hits").cast("double") / col("words").cast("double") <= 0.5)
-      val hashed = base.where(col("quality_ok"))
-        .select(col("doc_id"), md5(Dedup.normText).as("ch"))
+            col("stop_hits").cast("double") / col("words").cast("double") <= 0.5))
+      val hashed = base.where(col("quality_ok")).select(col("doc_id"), col("ch"))
       val groups = hashed.groupBy("ch").agg(min("doc_id").as("keeper_id"))
       val dd = hashed.join(groups, "ch")
         .select(col("doc_id"), (col("doc_id") =!= col("keeper_id")).as("is_dup"))
