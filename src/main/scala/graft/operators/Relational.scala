@@ -429,7 +429,46 @@ object Relational {
             |FROM m ORDER BY ALL""".stripMargin)
   )
 
+  /** F. CUBE grouping sets (r8) — the other half of the grouping-sets
+    * surface next to q_rollup's hierarchy: all 2² margins of
+    * (status, priority) in one pass, disambiguated by grouping_id (bit
+    * per cube column, MSB = first). Aggregate rows get a '(all)'
+    * sentinel via the grouping bit — NOT via coalescing output nulls,
+    * which would (a) conflate a real null data value with a margin row
+    * and (b) reintroduce the Spark-nulls-first / DuckDB-nulls-last sort
+    * divergence. Plan: CUBE runs as Expand (4 grouping sets per row) but
+    * partial aggregation compresses map-side BEFORE the single shuffle,
+    * so the Exchange carries ≤4·|groups| rows, not 4·|orders|; output is
+    * margin-sized. Exact integer cents.
+    */
+  val cube: Q = Q(
+    "q_cube",
+    (s, d) =>
+      T.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(Num.cents(col("o_totalprice"))).as("rev_cents"))
+        .select(
+          when(col("gid").bitwiseAND(2) === 2, lit("(all)"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("gid").bitwiseAND(1) === 1, lit("(all)"))
+            .otherwise(col("o_orderpriority")).as("priority"),
+          col("gid"), col("n_orders"), col("rev_cents"))
+        .transform(Det.sortAll),
+    Some("""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+            |            ELSE o_orderstatus END AS status,
+            |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+            |            ELSE o_orderpriority END AS priority,
+            |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+            |       COUNT(*) AS n_orders,
+            |       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS rev_cents
+            |FROM orders
+            |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopK, topKPerGroup, rollup, pivot,
     distinctCount, approxDistinct, percentile, saltedAgg, rankFuncs,
-    existsSemi, monthAgg, sqlSurface, mergeUpsert)
+    existsSemi, monthAgg, sqlSurface, mergeUpsert, cube)
 }

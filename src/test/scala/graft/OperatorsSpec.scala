@@ -1056,6 +1056,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cube: margins reconcile to the grand total per grouping set") {
+    val rows = Relational.cube.run(spark, sfDir).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    def tot(g: Long, c: String) = byGid(g).map(_.getAs[Long](c)).sum
+    // every margin level sums to the same grand total, for both measures
+    for (c <- Seq("n_orders", "rev_cents"); g <- Seq(0L, 1L, 2L))
+      assert(tot(g, c) == tot(3L, c), s"margin $g disagrees on $c")
+    assert(byGid(3L).size == 1) // one grand-total row, both dims '(all)'
+    assert(byGid(3L).head.getAs[String]("status") == "(all)")
+    assert(byGid(0L).forall(r => r.getAs[String]("status") != "(all)" &&
+      r.getAs[String]("priority") != "(all)"))
+  }
+
   test("merge upsert: insert/update/delete/keep classes with exact balances") {
     val ts = new java.sql.Timestamp(0L)
     val cust = Seq(
