@@ -468,7 +468,34 @@ object Relational {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** F. Approximate percentiles (r8) — the sketch-path twin of
+    * q_percentile, completing the mergeable-sketch family next to HLL
+    * (q_approx_distinct) and SpaceSaving (q_heavy_hitters): Spark's
+    * approx_percentile is a GK/quantile-summary sketch with a
+    * guaranteed RANK error ≤ n/accuracy — partial-mergeable, bounded
+    * memory per group, the only quantile that survives a 100 TB group
+    * (the exact percentile buffers every value of a group in one
+    * aggregation state; at web scale that's the collect_set OOM class
+    * all over again). accuracy=10000 ⇒ worst-case rank slip n/10⁴.
+    * Sketch internals are engine-specific ⇒ rows-only; the spec bounds
+    * the result against the exact q_percentile answer by converting the
+    * rank guarantee to a value interval on the sorted data.
+    */
+  val approxPercentile: Q = Q(
+    "q_approx_percentile",
+    (s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.25, 10000)").as("p25"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_quantity, 0.75, 10000)").as("p75"),
+          count(lit(1)).as("n"))
+        .transform(Det.sortAll),
+    None
+  )
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopK, topKPerGroup, rollup, pivot,
     distinctCount, approxDistinct, percentile, saltedAgg, rankFuncs,
-    existsSemi, monthAgg, sqlSurface, mergeUpsert, cube)
+    existsSemi, monthAgg, sqlSurface, mergeUpsert, cube, approxPercentile)
 }

@@ -1056,6 +1056,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("approx percentile: inside the rank-error window of the exact answer") {
+    // GK guarantee: reported value's rank is within n/accuracy of the
+    // target rank. Verify per group against the fully sorted data: the
+    // approx p50 must lie between the values at ranks ⌊n/2⌋ ± ⌈n/10⁴⌉.
+    val dir = "/root/testdata/sf0.01"
+    val li = T.lineitem(spark, dir).select("l_returnflag", "l_quantity")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val out = Relational.approxPercentile.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val xs = li(r.getAs[String]("l_returnflag"))
+      val slack = math.ceil(xs.length / 10000.0).toInt + 1
+      for ((c, f) <- Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))) {
+        val v = r.getAs[Double](c)
+        val target = (f * (xs.length - 1)).toInt
+        val lo = xs(math.max(0, target - slack))
+        val hi = xs(math.min(xs.length - 1, target + slack + 1))
+        assert(v >= lo && v <= hi,
+          s"${r.getAs[String]("l_returnflag")} $c=$v outside [$lo,$hi] (n=${xs.length})")
+      }
+    }
+  }
+
   test("cube: margins reconcile to the grand total per grouping set") {
     val rows = Relational.cube.run(spark, sfDir).collect()
     val byGid = rows.groupBy(_.getAs[Long]("gid"))
