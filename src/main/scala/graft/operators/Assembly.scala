@@ -491,6 +491,72 @@ object Assembly {
             |FROM x ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Per-group deterministic sample (r8) — eval-split carving: for
+    * every language, the 200 documents with the smallest md5(doc_id)
+    * permutation key, ranked. The held-out-set builder a pipeline runs
+    * before training ("200 docs per language for the eval suite") —
+    * reproducible across runs and engines (the q_sample_stratified hash
+    * device, no rand()), and disjointness/coverage follow from the rank.
+    *
+    * The straggler trap this avoids: ROW_NUMBER over PARTITION BY lang
+    * directly is one task per language — a ~5-value key puts corpus/5
+    * rows on each of 5 unsplittable tasks at 100 TB (the q_ccnet_bucket
+    * analysis). Device: the hex-prefix two-phase rank ([[epochSample]]'s
+    * restart-scan, keyed (lang, bucket)) PLUS a bucket-level pre-prune —
+    * a bucket whose exclusive offset is already ≥ n cannot contain a
+    * kept rank, so the offsets join (broadcast, inner) drops ~254/256 of
+    * the corpus BEFORE the rank window ever shuffles; the window sees
+    * ~(n + bucket) rows per language, not corpus/langs. Null lang
+    * normalizes to '' so those docs keep a group (q_ccnet_bucket's
+    * convention) and the driver scan never handles SQL nulls.
+    */
+  val groupedSample: Q = Q(
+    "q_grouped_sample",
+    (s, d) => {
+      val n = 200L
+      val keyed = CacheBag.track(T.documents(s, d)
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"))
+        .withColumn("sk", md5(col("doc_id").cast("string")))
+        .withColumn("bucket", conv(substring(col("sk"), 1, 2), 16, 10).cast("long")))
+      val wLocal = Window.partitionBy("lang", "bucket").orderBy("sk", "doc_id")
+      // phase 2: per-(lang, bucket) counts (≤langs·256 rows of metadata);
+      // exclusive scan RESTARTS per lang
+      val rows = keyed.groupBy("lang", "bucket").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      var prev: Option[String] = None
+      var acc = 0L
+      val offs = rows.map { case (lg, b, cnt) =>
+        if (!prev.contains(lg)) { prev = Some(lg); acc = 0L }
+        val off = acc
+        acc += cnt
+        (lg, b, off)
+      }.toIndexedSeq
+      // the pre-prune: only buckets that can still contain a rank ≤ n
+      val offDf = s.createDataFrame(offs.filter(_._3 < n))
+        .toDF("lang", "bucket", "bucket_off")
+      keyed.join(broadcast(offDf), Seq("lang", "bucket"))
+        .select(col("doc_id"), col("lang"), col("sk"),
+          (col("bucket_off") + row_number().over(wLocal)).cast("long")
+            .as("sample_rank"))
+        .where(col("sample_rank") <= n)
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, COALESCE(lang, '') AS lang,
+            |         md5(CAST(doc_id AS VARCHAR)) AS sk
+            |  FROM documents WHERE doc_id IS NOT NULL
+            |), r AS (
+            |  SELECT doc_id, lang, sk,
+            |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            |           ORDER BY sk, doc_id) AS BIGINT) AS sample_rank
+            |  FROM t
+            |)
+            |SELECT doc_id, lang, sk, sample_rank
+            |FROM r WHERE sample_rank <= 200 ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(packSequences, packManifest, mixWeights, shuffleOrder,
-    packShuffled, epochSample)
+    packShuffled, epochSample, groupedSample)
 }

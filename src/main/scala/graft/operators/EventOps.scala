@@ -246,5 +246,50 @@ object EventOps {
             |FROM t GROUP BY 1 ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin, scd2, jsonExtract)
+  /** F. Keep-newest compaction (r8) — the snapshot/log-compaction shape
+    * (Kafka compacted topics, CommonCrawl newest-capture-per-URL, CDC
+    * snapshot reads): per (user_id, event_type) key, the LATEST record by
+    * (ts, event_id) plus how many versions it superseded.
+    *
+    * The scale device is max(struct(ts, event_id, payload...)) in ONE
+    * map-side-combinable groupBy — O(1) state per key, partial-aggregated
+    * before the single Exchange, AQE-splittable. The naive encoding
+    * (row_number over the key, keep rn=1) buffers and sorts every key's
+    * full version history on one task — for a compaction workload the
+    * hot key IS the point (a frequently-updated row has millions of
+    * versions at CDC scale), so the window form is exactly the
+    * unsplittable-task trap the dedup family's keeper device avoids.
+    * Struct max is lexicographic and (ts, event_id) is a total key
+    * (event_id unique), so the payload fields behind it never decide —
+    * the result is deterministic on any partitioning.
+    */
+  val keepNewest: Q = Q(
+    "q_keep_newest",
+    (s, d) =>
+      T.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000").as("ts_ms"), col("event_id"),
+          Num.cents(col("value")).as("value_cents"))
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts_ms"), col("event_id"), col("value_cents"))).as("w"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("event_type"),
+          col("w.ts_ms").as("ts_ms"), col("w.event_id").as("event_id"),
+          col("w.value_cents").as("value_cents"), col("n_versions"))
+        .transform(Det.sortAll),
+    Some("""WITH t AS (
+            |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+            |         CAST(ROUND(value*100,0) AS BIGINT) AS value_cents,
+            |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            |           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
+            |         COUNT(*) OVER (PARTITION BY user_id, event_type) AS nv
+            |  FROM events
+            |)
+            |SELECT user_id, event_type, ts_ms, event_id, value_cents,
+            |       CAST(nv AS BIGINT) AS n_versions
+            |FROM t WHERE rn = 1 ORDER BY ALL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin, scd2, jsonExtract,
+    keepNewest)
 }

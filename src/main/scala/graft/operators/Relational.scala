@@ -495,7 +495,124 @@ object Relational {
     None
   )
 
+  /** F. Fixed-width histogram (r8) — the numeric-distribution profiling
+    * op (warehouse data profiling / drift monitoring). Buckets are pure
+    * integer arithmetic on exact cents (`div` floor division — no
+    * width_bucket bounds pass needed for a fixed-width grid), so the
+    * whole histogram is ONE map-side-combinable groupBy whose output is
+    * bucket-count-sized; nothing about the plan changes at 100 TB. Per
+    * (status, $5k bucket): count, exact revenue mass, and the in-bucket
+    * min/max (the profiler's clamp check).
+    */
+  val histogram: Q = Q(
+    "q_histogram",
+    (s, d) => {
+      val width = 500000L // $5k in cents
+      T.orders(s, d)
+        .select(col("o_orderstatus").as("status"),
+          Num.cents(col("o_totalprice")).as("cents"))
+        .withColumn("bucket", expr(s"cents div ${width}L"))
+        .groupBy("status", "bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"),
+          max("cents").as("max_cents"))
+        .withColumn("lo_cents", col("bucket") * width)
+        .withColumn("hi_cents", (col("bucket") + 1) * width)
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT o_orderstatus AS status,
+            |         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+            |  FROM orders
+            |)
+            |SELECT status, cents // 500000 AS bucket,
+            |       COUNT(*) AS n_orders,
+            |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+            |       MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+            |       (cents // 500000) * 500000 AS lo_cents,
+            |       (cents // 500000 + 1) * 500000 AS hi_cents
+            |FROM t GROUP BY status, cents // 500000 ORDER BY ALL""".stripMargin)
+  )
+
+  /** F. One-pass column profiling (r8) — the ANALYZE/data-quality summary
+    * every warehouse runs on ingest: per column, row count, null count,
+    * exact distinct count, and min/max. All five columns profile in ONE
+    * aggregate job over one scan; `stack` unpivots the single stats row
+    * into the per-column report (driver-sized — 5 rows).
+    *
+    * Min/max render through exact types only (longs and strings — the
+    * double column profiles on its exact cent grid), so the string
+    * rendering is engine-neutral; no raw double ever prints. The exact
+    * multi-column COUNT(DISTINCT) plans as one Expand (×5) + partial
+    * distinct aggregation — one scan, but the Exchange carries
+    * per-column distinct values. At 100 TB the profiling flip is
+    * approx_count_distinct (HLL, q_approx_distinct's device): same
+    * single-pass shape, sketch-sized shuffle — the exact form is kept
+    * here because the gate hash-compares and the plan shape (one scan,
+    * one agg, stack) is identical either way.
+    */
+  val profile: Q = Q(
+    "q_profile",
+    (s, d) => {
+      val src = T.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        Num.cents(col("o_totalprice")).as("o_totalprice_cents"),
+        col("o_orderpriority"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice_cents", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"c_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c")))
+      val stacked = cols.map(c =>
+        s"'$c', c_$c, d_$c, mn_$c, mx_$c").mkString(", ")
+      src.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stacked) as " +
+            "(column_name, n_nonnull, n_distinct, min_s, max_s)"))
+        .select(col("column_name"), col("n_rows"),
+          col("n_nonnull").cast("long").as("n_nonnull"),
+          (col("n_rows") - col("n_nonnull")).cast("long").as("n_null"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("min_s"), col("max_s"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT o_orderkey, o_custkey, o_orderstatus,
+            |         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS o_totalprice_cents,
+            |         o_orderpriority
+            |  FROM orders
+            |), s AS (
+            |  SELECT COUNT(*) AS n_rows,
+            |    COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+            |      CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+            |    COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+            |      CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+            |    COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+            |      MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+            |    COUNT(o_totalprice_cents) AS c4, COUNT(DISTINCT o_totalprice_cents) AS d4,
+            |      CAST(MIN(o_totalprice_cents) AS VARCHAR) AS mn4, CAST(MAX(o_totalprice_cents) AS VARCHAR) AS mx4,
+            |    COUNT(o_orderpriority) AS c5, COUNT(DISTINCT o_orderpriority) AS d5,
+            |      MIN(o_orderpriority) AS mn5, MAX(o_orderpriority) AS mx5
+            |  FROM t
+            |)
+            |SELECT 'o_orderkey' AS column_name, n_rows, c1 AS n_nonnull, n_rows - c1 AS n_null,
+            |       d1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM s
+            |UNION ALL
+            |SELECT 'o_custkey', n_rows, c2, n_rows - c2, d2, mn2, mx2 FROM s
+            |UNION ALL
+            |SELECT 'o_orderstatus', n_rows, c3, n_rows - c3, d3, mn3, mx3 FROM s
+            |UNION ALL
+            |SELECT 'o_totalprice_cents', n_rows, c4, n_rows - c4, d4, mn4, mx4 FROM s
+            |UNION ALL
+            |SELECT 'o_orderpriority', n_rows, c5, n_rows - c5, d5, mn5, mx5 FROM s
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopK, topKPerGroup, rollup, pivot,
     distinctCount, approxDistinct, percentile, saltedAgg, rankFuncs,
-    existsSemi, monthAgg, sqlSurface, mergeUpsert, cube, approxPercentile)
+    existsSemi, monthAgg, sqlSurface, mergeUpsert, cube, approxPercentile,
+    histogram, profile)
 }

