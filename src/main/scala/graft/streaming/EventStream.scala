@@ -157,6 +157,32 @@ object EventStream {
     * `corpusKeys` static (content_hash). Output: the `keep` rows, ready
     * for an idempotent append sink ([[idempotentParquetSink]]).
     */
+  /** H. Streaming keep-newest compaction — the continuous twin of batch
+    * q_keep_newest (Kafka compacted-topic semantics / continuous CDC
+    * snapshot): per (user_id, event_type) key, the running latest record
+    * by (ts, event_id), emitted in Update mode whenever it changes.
+    *
+    * The same struct-max device as the batch operator: state per key is
+    * ONE struct — the compacted value itself, exactly what a compacted
+    * topic retains — and the aggregation partial-merges map-side, so a
+    * hot key's update storm combines before the shuffle instead of
+    * buffering a version history. Deliberately NO watermark/timeout: a
+    * compacted dimension is keyed by entity and its newest value must
+    * survive indefinitely (the stream_scd2 state argument — state
+    * cardinality = entity count, the same size as the output itself);
+    * an event-time eviction would silently forget quiet keys. Struct
+    * ordering makes late/out-of-order arrivals a no-op: an older (ts,
+    * event_id) never displaces the current max.
+    */
+  def latestPerKey(updates: DataFrame): DataFrame =
+    updates
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value_cents"))).as("w"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("w.ts").as("ts"), col("w.event_id").as("event_id"),
+        col("w.value_cents").as("value_cents"), col("n_versions"))
+
   def incrementalDedup(fresh: DataFrame, corpusKeys: DataFrame): DataFrame =
     fresh
       .join(corpusKeys.select("content_hash"), Seq("content_hash"), "left_anti")

@@ -1297,6 +1297,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out.except(direct).isEmpty && direct.except(out).isEmpty)
   }
 
+  test("bloom membership: build-once, no false negatives, bounded false positives") {
+    val before = Dedup.bloomBuilds.get()
+    val out = Dedup.bloomDedup.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("in_corpus")).toMap
+    val mid = Dedup.bloomBuilds.get()
+    Dedup.bloomDedup.run(spark, sfDir).count()
+    assert(Dedup.bloomBuilds.get() == mid, "second run must serve the memoized sketch")
+    assert(mid - before <= 1)
+    // exactness: verdicts equal the registered incremental op's in_corpus
+    // (same split, same prefix key, sketch-free semi-join plan)
+    val direct = Dedup.incremental.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("in_corpus")).toMap
+    assert(out == direct, "bloom-guarded verdicts must equal the direct plan")
+    // the filter property, measured: corpus keys always hit (no false
+    // negatives); novel keys rarely do (fpp ≈ 1.4e-3 by design)
+    val key = md5(concat_ws(" ", slice(split(
+      lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "), 1, 8)))
+    val hashed = T.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), key.as("content_hash"))
+    val corpus = hashed.where(col("source") =!= "src7").select("content_hash")
+    val (m, w) = Dedup.bloomWords(spark, sfDir, corpus)
+    assert(corpus.where(!Dedup.bloomTest(col("content_hash"), m, w)).count() == 0,
+      "a Bloom filter can never miss a member")
+    val novel = hashed.where(col("source") === "src7")
+      .select("content_hash").distinct()
+      .join(corpus.distinct(), Seq("content_hash"), "left_anti")
+    val nNovel = novel.count()
+    val falsePos = novel.where(Dedup.bloomTest(col("content_hash"), m, w)).count()
+    assert(nNovel == 0 || falsePos.toDouble / nNovel <= 0.05,
+      s"false-positive rate $falsePos/$nNovel above bound")
+  }
+
   test("pmi: a pair that always co-occurs outranks independent pairs") {
     // 'alpha beta' always adjacent (perfect association); filler words
     // pair independently; c_ab >= 5 via repetition

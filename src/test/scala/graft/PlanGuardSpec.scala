@@ -227,6 +227,60 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_grouped_sample: the only data Exchange is the (lang, bucket) hash — no per-group global window") {
+    // the per-group rank must decompose through (lang, hex-prefix bucket)
+    // — a plain PARTITION BY lang would be one unsplittable task per
+    // language; pin that every hash Exchange in the final plan is keyed
+    // on the composite bucket key
+    val q = SparkEntry.registry.find(_.name == "q_grouped_sample").get
+    val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+    val hashKeys = "Exchange hashpartitioning\\((\\w+)#\\d+[^,]*, (\\w+)"
+      .r.findAllMatchIn(plan).map(m => (m.group(1), m.group(2))).toList
+    assert(hashKeys.nonEmpty && hashKeys.forall(_ == ("lang", "bucket")),
+      s"q_grouped_sample: expected hash Exchanges keyed (lang, bucket), got $hashKeys:\n$plan")
+  }
+
+  test("q_keep_newest: one map-side-combinable aggregation, no window over the key") {
+    // compaction's hot key is the workload: the plan must be the
+    // partial-merge groupBy (one hash Exchange on the group key), never
+    // a row_number window buffering a key's version history on one task
+    val q = SparkEntry.registry.find(_.name == "q_keep_newest").get
+    val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q_keep_newest plans a window:\n$plan")
+    val hashKeys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(hashKeys == List("user_id"),
+      s"q_keep_newest: expected one hash Exchange on the group key, got $hashKeys:\n$plan")
+    // partial aggregation present: two aggregate stages around the Exchange
+    assert("(?i)partial_".r.findFirstIn(plan).isDefined,
+      s"q_keep_newest aggregation is not map-side combined:\n$plan")
+  }
+
+  test("q_dedup_bloom: negatives never join — all joins broadcast-hash, corpus semi-join side shuffle-free") {
+    // the sketch's value is plan-shaped: the fresh side is filtered by
+    // the plan-constant bit array BEFORE any join (novel majority exits
+    // at the scan), the confirm semi join broadcasts the hit-sized key
+    // set over a shuffle-free corpus scan, and nothing plans sort-merge
+    val q = SparkEntry.registry.find(_.name == "q_dedup_bloom").get
+    val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"q_dedup_bloom plans a sort-merge join:\n$plan")
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size == 1,
+      s"expected exactly one broadcast LEFT SEMI (the confirm filter), got ${semis.size}:\n$plan")
+    val streamed = semis.head.buildSide match {
+      case BuildLeft  => semis.head.right
+      case BuildRight => semis.head.left
+    }
+    assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"corpus (streamed) side of the confirm semi join shuffles:\n$streamed")
+  }
+
   test("output-order contract: every query ends in a total sort, every oracle in ORDER BY ALL") {
     // the driver hash-compare treats row order as part of the result; the
     // repo rule (CLAUDE.md) is Det.sortAll on the Spark side and ORDER BY

@@ -33,6 +33,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("click", 1L, 10L)), s"got $rows")
   }
 
+  case class VerEv(user_id: Long, event_type: String, ts: Timestamp,
+      event_id: Long, value_cents: Long)
+
+  test("streaming keep-newest compaction converges to the batch answer; late versions never displace") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[VerEv]
+    // the driver-side materialization of the compacted topic: apply each
+    // Update-mode emission; final content must equal the batch compaction
+    val state = scala.collection.mutable.Map[(Long, String), (Long, Long, Long)]()
+    val q = EventStream.latestPerKey(mem.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach { r =>
+          state((r.getLong(0), r.getString(1))) =
+            (r.getLong(3), r.getLong(4), r.getLong(5))
+        }
+        ()
+      }.start()
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData(VerEv(1L, "bal", t(0), 1L, 100L), VerEv(2L, "bal", t(0), 2L, 200L))
+    q.processAllAvailable()
+    assert(state((1L, "bal")) == ((1L, 100L, 1L)))
+    // batch 2: a newer version of key (1, bal) displaces
+    mem.addData(VerEv(1L, "bal", t(5), 3L, 150L))
+    q.processAllAvailable()
+    assert(state((1L, "bal")) == ((3L, 150L, 2L)))
+    // batch 3: a LATE version (older ts) must bump n_versions but never
+    // displace the newer value — the struct-max no-op case
+    mem.addData(VerEv(1L, "bal", t(1), 4L, 999L))
+    q.processAllAvailable()
+    q.stop()
+    assert(state((1L, "bal")) == ((3L, 150L, 3L)),
+      s"late arrival displaced the compacted value: $state")
+    assert(state((2L, "bal")) == ((2L, 200L, 1L)))
+    assert(state.keySet == Set((1L, "bal"), (2L, "bal")))
+  }
+
   case class DupEv(event_id: Long, ts: Timestamp, payload: String)
 
   test("streaming dedup drops re-delivered event ids within the watermark") {
