@@ -959,6 +959,13 @@ object Dedup {
     * (`element_at` on a literal — the NearestCentroid plan-constant
     * device). The variable-amount shift rides `call_function` since the
     * Scala shiftright binding only takes a literal shift.
+    *
+    * REGIME BOUND (measured, 100× smoke): a plan-constant literal is
+    * embedded in every serialized TASK, not broadcast — at 1.25M words
+    * (a 5M-key corpus) the 10 MB array re-ships per task per stage and
+    * the serve read 40 s against the family's ~3 s. Callers must route
+    * sketches past [[bloomLiteralWords]] through [[bloomHitKeys]]'s
+    * broadcast-table form instead.
     */
   private[graft] def bloomTest(key: Column, mBits: Long,
       words: Array[Long]): Column = {
@@ -969,6 +976,55 @@ object Dedup {
       call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+  }
+
+  /** Plan-literal budget: 64k words = 512 KB embedded per task — cheap.
+    * Past it the sketch ships ONCE as a proper broadcast table.
+    */
+  private[graft] val bloomLiteralWords = 64 * 1024
+
+  /** The bloom-hit key set of `fresh`, served by whichever regime the
+    * sketch size demands:
+    *
+    *  - ≤ literalBudget words: the [[bloomTest]] filter — negatives exit
+    *    IN the scan projection, zero extra plan nodes.
+    *  - larger: the sketch becomes a broadcast (word, bits) table — k
+    *    exploded probes per key broadcast-hash-join their word, the bit
+    *    test filters, and a key is a hit iff ALL k probes survive
+    *    (count = k groupBy on the key — batch-sized, map-side combined).
+    *    The 10 MB ships once per executor instead of once per task; the
+    *    corpus still never shuffles. This is also the shape the sharded
+    *    >broadcast-budget sketch serves through (the table just stops
+    *    being broadcast and buckets by word range).
+    *
+    * Both regimes emit the identical key set (spec-proven) — the regime
+    * is a physical choice, like incrementalVerdicts' broadcast guard.
+    */
+  private[graft] def bloomHitKeys(s: SparkSession, fresh: DataFrame,
+      mBits: Long, words: Array[Long], literalBudget: Int): DataFrame = {
+    if (words.length <= literalBudget)
+      fresh.where(bloomTest(col("content_hash"), mBits, words))
+        .select("content_hash").distinct()
+    else {
+      // only non-empty words travel: the table is at most one row per
+      // set bit's word, typically ~m/64 rows of (long, long)
+      val wordsDf = s.createDataFrame(
+        words.toIndexedSeq.zipWithIndex.collect {
+          case (bits, i) if bits != 0L => (i.toLong, bits)
+        }).toDF("word", "bits")
+      val probes = fresh.select("content_hash").distinct()
+        .select(col("content_hash"), explode(array((0 until bloomK).map(i =>
+          xxhash64(col("content_hash"), lit(i)).bitwiseAND(lit(mBits - 1))): _*))
+          .as("pos"))
+        .select(col("content_hash"), shiftright(col("pos"), 6).as("word"),
+          col("pos").bitwiseAND(lit(63L)).cast("int").as("bit"))
+      probes.join(broadcast(wordsDf), "word")
+        .where(call_function("shiftright", col("bits"), col("bit"))
+          .bitwiseAND(lit(1L)) === lit(1L))
+        .groupBy("content_hash").agg(count(lit(1)).as("nhit"))
+        .where(col("nhit") === bloomK)
+        .select("content_hash")
+    }
   }
 
   /** G. Bloom-guarded ingest membership (r8) — the persisted-sketch
@@ -1004,9 +1060,7 @@ object Dedup {
       val corpus = hashed.where(col("source") =!= "src7")
         .select("content_hash")
       val (mBits, words) = bloomWords(s, d, corpus)
-      val hitKeys = fresh
-        .where(bloomTest(col("content_hash"), mBits, words))
-        .select("content_hash").distinct()
+      val hitKeys = bloomHitKeys(s, fresh, mBits, words, bloomLiteralWords)
       val collided = corpus
         .join(broadcast(hitKeys), Seq("content_hash"), "left_semi")
         .distinct()

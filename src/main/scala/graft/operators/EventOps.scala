@@ -290,6 +290,66 @@ object EventOps {
             |FROM t WHERE rn = 1 ORDER BY ALL""".stripMargin)
   )
 
+  /** F. Per-key outlier detection (r8) — the monitoring / data-quality
+    * anomaly flag: events whose value sits more than 3σ from their own
+    * user's mean. The entire test runs in EXACT integer arithmetic: the
+    * z-score inequality |x − S/n| > 3·√(SS/n − S²/n²) is cleared of the
+    * division and the square root by multiplying through by n² —
+    *   (n·x − S)² > 9·(n·SS − S²)
+    * with S = Σcents, SS = Σcents² — so there is not a single double in
+    * the operator and the flag is bit-deterministic on any cluster (a
+    * float mean/stddev would be partial-aggregation-order-dependent, the
+    * exact thing graft.Num bans). DECIMAL(38,0) carries the products:
+    * long would silently wrap once a key holds ~10⁶ events of ~10⁵
+    * cents (n·SS ≈ 10²², past 2⁶³), and Spark's non-ANSI long multiply
+    * wraps without error — decimal overflows loudly at 38 digits, far
+    * past any physical corpus.
+    *
+    * Plan: per-user moments via ONE map-side-combinable groupBy (3
+    * exact sums), joined back on user_id — the dedup keeper device, AQE
+    * skew-splittable; NOT a window over user_id, where a bot key would
+    * buffer its whole history on one task. Population variance (÷n, not
+    * n−1): the user's own events are the whole population under test.
+    */
+  val anomaly: Q = Q(
+    "q_anomaly",
+    (s, d) => {
+      val dec = "decimal(38,0)"
+      val e = T.events(s, d).select(
+        col("user_id"), col("event_id"),
+        Num.cents(col("value")).as("cents"))
+      val moments = e.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast(dec)).cast(dec).as("sm"),
+        sum((col("cents").cast(dec) * col("cents").cast(dec))).cast(dec).as("ss"))
+      e.join(moments, "user_id")
+        .select(col("user_id"), col("event_id"), col("cents"), col("n"),
+          ((col("n").cast(dec) * col("cents").cast(dec) - col("sm")) *
+            (col("n").cast(dec) * col("cents").cast(dec) - col("sm")) >
+            lit(9).cast(dec) *
+              (col("n").cast(dec) * col("ss") - col("sm") * col("sm")))
+            .as("is_outlier"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH e AS (
+            |  SELECT user_id, event_id,
+            |         CAST(ROUND(value*100,0) AS BIGINT) AS cents
+            |  FROM events
+            |), m AS (
+            |  SELECT user_id, COUNT(*) AS n,
+            |         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sm,
+            |         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+            |  FROM e GROUP BY 1
+            |)
+            |SELECT e.user_id, e.event_id, e.cents, m.n,
+            |       (CAST(m.n AS DECIMAL(38,0)) * CAST(e.cents AS DECIMAL(38,0)) - m.sm) *
+            |         (CAST(m.n AS DECIMAL(38,0)) * CAST(e.cents AS DECIMAL(38,0)) - m.sm) >
+            |         CAST(9 AS DECIMAL(38,0)) *
+            |           (CAST(m.n AS DECIMAL(38,0)) * m.ss - m.sm * m.sm) AS is_outlier
+            |FROM e JOIN m USING (user_id)
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin, scd2, jsonExtract,
-    keepNewest)
+    keepNewest, anomaly)
 }

@@ -1297,6 +1297,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.except(direct).isEmpty && direct.except(out).isEmpty)
   }
 
+  test("anomaly: exact-integer 3-sigma test flags the planted spike only") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // user 1: twenty $1.00 events and one $1000.00 spike (≈ 4.5σ out);
+    // user 2: a constant series (zero variance — nothing can flag)
+    val evs = ((1 to 20).map(i => (i.toLong, t0, 1L, "x", 1.00, "{}")) ++
+      Seq((21L, t0, 1L, "x", 1000.00, "{}"),
+        (22L, t0, 2L, "x", 5.00, "{}"),
+        (23L, t0, 2L, "x", 5.00, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graftanom").toString
+    evs.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.anomaly.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(out.size == 23)
+    assert(out.filter(_._2).keySet == Set(21L),
+      s"expected only the spike flagged, got ${out.filter(_._2).keySet}")
+  }
+
   test("bloom membership: build-once, no false negatives, bounded false positives") {
     val before = Dedup.bloomBuilds.get()
     val out = Dedup.bloomDedup.run(spark, sfDir).collect()
@@ -1327,6 +1345,17 @@ class OperatorsSpec extends SparkSpec {
     val falsePos = novel.where(Dedup.bloomTest(col("content_hash"), m, w)).count()
     assert(nNovel == 0 || falsePos.toDouble / nNovel <= 0.05,
       s"false-positive rate $falsePos/$nNovel above bound")
+    // regime equality: the broadcast-table serve (literalBudget forced to
+    // 0) emits exactly the literal-plan serve's hit-key set — the regime
+    // is a physical choice, never a semantic one
+    val fresh = hashed.where(col("source") === "src7")
+      .select("doc_id", "content_hash")
+    val litKeys = Dedup.bloomHitKeys(spark, fresh, m, w, Int.MaxValue)
+      .as[String].collect().toSet
+    val tblKeys = Dedup.bloomHitKeys(spark, fresh, m, w, 0)
+      .as[String].collect().toSet
+    assert(litKeys == tblKeys,
+      s"serve regimes disagree: ${litKeys.diff(tblKeys)} / ${tblKeys.diff(litKeys)}")
   }
 
   test("pmi: a pair that always co-occurs outranks independent pairs") {
