@@ -27,7 +27,8 @@ object Bench {
       import graft.operators.AnnIndex._
       ivfFits.get + pqFits.get + lshEncodes.get +
         ivfAppends.get + pqAppends.get + lshAppends.get +
-        ivfpqEncodes.get + ivfpqAppends.get
+        ivfpqEncodes.get + ivfpqAppends.get +
+        lexEncodes.get + lexAppends.get
     }
     def timeOne(q: Q): (Either[String, Double], Boolean) = {
       val t0 = System.nanoTime()

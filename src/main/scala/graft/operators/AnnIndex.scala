@@ -89,6 +89,8 @@ object AnnIndex {
   private[graft] val lshAppends = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val ivfpqEncodes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val ivfpqAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val lexEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val lexAppends = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Append-drift threshold: chain-append while rows encoded with frozen
     * codebooks are ≤ this fraction of the corpus; past it, refit.
@@ -109,7 +111,11 @@ object AnnIndex {
 
   /** The version directory for one (table, content) state. */
   private[graft] def versionDir(s: SparkSession, d: String, n: Long, fp: Long): String =
-    s"${root(s)}/${md5hex(s"$d/embeddings.parquet")}/${java.lang.Long.toHexString(fp)}_$n"
+    versionDirFor(s, s"$d/embeddings.parquet", n, fp)
+
+  private[graft] def versionDirFor(s: SparkSession, table: String, n: Long,
+      fp: Long): String =
+    s"${root(s)}/${md5hex(table)}/${java.lang.Long.toHexString(fp)}_$n"
 
   private def fs(s: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -229,7 +235,7 @@ object AnnIndex {
     * chain — a full refit collapses the chain, an append keeps its bases.
     */
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
-    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ").flatMap(chainDirs(s, vd, _))
+    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ", "LEX").flatMap(chainDirs(s, vd, _))
       .map(new org.apache.hadoop.fs.Path(_).getName).toSet + new org.apache.hadoop.fs.Path(vd).getName
     val p = new org.apache.hadoop.fs.Path(vd)
     val parent = p.getParent
@@ -570,5 +576,103 @@ object AnnIndex {
       .reduce(_ unionByName _)
     validate(vd, "IVFPQ", cnt, codes.count())
     (loadIvfCodebook(s, vd, "IVFPQ").get, loadPqCodebook(s, vd, "IVFPQ").get._1, codes)
+  }
+
+  /** Postings slot fan-out: the term space hashes into this many hive
+    * partitions, so a query's driver-known slot set statically
+    * partition-prunes the postings read — the term-space analogue of the
+    * IVF cell layout. 64 at dev scale; a 1000-executor deployment widens
+    * it (the slot count is a layout constant frozen into the version,
+    * like LSH's solve params).
+    */
+  private[graft] val lexSlots = 64L
+
+  private def lexTf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(trim(col("text")), " +")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("tslot", pmod(xxhash64(col("term")), lit(lexSlots)))
+
+  /** Ensure the lexical (BM25) inverted index for `d`'s documents table
+    * is persisted, and return (tf postings reader, dl reader, df reader,
+    * nDocs, totToks). Artifacts: `lex_tf` — (doc_id, term, tf) postings
+    * hive-partitioned by the term-hash slot; `lex_dl` — per-doc lengths;
+    * `lex_df` — vocabulary-sized document frequencies (always fully
+    * merged at the chain tip); meta params carry the exact corpus token
+    * total. A new session LOADS instead of re-tokenizing the corpus —
+    * for BM25 the per-session saved pass is the full text scan +
+    * tokenize + tf shuffle, the operator's entire corpus-sized cost.
+    *
+    * Append discipline differs from the ANN families in kind: counts are
+    * EXACTLY mergeable, so a pure file append writes only the delta
+    * files' tf/dl partitions, sums df and the token total, and the
+    * chained index is bit-identical to a fresh build (spec-proven; Lucene
+    * segment merging re-expressed over parquet). No frozen-codebook
+    * approximation ⇒ no drift threshold, appends compound forever.
+    */
+  private[graft] def lex(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame, Long, Long) = {
+    val table = s"$d/documents.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    def dfOf(tf: DataFrame): DataFrame =
+      tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    def dlOf(tf: DataFrame): DataFrame =
+      tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    if (!exists(s, s"$vd/_GRAFT_OK_LEX")) {
+      val cur = physFiles(s, table)
+      appendBase(s, vd, "LEX", cur) match {
+        case Some((base, delta, _, params)) if params.nonEmpty =>
+          lexAppends.incrementAndGet()
+          val dtf = lexTf(s.read.parquet(delta: _*).select("doc_id", "text"))
+          dtf.write.partitionBy("tslot").mode("overwrite").parquet(s"$vd/lex_tf")
+          dlOf(dtf).write.mode("overwrite").parquet(s"$vd/lex_dl")
+          s.read.parquet(s"$base/lex_df").unionByName(dfOf(dtf))
+            .groupBy("term").agg(sum("df").cast("long").as("df"))
+            .write.mode("overwrite").parquet(s"$vd/lex_df")
+          val deltaToks = s.read.parquet(s"$vd/lex_dl")
+            .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "LEX",
+            Some(new org.apache.hadoop.fs.Path(base).getName), cnt,
+            (params.toLong + deltaToks).toString)
+          touch(s, s"$vd/_GRAFT_OK_LEX")
+          pruneSiblings(s, vd)
+        case _ =>
+          lexEncodes.incrementAndGet()
+          val tf = lexTf(s.read.parquet(table).select("doc_id", "text"))
+          tf.write.partitionBy("tslot").mode("overwrite").parquet(s"$vd/lex_tf")
+          dlOf(tf).write.mode("overwrite").parquet(s"$vd/lex_dl")
+          dfOf(tf).write.mode("overwrite").parquet(s"$vd/lex_df")
+          val toks = s.read.parquet(s"$vd/lex_dl")
+            .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "LEX", None, cnt, toks.toString)
+          touch(s, s"$vd/_GRAFT_OK_LEX")
+          pruneSiblings(s, vd)
+      }
+    }
+    // explicit schema pins tslot LongType against hive partition-column
+    // inference (the IVF cells defense: an int-inferred partition column
+    // wraps the attribute in a cast and blocks partition pruning)
+    import org.apache.spark.sql.types._
+    val tfSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("term", StringType),
+      StructField("tf", LongType), StructField("tslot", LongType)))
+    val chain = chainDirs(s, vd, "LEX")
+    val tf = chain.map(c => s.read.schema(tfSchema).parquet(s"$c/lex_tf"))
+      .reduce(_ unionByName _)
+    val dl = chain.map(c => s.read.parquet(s"$c/lex_dl"))
+      .reduce(_ unionByName _)
+    val df = s.read.parquet(s"$vd/lex_df")
+    val (_, _, params) = readMeta(s, vd, "LEX").get
+    val tot = params.toLong
+    // truncation guard: the postings' exact token mass must equal the
+    // meta total (a /tmp cleaner eating a slot partition is otherwise a
+    // silent ranking corruption, not an error)
+    validate(vd, "LEX", tot,
+      tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0))
+    (tf, dl, df, cnt, tot)
   }
 }

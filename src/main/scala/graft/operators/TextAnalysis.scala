@@ -579,18 +579,22 @@ object TextAnalysis {
   val bm25: Q = Q(
     "q_bm25",
     (s, d) => {
-      val docs = T.documents(s, d)
-      val nDocs = docs.count()
-      val tf = docs
-        .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
-      val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-      val totToks = dl.agg(sum("dl")).head().getLong(0)
+      // r8: tf/dl/df serve from the PERSISTED lexical index
+      // (AnnIndex.lex) — the per-session corpus tokenize + tf shuffle
+      // (the operator's whole corpus-sized cost) happens once per table
+      // content, like the ANN families' encode. The postings read is
+      // statically partition-pruned to the query terms' hash slots (the
+      // IVF probed-cells device: slot set = a bounded driver collect,
+      // ≤64 longs), so a serve touches ~|q-slots|/64 of the postings.
+      val (tfP, dl, df, nDocs, totToks) = AnnIndex.lex(s, d)
       // one IEEE division of exact ints on both engines
       val avgdl = totToks.toDouble / nDocs.toDouble
-      val qterms = tf.where(col("doc_id") < 5)
+      val qtSlotted = tfP.where(col("doc_id") < 5)
+      val qterms = qtSlotted
         .select(col("doc_id").as("query_id"), col("term"))
+      val slots = qtSlotted.select("tslot").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val tf = tfP.where(col("tslot").isin(slots: _*)).drop("tslot")
       val idf = (lit(nDocs) - col("df")).cast("double") + lit(0.5)
       val ts = (idf / (col("df").cast("double") + lit(0.5))) *
         ((col("tf").cast("double") * lit(2.25)) /

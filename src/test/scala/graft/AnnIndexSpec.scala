@@ -171,6 +171,60 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("LEX: persisted postings serve BM25; append is lossless; truncation refuses to serve") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftlex").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftlexroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftlexroot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def docsDf(ids: Range) = ids.map { i =>
+      val text = s"shared alpha${i % 3} beta${i % 2} tok$i " +
+        s"common${i % 5} filler${i % 7} word$i"
+      (i.toLong, text, "en", s"src${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    try {
+      docsDf(0 until 40).repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val (e0, a0) = (AnnIndex.lexEncodes.get(), AnnIndex.lexAppends.get())
+      graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      assert(AnnIndex.lexEncodes.get() == e0 + 1)
+      graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      assert(AnnIndex.lexEncodes.get() == e0 + 1 &&
+        AnnIndex.lexAppends.get() == a0, "second serve must load, not rebuild")
+      // the postings landed hive-partitioned by term slot
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val tip0 = tableDir.listFiles().head
+      assert(new java.io.File(s"$tip0/lex_tf").listFiles()
+        .exists(_.getName.startsWith("tslot=")), "postings are not slot-partitioned")
+      // ingest batch appends as new files: delta-only encode, df/totals merge
+      docsDf(40 until 50).repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      val out2 = graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      assert(AnnIndex.lexAppends.get() == a0 + 1 &&
+        AnnIndex.lexEncodes.get() == e0 + 1, "append must not re-tokenize the corpus")
+      val tip = tableDir.listFiles().find(_.getName.endsWith("_50")).get
+      assert(spark.read.parquet(s"$tip/lex_dl").count() == 10L,
+        "dl delta is not batch-sized")
+      // LOSSLESS: a fresh build over the appended corpus is bit-identical
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val out3 = graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      assert(AnnIndex.lexEncodes.get() == e0 + 2)
+      assert(out2.map(_.toString).sorted.toSeq == out3.map(_.toString).sorted.toSeq,
+        "chained index diverges from a fresh build — the merge is not exact")
+      // truncation: eat one slot partition, force re-validation → refuse
+      val freshTip = new java.io.File(freshRoot).listFiles().head.listFiles().head
+      val slotDir = new java.io.File(s"$freshTip/lex_tf").listFiles()
+        .find(_.getName.startsWith("tslot=")).get
+      rmTree(slotDir.toString)
+      AnnIndex.resetValidation()
+      intercept[IllegalStateException] {
+        graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      }
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
   test("IVFPQ: fit-once, cell-partitioned CODE layout, delta-only append with frozen codebooks") {
     val tmp = java.nio.file.Files.createTempDirectory("graftivfpq").toString
     val idxRoot = java.nio.file.Files.createTempDirectory("graftivfpqroot").toString

@@ -281,6 +281,19 @@ class PlanGuardSpec extends SparkSpec {
       s"corpus (streamed) side of the confirm semi join shuffles:\n$streamed")
   }
 
+  test("q_bm25: postings serve from the persisted lexical index, slot-partition-pruned") {
+    // r8: tf/dl/df come from AnnIndex.lex — the serve must (a) stream
+    // the persisted postings, not re-tokenize the corpus, and (b) carry
+    // the query-slot isin in PartitionFilters (the probed-cells device on
+    // the term space: a serve touches ~|q-slots|/64 of the postings)
+    val q = SparkEntry.registry.find(_.name == "q_bm25").get
+    val plan = q.run(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(plan.contains("graft_ann_index"),
+      s"postings are not the persisted index scan:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*tslot".r.findFirstIn(plan).isDefined,
+      s"query-slot filter is not partition-pruning the postings scan:\n$plan")
+  }
+
   test("output-order contract: every query ends in a total sort, every oracle in ORDER BY ALL") {
     // the driver hash-compare treats row order as part of the result; the
     // repo rule (CLAUDE.md) is Det.sortAll on the Spark side and ORDER BY
