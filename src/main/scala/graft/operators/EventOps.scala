@@ -350,6 +350,124 @@ object EventOps {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** F. Ordered conversion funnel (r8) — the ClickHouse `windowFunnel` /
+    * product-analytics shape: per user, how deep the ordered sequence
+    * view → click → purchase progresses, with every step inside a 7-day
+    * window anchored at the FIRST step. Depth-k requires a step-k event
+    * strictly after the step-(k−1) time.
+    *
+    * The scale device: the funnel is ITERATED MIN-JOINS — one map-side-
+    * combinable groupBy per step (min qualifying timestamp) chained
+    * through user-keyed equi-joins — NOT a per-user ordered fold over
+    * collect_list (a bot user's millions of events would buffer in one
+    * aggregation state; the joins keep every stage AQE-splittable and
+    * O(1)-state). Absent steps surface as 0-sentinels, not NULLs — the
+    * Spark-nulls-first / DuckDB-nulls-last sort divergence (the q_scd2
+    * rule) never enters the gate.
+    */
+  val windowFunnel: Q = Q(
+    "q_window_funnel",
+    (s, d) => {
+      val W = 604800000L // 7 days in ms
+      val e = T.events(s, d).select(col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ms"))
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ms").as("t1"))
+      val s2 = e.where(col("event_type") === "click")
+        .join(s1, "user_id")
+        .where(col("ms") > col("t1") && col("ms") <= col("t1") + W)
+        .groupBy("user_id").agg(min("ms").as("t2"), min("t1").as("t1w"))
+      val s3 = e.where(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .where(col("ms") > col("t2") && col("ms") <= col("t1w") + W)
+        .groupBy("user_id").agg(min("ms").as("t3"))
+      s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"),
+          coalesce(col("t2"), lit(0L)).as("t2_ms"),
+          coalesce(col("t3"), lit(0L)).as("t3_ms"),
+          when(col("t3").isNotNull, 3L)
+            .when(col("t2").isNotNull, 2L).otherwise(1L).as("depth"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH e AS (
+            |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+            |), s1 AS (
+            |  SELECT user_id, min(ms) AS t1 FROM e
+            |  WHERE event_type = 'view' GROUP BY 1
+            |), s2 AS (
+            |  SELECT e.user_id, min(e.ms) AS t2, min(s1.t1) AS t1w
+            |  FROM e JOIN s1 USING (user_id)
+            |  WHERE e.event_type = 'click' AND e.ms > s1.t1
+            |    AND e.ms <= s1.t1 + 604800000
+            |  GROUP BY 1
+            |), s3 AS (
+            |  SELECT e.user_id, min(e.ms) AS t3
+            |  FROM e JOIN s2 USING (user_id)
+            |  WHERE e.event_type = 'purchase' AND e.ms > s2.t2
+            |    AND e.ms <= s2.t1w + 604800000
+            |  GROUP BY 1
+            |)
+            |SELECT s1.user_id, s1.t1,
+            |       COALESCE(s2.t2, 0) AS t2_ms, COALESCE(s3.t3, 0) AS t3_ms,
+            |       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+            |                 WHEN s2.t2 IS NOT NULL THEN 2
+            |                 ELSE 1 END AS BIGINT) AS depth
+            |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** F. Cohort retention (r8) — the other standard product-analytics
+    * rollup: users cohorted by first-activity week, the retention matrix
+    * counts who returns k weeks later. Week indexes are exact integer
+    * floor-divisions of epoch days (engine-neutral — no date-truncation
+    * semantics in the gate); the rate is one IEEE division of exact
+    * counts. Plan: first-activity groupBy, distinct (user, week)
+    * activity (both map-side combined, user-keyed — the only
+    * corpus-sized shuffles), then matrix-sized aggregation; cohort sizes
+    * broadcast back. Output is cohort×offset-sized, independent of the
+    * corpus.
+    */
+  val retention: Q = Q(
+    "q_retention",
+    (s, d) => {
+      val e = T.events(s, d).select(col("user_id"),
+        expr("((ts div 1000000) div 86400000) div 7").as("week"))
+      val cohorts = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val sizes = cohorts.groupBy("cohort_week")
+        .agg(count(lit(1)).as("cohort_size"))
+      val active = e.distinct()
+      active.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(broadcast(sizes), "cohort_week")
+        .withColumn("retention_rate",
+          col("active_users").cast("double") / col("cohort_size").cast("double"))
+        .select("cohort_week", "week_offset", "active_users", "cohort_size",
+          "retention_rate")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH e AS (
+            |  SELECT user_id, (epoch_ms(ts) // 86400000) // 7 AS week FROM events
+            |), c AS (
+            |  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1
+            |), sz AS (
+            |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+            |  FROM c GROUP BY 1
+            |), a AS (
+            |  SELECT DISTINCT user_id, week FROM e
+            |), m AS (
+            |  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+            |         CAST(count(*) AS BIGINT) AS active_users
+            |  FROM a JOIN c USING (user_id) GROUP BY 1, 2
+            |)
+            |SELECT m.cohort_week, m.week_offset, m.active_users, sz.cohort_size,
+            |       CAST(m.active_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+            |         AS retention_rate
+            |FROM m JOIN sz USING (cohort_week)
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin, scd2, jsonExtract,
-    keepNewest, anomaly)
+    keepNewest, anomaly, windowFunnel, retention)
 }

@@ -1315,6 +1315,47 @@ class OperatorsSpec extends SparkSpec {
       s"expected only the spike flagged, got ${out.filter(_._2).keySet}")
   }
 
+  test("window funnel: ordered steps inside the anchored window only") {
+    def t(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val evs = Seq(
+      // user 1: full ordered funnel inside 7 days → depth 3
+      (1L, t(1, 10), 1L, "view", 1.0, "{}"),
+      (2L, t(2, 10), 1L, "click", 1.0, "{}"),
+      (3L, t(3, 10), 1L, "purchase", 1.0, "{}"),
+      // user 2: click BEFORE the first view → depth 1
+      (4L, t(1, 9), 2L, "click", 1.0, "{}"),
+      (5L, t(1, 10), 2L, "view", 1.0, "{}"),
+      // user 3: purchase before the click → depth 2
+      (6L, t(1, 10), 3L, "view", 1.0, "{}"),
+      (7L, t(2, 9), 3L, "purchase", 1.0, "{}"),
+      (8L, t(2, 10), 3L, "click", 1.0, "{}"),
+      // user 4: purchase past the 7-day window anchored at the view → depth 2
+      (9L, t(1, 10), 4L, "view", 1.0, "{}"),
+      (10L, t(2, 10), 4L, "click", 1.0, "{}"),
+      (11L, t(9, 10), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graftfun").toString
+    evs.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.windowFunnel.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("depth")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 2L), s"got $out")
+  }
+
+  test("retention: offset-0 is the full cohort; cohorts partition the users") {
+    val out = EventOps.retention.run(spark, sfDir).collect()
+    val users = T.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.filter(_.getAs[Long]("week_offset") == 0L)
+      .forall(r => r.getAs[Long]("active_users") == r.getAs[Long]("cohort_size")),
+      "every cohort member is active in their cohort week by definition")
+    assert(out.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("cohort_size")).sum == users,
+      "cohorts must partition the user base")
+    assert(out.forall { r =>
+      val rate = r.getAs[Double]("retention_rate")
+      rate > 0.0 && rate <= 1.0 && r.getAs[Long]("week_offset") >= 0L
+    })
+  }
+
   test("bloom membership: build-once, no false negatives, bounded false positives") {
     val before = Dedup.bloomBuilds.get()
     val out = Dedup.bloomDedup.run(spark, sfDir).collect()
