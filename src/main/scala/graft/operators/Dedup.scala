@@ -442,71 +442,130 @@ object Dedup {
       .select((labeled.columns.map(col) :+ col("cluster_size")).toIndexedSeq: _*)
   }
 
+  /** (doc_id, cluster_id) labels of the near-dup graph — the shared
+    * cluster computation behind q_dedup_clusters and q_split_assign:
+    * exact-dup edges (groupBy + equi-join keeper device — never
+    * min-over-window on the content hash) unioned with ngram-Jaccard
+    * ≥ 0.5 edges, closed by pointer-jumping connected components.
+    */
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    val hashed = docs.select(col("doc_id"), md5(normText).as("th"))
+    val keepers = hashed.groupBy("th").agg(min("doc_id").as("keeper"))
+    val exactE = hashed.join(keepers, "th")
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id").as("a"), col("keeper").as("b"))
+    val ngramE = ngramPairs(s, d)
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val half = exactE.union(ngramE)
+    connectedComponents(docs.select(col("doc_id").as("id")), half)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   val clusters: Q = Q(
     "q_dedup_clusters",
     (s, d) => {
-      val docs = T.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-      // exact-dup edges via groupBy + equi-join (the collapseExact device)
-      // rather than min-over-window on the content hash — one mass-dup key
-      // must not become one unsplittable window task
-      val hashed = docs.select(col("doc_id"), md5(normText).as("th"))
-      val keepers = hashed.groupBy("th").agg(min("doc_id").as("keeper"))
-      val exactE = hashed.join(keepers, "th")
-        .where(col("doc_id") =!= col("keeper"))
-        .select(col("doc_id").as("a"), col("keeper").as("b"))
-      val ngramE = ngramPairs(s, d)
-        .where(col("jaccard") >= 0.5)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val half = exactE.union(ngramE)
-      connectedComponents(docs.select(col("doc_id").as("id")), half)
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      clusterLabels(s, d)
         .transform(withClusterSize)
         .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
         .transform(Det.sortAll)
     },
-    Some("""WITH RECURSIVE w AS (
-            |  SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
-            |), sh0 AS (
-            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-            |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
-            |), sh AS (
-            |  SELECT doc_id, s FROM (
-            |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0
-            |  ) WHERE df <= 128
-            |), cnt AS (
-            |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
-            |), pairs AS (
-            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2
-            |), ngram_e AS (
-            |  SELECT p.doc_a AS a, p.doc_b AS b
-            |  FROM pairs p
-            |  JOIN cnt ca ON p.doc_a = ca.doc_id
-            |  JOIN cnt cb ON p.doc_b = cb.doc_id
-            |  WHERE p.inter >= 3
-            |    AND CAST(p.inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - p.inter AS DOUBLE) >= 0.5
-            |), exact_e AS (
-            |  SELECT doc_id AS a, keeper AS b FROM (
-            |    SELECT doc_id,
-            |           MIN(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keeper
-            |    FROM documents
-            |  ) WHERE doc_id <> keeper
-            |), edges AS (
-            |  SELECT a, b FROM ngram_e UNION SELECT b, a FROM ngram_e
-            |  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
-            |), reach(node, r) AS (
-            |  SELECT doc_id, doc_id FROM documents
-            |  UNION
-            |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
-            |), comp AS (
-            |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
-            |)
-            |SELECT doc_id, cluster_id,
-            |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-            |       doc_id <> cluster_id AS is_dup
-            |FROM comp ORDER BY ALL""".stripMargin)
+    Some(clusterCteSql +
+      """
+        |SELECT doc_id, cluster_id,
+        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       doc_id <> cluster_id AS is_dup
+        |FROM comp ORDER BY ALL""".stripMargin)
+  )
+
+  /** Oracle CTE shared by q_dedup_clusters and q_split_assign: the
+    * recursive-closure computation of near-dup components, ending at
+    * `comp(doc_id, cluster_id)`.
+    */
+  private lazy val clusterCteSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+      |), sh AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0
+      |  ) WHERE df <= 128
+      |), cnt AS (
+      |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), ngram_e AS (
+      |  SELECT p.doc_a AS a, p.doc_b AS b
+      |  FROM pairs p
+      |  JOIN cnt ca ON p.doc_a = ca.doc_id
+      |  JOIN cnt cb ON p.doc_b = cb.doc_id
+      |  WHERE p.inter >= 3
+      |    AND CAST(p.inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - p.inter AS DOUBLE) >= 0.5
+      |), exact_e AS (
+      |  SELECT doc_id AS a, keeper AS b FROM (
+      |    SELECT doc_id,
+      |           MIN(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keeper
+      |    FROM documents
+      |  ) WHERE doc_id <> keeper
+      |), edges AS (
+      |  SELECT a, b FROM ngram_e UNION SELECT b, a FROM ngram_e
+      |  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+      |), reach(node, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+      |), comp AS (
+      |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+      |)""".stripMargin
+
+  /** G. Leakage-aware train/val/test split (the eval-carving step after
+    * dedup in every LLM data pipeline — see the q_decontaminate scaladoc
+    * for the contamination story this prevents): the split is assigned to
+    * the near-dup CLUSTER, not the document, so two near-duplicate
+    * documents can never land on opposite sides of the train/test fence
+    * (per-doc hashing would leak test material into training through its
+    * near-copies — the classic benchmark-contamination vector that
+    * doc-level random splits cannot prevent by construction).
+    *
+    * Device: [[clusterLabels]] (the q_dedup_clusters computation — exact
+    * edges + ngram-Jaccard edges + pointer-jumping CC), then ONE
+    * deterministic md5 bucket of the cluster_id (q_sample_stratified's
+    * hash-bucket device keyed on the cluster) mapped 90/5/5 to
+    * train/val/test. Everything after the cluster labels is a narrow
+    * per-row projection — no additional shuffle, no per-split pass; at
+    * 100 TB the cost IS the cluster computation, which the pipeline has
+    * already priced (its bounds are q_dedup_clusters' bounds).
+    */
+  val splitAssign: Q = Q(
+    "q_split_assign",
+    (s, d) => {
+      val bucket = (conv(substring(md5(col("cluster_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100).as("bucket")
+      clusterLabels(s, d)
+        .select(col("doc_id"), col("cluster_id"), bucket)
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test"))
+        .transform(Det.sortAll)
+    },
+    Some(clusterCteSql +
+      """
+        |SELECT doc_id, cluster_id, bucket,
+        |       CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, cluster_id,
+        |         CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+        |  FROM comp
+        |) ORDER BY ALL""".stripMargin)
   )
 
   /** G. Benchmark decontamination — the training-corpus hygiene step every
@@ -1089,5 +1148,6 @@ object Dedup {
   )
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate, spanDedup, paragraphDedup, incremental, bloomDedup)
+    decontaminate, spanDedup, paragraphDedup, incremental, bloomDedup,
+    splitAssign)
 }

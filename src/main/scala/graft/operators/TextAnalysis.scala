@@ -936,7 +936,93 @@ object TextAnalysis {
             |) ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Per-source curation decision table — the domain-level filter
+    * every web-corpus pipeline maintains (Dolma/FineWeb/RefinedWeb ship
+    * per-domain blocklists): for each `source`, document count, exact
+    * token mass, corpus-global exact-dup count, low-quality count, the
+    * two IEEE rates of exact integers, and the blocklist verdict
+    * (dup_rate > 0.25 ∨ lowq_rate > 0.5). Per-DOC operators decide one
+    * page; this decides the FEED — a scraper or domain gone bad shows up
+    * here before its pages individually trip anything.
+    *
+    * The dup flag is corpus-GLOBAL (the q_dedup_exact semantics via the
+    * groupBy + equi-join keeper device — a domain that mirrors another
+    * domain's content must score as duplicated even though it never
+    * repeats itself); the quality predicate is byte-identical to
+    * q_quality_score's, so the verdicts can't drift from the
+    * gate-verified per-doc operators. Plan shape at 100 TB: one narrow
+    * scan projection (signals + hash), the one dedup-family Exchange on
+    * the 16-byte hash, an AQE-splittable join back, then a map-side
+    * combined groupBy that leaves one row per DOMAIN on each partition —
+    * output is domain-count-sized, never corpus-sized.
+    */
+  val domainStats: Q = Q(
+    "q_domain_stats",
+    (s, d) => {
+      val wordsC = size(split(trim(col("text")), " +")).cast("long")
+      val stopHits = stopwordsEn.map(w =>
+        regexp_count(concat(lit(" "), col("text"), lit(" ")), lit(s"\\s$w\\s")).cast("long"))
+        .reduce(_ + _)
+      val docs = T.documents(s, d).select(
+        col("doc_id"), col("source"),
+        md5(Dedup.normText).as("th"),
+        wordsC.as("words"), stopHits.as("sw"))
+      val keepers = docs.select("doc_id", "th").groupBy("th")
+        .agg(min("doc_id").as("keeper"))
+      docs.join(keepers, "th")
+        .select(col("source"), col("words"),
+          (col("doc_id") =!= col("keeper")).cast("long").as("is_dup"),
+          (!(col("words") >= 10L &&
+            col("sw").cast("double") / col("words").cast("double") <= 0.5))
+            .cast("long").as("is_lowq"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("words").as("token_mass"),
+          sum("is_dup").as("n_dup"),
+          sum("is_lowq").as("n_lowq"))
+        .withColumn("dup_rate",
+          col("n_dup").cast("double") / col("n_docs").cast("double"))
+        .withColumn("lowq_rate",
+          col("n_lowq").cast("double") / col("n_docs").cast("double"))
+        .withColumn("blocklisted",
+          col("dup_rate") > 0.25 || col("lowq_rate") > 0.5)
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, source,
+            |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS th,
+            |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS words,
+            |         CAST(len(regexp_extract_all(' ' || text || ' ', '\sthe\s'))
+            |            + len(regexp_extract_all(' ' || text || ' ', '\sa\s'))
+            |            + len(regexp_extract_all(' ' || text || ' ', '\sof\s'))
+            |            + len(regexp_extract_all(' ' || text || ' ', '\sand\s'))
+            |            + len(regexp_extract_all(' ' || text || ' ', '\sto\s'))
+            |            + len(regexp_extract_all(' ' || text || ' ', '\sin\s'))
+            |            + len(regexp_extract_all(' ' || text || ' ', '\sis\s'))
+            |            + len(regexp_extract_all(' ' || text || ' ', '\sit\s')) AS BIGINT) AS sw
+            |  FROM documents
+            |), f AS (
+            |  SELECT source, words,
+            |         CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY th) THEN 1 ELSE 0 END AS is_dup,
+            |         CASE WHEN NOT (words >= 10 AND CAST(sw AS DOUBLE) / CAST(words AS DOUBLE) <= 0.5)
+            |              THEN 1 ELSE 0 END AS is_lowq
+            |  FROM t
+            |), g AS (
+            |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |         CAST(SUM(words) AS BIGINT) AS token_mass,
+            |         CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+            |         CAST(SUM(is_lowq) AS BIGINT) AS n_lowq
+            |  FROM f GROUP BY source
+            |)
+            |SELECT source, n_docs, token_mass, n_dup, n_lowq,
+            |       CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+            |       CAST(n_lowq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS lowq_rate,
+            |       (CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.25
+            |        OR CAST(n_lowq AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5) AS blocklisted
+            |FROM g ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
-    tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi)
+    tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi, domainStats)
 }

@@ -138,6 +138,23 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Raw media ingest — the multimodal pipeline's landing step: a
+    * directory tree of image/audio/video files read as one row per file
+    * (path, modificationTime, length, content: binary), feeding the
+    * Multimodal decode seam. `binaryFile` is a real DataSource (splittable
+    * listing, partition-discovery on directory keys, pushdown of the
+    * `length` filter), not a driver-side file walk — at 100 TB the
+    * listing distributes and the oversize guard prunes BEFORE bytes move.
+    * `maxBytes` guards the executor heap: one 4 GiB video in a 10 M-file
+    * crawl would otherwise ride into a task buffer sized for documents.
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*",
+      maxBytes: Long = 256L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .where(col("length") <= maxBytes)
+
   /** Streaming sink: append stream to partitioned parquet with
     * checkpointing (exactly-once file sink).
     */

@@ -1428,4 +1428,81 @@ class OperatorsSpec extends SparkSpec {
     assert(top.getAs[Long]("c_a") == top.getAs[Long]("c_ab") &&
       top.getAs[Long]("c_b") == top.getAs[Long]("c_ab"))
   }
+
+  /** The doc-level md5 bucket q_sample_stratified uses — recomputed
+    * driver-side so the leakage test can pick ids whose PER-DOC buckets
+    * would straddle the split fence.
+    */
+  private def md5Bucket(key: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+    Integer.parseInt(hex, 16) % 100
+  }
+  private def splitOf(b: Int): String =
+    if (b < 90) "train" else if (b < 95) "val" else "test"
+
+  test("split assign: clusters never straddle splits; doc-level hashing would leak") {
+    // pick two ids whose DOC-level buckets map to different splits — the
+    // pair a per-doc random split would separate
+    val ids = (1L to 500L)
+    val idA = ids.find(i => splitOf(md5Bucket(i.toString)) == "train").get
+    val idB = ids.find(i => splitOf(md5Bucket(i.toString)) == "test").get
+    val docs = Seq(
+      (idA, "an exact duplicated page body that must stay together"),
+      (idB, "an exact duplicated page body that must stay together"),
+      (9999L, "a completely unrelated filler document standing alone"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graftsplit").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.splitAssign.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    // the near-dup pair shares a cluster AND a split — even though their
+    // doc-level buckets straddle the train/test fence by construction
+    assert(out(idA)._1 == out(idB)._1)
+    assert(out(idA)._2 == out(idB)._2,
+      s"cluster members split apart: ${out(idA)} vs ${out(idB)}")
+    // and the split is the CLUSTER key's bucket, not either doc's
+    val cluster = out(idA)._1
+    assert(out(idA)._2 == splitOf(md5Bucket(cluster.toString)))
+  }
+
+  test("split assign: real corpus — one split per cluster, full coverage") {
+    val out = Dedup.splitAssign.run(spark, sfDir)
+    val n = T.documents(spark, sfDir).count()
+    assert(out.count() == n) // every doc assigned exactly once
+    assert(out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k")).where(col("k") > 1).count() == 0)
+    assert(out.where(!col("split").isin("train", "val", "test")).count() == 0)
+    assert(out.where(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+    // agreement with the registered cluster operator's labels
+    val clusters = Dedup.clusters.run(spark, sfDir).select("doc_id", "cluster_id")
+    assert(out.select("doc_id", "cluster_id").except(clusters).count() == 0)
+  }
+
+  test("domain stats reconcile with the registered per-doc operators") {
+    val out = TextAnalysis.domainStats.run(spark, sfDir)
+    val docs = T.documents(spark, sfDir)
+    assert(out.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    // n_dup per source == q_dedup_exact's is_dup rolled up by source
+    val dupBySrc = Dedup.exact.run(spark, sfDir)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum(col("is_dup").cast("long")).as("d"))
+    val mism = out.join(dupBySrc, "source").where(col("n_dup") =!= col("d"))
+    assert(mism.count() == 0, "domain dup counts drifted from q_dedup_exact")
+    // n_lowq per source == q_quality_score's !quality_ok rolled up
+    val lowqBySrc = TextAnalysis.qualityScore.run(spark, sfDir)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum((!col("quality_ok")).cast("long")).as("q"))
+    val mism2 = out.join(lowqBySrc, "source").where(col("n_lowq") =!= col("q"))
+    assert(mism2.count() == 0, "domain lowq counts drifted from q_quality_score")
+    // the verdict recomputes from its own rates
+    out.collect().foreach { r =>
+      val expect = r.getAs[Double]("dup_rate") > 0.25 ||
+        r.getAs[Double]("lowq_rate") > 0.5
+      assert(r.getAs[Boolean]("blocklisted") == expect)
+    }
+  }
 }

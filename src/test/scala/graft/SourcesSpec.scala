@@ -39,6 +39,40 @@ class SourcesSpec extends SparkSpec {
       s"orc scan without pushdown: $scan")
   }
 
+  test("binaryFile source ingests media bytes with glob + size guards") {
+    val tmp = Files.createTempDirectory("graftbin").toString
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // the Multimodal spec's planted PNG (100×50) and GIF (12×34) headers
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 100, 0, 0, 0, 50, 8, 6, 0, 0, 0, 0x9a, 0x76, 0x82, 0x70)
+    val gif = bytes('G', 'I', 'F', '8', '9', 'a', 12, 0, 34, 0, 0, 0, 0x3b)
+    Files.write(java.nio.file.Paths.get(tmp, "a.png"), png)
+    Files.write(java.nio.file.Paths.get(tmp, "b.gif"), gif)
+    Files.write(java.nio.file.Paths.get(tmp, "c.txt"), "not media".getBytes("UTF-8"))
+    // glob prunes non-matching files at listing time
+    val pngs = Sources.binaryFiles(spark, tmp, glob = "*.png").collect()
+    assert(pngs.length == 1)
+    assert(pngs.head.getAs[Array[Byte]]("content").sameElements(png))
+    assert(pngs.head.getAs[Long]("length") == png.length.toLong)
+    // full read feeds the decode seam: planted headers parse to known dims
+    val all = Sources.binaryFiles(spark, tmp)
+    assert(all.count() == 3)
+    val dims = all.select(col("path"), col("content")).collect()
+      .map { r =>
+        val name = r.getAs[String]("path").split('/').last
+        val m = operators.Multimodal
+          .parseHeader(r.getAs[Array[Byte]]("content"))
+        name -> m
+      }.toMap
+    assert(dims("a.png").contains((100, 50)))
+    assert(dims("b.gif").contains((12, 34)))
+    assert(dims("c.txt").isEmpty) // text payload takes the fallback path
+    // the oversize guard prunes before bytes reach the operator
+    // (png 33 B and gif 13 B dropped; only the 9 B txt survives)
+    assert(Sources.binaryFiles(spark, tmp, maxBytes = 10L).count() == 1)
+  }
+
   test("partitioned write prunes partitions on read") {
     val tmp = Files.createTempDirectory("graftpart").toString
     val df = Seq((1L, "de"), (2L, "en"), (3L, "en")).toDF("id", "lang")
