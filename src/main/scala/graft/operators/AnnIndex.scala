@@ -675,4 +675,64 @@ object AnnIndex {
       tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0))
     (tf, dl, df, cnt, tot)
   }
+
+  /** Collapse a LEX append chain into one self-contained version — the
+    * MERGE step of the Lucene-segment analogy, without which "appends
+    * compound forever" is a slow leak: every append adds a chain segment,
+    * so the serve-side postings read unions N segment scans (N partition
+    * listings, N small files per slot directory — the classic small-file
+    * decay) and the base version dirs can never be pruned. Counts are
+    * exactly mergeable, so compaction is a pure parquet job with NO
+    * tokenize pass: union every segment's tf/dl, re-aggregate (a doc
+    * whose text arrived across segments merges to the fresh-build row),
+    * swap the merged artifacts into the tip (write-aside + rename — the
+    * merge plan reads the very paths it replaces, an in-place overwrite
+    * would consume its own output), clear the base pointer, prune the
+    * now-unreferenced bases. Bit-identical to a fresh build by the same
+    * exact-mergeability argument as the append (spec-proven); the meta's
+    * exact token total is conserved and the swap forces re-validation
+    * against it, so a botched merge refuses to serve rather than rank
+    * wrong. Returns false (no-op) on an unchained index.
+    *
+    * The ANN families need no analogue: their chains are collapsed by the
+    * [[refitFraction]] drift refit, and BETWEEN refits their segments
+    * cannot be merged losslessly-cheaply anyway (cell/code artifacts are
+    * hive-partitioned corpus rewrites, the cost the chain exists to
+    * avoid). LEX has no drift trigger — compaction is its only collapse.
+    */
+  private[graft] def compactLex(s: SparkSession, d: String): Boolean = {
+    val table = s"$d/documents.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    if (!exists(s, s"$vd/_GRAFT_OK_LEX")) lex(s, d) // ensure the tip exists
+    val chain = chainDirs(s, vd, "LEX")
+    if (chain.size <= 1) return false
+    import org.apache.spark.sql.types._
+    val tfSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("term", StringType),
+      StructField("tf", LongType), StructField("tslot", LongType)))
+    val tf = chain.map(c => s.read.schema(tfSchema).parquet(s"$c/lex_tf"))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id", "term", "tslot").agg(sum("tf").cast("long").as("tf"))
+      .select("doc_id", "term", "tf", "tslot")
+    val dl = chain.map(c => s.read.parquet(s"$c/lex_dl"))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id").agg(sum("dl").cast("long").as("dl"))
+    tf.write.partitionBy("tslot").mode("overwrite").parquet(s"$vd/lex_tf_c")
+    dl.write.mode("overwrite").parquet(s"$vd/lex_dl_c")
+    val f = fs(s, vd)
+    def swap(name: String): Unit = {
+      f.delete(new org.apache.hadoop.fs.Path(s"$vd/$name"), true)
+      if (!f.rename(new org.apache.hadoop.fs.Path(s"$vd/${name}_c"),
+          new org.apache.hadoop.fs.Path(s"$vd/$name")))
+        throw new IllegalStateException(s"compactLex: rename of $name failed")
+    }
+    swap("lex_tf"); swap("lex_dl")
+    val (_, nFit, params) = readMeta(s, vd, "LEX").get
+    writeMeta(s, vd, "LEX", None, nFit, params) // self-contained: no base
+    pruneSiblings(s, vd)
+    validatedVersions.remove(s"$vd#LEX") // next serve re-proves token mass
+    true
+  }
 }

@@ -225,6 +225,59 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("LEX compaction: a 3-segment chain collapses to one self-contained version, bit-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftlexc").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftlexcroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftlexcroot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def docsDf(ids: Range) = ids.map { i =>
+      val text = s"shared alpha${i % 3} beta${i % 2} tok$i " +
+        s"common${i % 5} filler${i % 7} word$i"
+      (i.toLong, text, "en", s"src${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    try {
+      docsDf(0 until 40).repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      // two ingest batches → a 3-segment chain
+      docsDf(40 until 46).repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      docsDf(46 until 50).repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      val out = graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      assert(tableDir.listFiles().count(_.isDirectory) == 3,
+        "expected a 3-segment chain before compaction")
+      val (e0, a0) = (AnnIndex.lexEncodes.get(), AnnIndex.lexAppends.get())
+      assert(AnnIndex.compactLex(spark, tmp), "chained index must compact")
+      assert(AnnIndex.lexEncodes.get() == e0 && AnnIndex.lexAppends.get() == a0,
+        "compaction must be a pure parquet merge — no tokenize pass")
+      // exactly one self-contained version remains, base pointer cleared
+      val vers = tableDir.listFiles().filter(_.isDirectory)
+      assert(vers.length == 1, s"bases not pruned: ${vers.mkString(", ")}")
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(vers.head, "_GRAFT_META_LEX").toPath), "UTF-8")
+      assert(meta.contains("base=-"), s"base pointer survives compaction: $meta")
+      // serve through the compacted index: identical rows, still no encode
+      val out2 = graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      assert(AnnIndex.lexEncodes.get() == e0 && AnnIndex.lexAppends.get() == a0)
+      assert(out.map(_.toString).sorted.toSeq == out2.map(_.toString).sorted.toSeq,
+        "compaction changed the ranking")
+      // and bit-identical to a from-scratch build of the same corpus
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val out3 = graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+      assert(out2.map(_.toString).sorted.toSeq == out3.map(_.toString).sorted.toSeq,
+        "compacted index diverges from a fresh build")
+      // no-op on an already-compacted index
+      spark.conf.set("graft.ann.indexRoot", idxRoot)
+      assert(!AnnIndex.compactLex(spark, tmp))
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
   test("IVFPQ: fit-once, cell-partitioned CODE layout, delta-only append with frozen codebooks") {
     val tmp = java.nio.file.Files.createTempDirectory("graftivfpq").toString
     val idxRoot = java.nio.file.Files.createTempDirectory("graftivfpqroot").toString
