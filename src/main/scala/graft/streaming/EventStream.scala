@@ -132,6 +132,38 @@ object EventStream {
         writeBatchIdempotent(batch.toDF(), batchId, outDir); ()
       })
 
+  /** H. Continuous indexing (r8) — ingest and index maintenance as ONE
+    * streaming sink, the production loop behind "search is fresh within
+    * a micro-batch of the crawl": each micro-batch of documents lands in
+    * the corpus table as a batch-scoped idempotent hive partition
+    * ([[writeBatchIdempotent]]'s batch_id=N layout under the table
+    * path), then the persisted lexical index
+    * ([[graft.operators.AnnIndex.lex]]) is brought current — the
+    * file-inventory append detector sees exactly the new batch's files,
+    * so maintenance tokenizes ONLY the micro-batch (counter-proven in
+    * the spec), and the serve side reads a lossless chained index at
+    * every point in time. The write-then-marker order makes replays
+    * safe: a replayed batch skips the write (marker present, base files
+    * untouched — later batches still detect a pure append), and a crash
+    * BETWEEN write and marker re-overwrites only files no index version
+    * has ever recorded (the index advances strictly after the marker).
+    * Chain growth is the priced trade (one segment per micro-batch);
+    * [[graft.operators.AnnIndex.compactLex]] on a maintenance cadence
+    * collapses it — the Lucene merge loop, spec-driven end to end
+    * (batches → delta appends → compaction → bit-identical serve).
+    */
+  def lexIndexSink(s: SparkSession, corpusDir: String, docs: DataFrame,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Row], batchId: Long) => {
+        writeBatchIdempotent(batch.toDF(), batchId,
+          s"$corpusDir/documents.parquet")
+        graft.operators.AnnIndex.lex(s, corpusDir)
+        ()
+      })
+
   /** H. Streaming incremental ingest dedup — the streaming twin of
     * q_dedup_incremental (Dedup.incremental), i.e. the shape a crawl
     * ingest actually runs as: documents arrive continuously, each must be

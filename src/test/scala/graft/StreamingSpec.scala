@@ -158,6 +158,58 @@ class StreamingSpec extends SparkSpec {
 
   case class Doc(doc_id: Long, text: String)
 
+  test("continuous indexing: micro-batches delta-append the lexical index; compaction serves identically") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, TextAnalysis}
+    val corpus = java.nio.file.Files.createTempDirectory("graftci").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftciroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftciroot2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graftcickpt").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def text(i: Long) = s"shared alpha${i % 3} beta${i % 2} tok$i common${i % 5}"
+    def rank(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted.toSeq
+    try {
+      val mem = MemoryStream[Doc]
+      val (e0, a0) = (AnnIndex.lexEncodes.get(), AnnIndex.lexAppends.get())
+      val q = EventStream.lexIndexSink(spark, corpus, mem.toDF(), ckpt).start()
+      mem.addData((0L until 20L).map(i => Doc(i, text(i))): _*)
+      q.processAllAvailable()
+      assert(AnnIndex.lexEncodes.get() == e0 + 1 &&
+        AnnIndex.lexAppends.get() == a0, "batch 1 is the one full encode")
+      mem.addData((20L until 26L).map(i => Doc(i, text(i))): _*)
+      q.processAllAvailable()
+      assert(AnnIndex.lexAppends.get() == a0 + 1 &&
+        AnnIndex.lexEncodes.get() == e0 + 1,
+        "batch 2 must delta-append, never re-tokenize the corpus")
+      mem.addData((26L until 30L).map(i => Doc(i, text(i))): _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(AnnIndex.lexAppends.get() == a0 + 2)
+      // the streamed index serves BM25 with no further encode work…
+      val out = TextAnalysis.bm25.run(spark, corpus).collect()
+      assert(AnnIndex.lexEncodes.get() == e0 + 1 &&
+        AnnIndex.lexAppends.get() == a0 + 2)
+      // …and ranks identically to a from-scratch index of the landed table
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = TextAnalysis.bm25.run(spark, corpus).collect()
+      assert(rank(out) == rank(fresh),
+        "streamed chain diverges from a fresh build")
+      // maintenance cadence: compaction collapses the 3-segment chain
+      spark.conf.set("graft.ann.indexRoot", idxRoot)
+      assert(AnnIndex.compactLex(spark, corpus))
+      val out2 = TextAnalysis.bm25.run(spark, corpus).collect()
+      assert(rank(out) == rank(out2), "compaction changed the ranking")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      for (d <- Seq(corpus, idxRoot, freshRoot, ckpt)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("streaming heavy hitters: sketch merge across 3 micro-batches equals the batch answer") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_hh").toString
