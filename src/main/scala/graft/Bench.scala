@@ -28,7 +28,8 @@ object Bench {
       ivfFits.get + pqFits.get + lshEncodes.get +
         ivfAppends.get + pqAppends.get + lshAppends.get +
         ivfpqEncodes.get + ivfpqAppends.get +
-        lexEncodes.get + lexAppends.get
+        lexEncodes.get + lexAppends.get +
+        sigEncodes.get + sigAppends.get
     }
     def timeOne(q: Q): (Either[String, Double], Boolean) = {
       val t0 = System.nanoTime()

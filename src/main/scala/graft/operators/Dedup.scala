@@ -34,22 +34,6 @@ object Dedup {
   private[operators] val normText: Column =
     lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
-  /** Distinct 3-word shingles per document: (doc_id, shingle).
-    * The corpus lands as one file = one partition; shingling is the
-    * CPU-heavy narrow stage, so spread it before exploding.
-    * Documents under 3 words have no 3-shingle — they are filtered before
-    * the sequence() so it never runs with start > stop (which would count
-    * descending and index the array at -1 under ANSI mode). The DuckDB
-    * oracle's range(1, len-1) is empty for them, so both engines agree.
-    */
-  private def shinglesOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
-    docs
-      .select(col("doc_id") +: words(col("text")).as("w") +: carry.map(col): _*)
-      .where(size(col("w")) >= 3)
-      .select(col("doc_id") +: explode(expr(
-        "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
-        .as("s") +: carry.map(col): _*)
-
   /** Exact-duplicate pre-collapse shared by the near-dup family: group
     * docs by exact text and run the expensive candidate machinery once per
     * DISTINCT text, expanding pairs back to member docs afterwards. On a
@@ -80,9 +64,12 @@ object Dedup {
     // members: narrow (doc_id, th) rows join the group table — text never
     // rides this skewed join; reps: fetch text through the doc_id ===
     // rep equi-join, which is unique-keyed and therefore skew-free.
+    // the reps join drops groups' th before joining: both sides derive
+    // from `docs`, and a same-named lineage-shared column on both sides
+    // trips DetectAmbiguousSelfJoin once the caller selects th
     (docs.select("doc_id", "th").join(groups, "th").select(col("rep"), col("doc_id")),
-      docs.join(groups, docs("doc_id") === groups("rep"))
-        .select(docs("doc_id"), col("text"), col("gsz")))
+      docs.join(groups.select("rep", "gsz"), docs("doc_id") === col("rep"))
+        .select(docs("doc_id"), col("text"), col("th"), col("gsz")))
   }
 
   /** Expand representative-level pairs to member-doc pairs: every
@@ -178,13 +165,35 @@ object Dedup {
     * a join, where a pre-sort is pure waste at the 30×-smoke pair
     * volumes).
     */
+  /** Shingle-hash encode over DISTINCT texts: (th, text) → (th, hs) rows,
+    * one per distinct 3-shingle. The LEX-postings-sized artifact behind
+    * the n-gram inverted-index family — persisted by
+    * [[AnnIndex.textSigs]] so the shingle explode (the corpus-pass cost
+    * shared by q_dedup_ngram, q_dedup_clusters and q_split_assign) runs
+    * once per distinct content, not once per session per consumer.
+    * Texts under 3 words have no 3-shingle — filtered BEFORE sequence()
+    * so it never runs with start > stop (which counts descending and
+    * indexes the array at -1 under ANSI mode); the DuckDB oracles'
+    * range(1, len-1) is empty for them, so both engines agree.
+    */
+  private[graft] def ngEncode(texts: DataFrame): DataFrame =
+    texts
+      .select(col("th"), words(col("text")).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("th"), explode(expr(
+        "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+        .as("s"))
+      .select(col("th"), xxhash64(col("s")).as("hs"))
+
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
       val (members, reps) = collapseExact(s, d)
       // shuffle 8-byte shingle hashes, not strings: the inverted-index
       // join and intersection counts are identical (64-bit collisions are
-      // ~1e-10 at this corpus size and the oracle would catch one)
-      val hs = shinglesOf(reps, Seq("gsz"))
-        .select(col("doc_id"), xxhash64(col("s")).as("hs"), col("gsz"))
+      // ~1e-10 at this corpus size and the oracle would catch one).
+      // r8: the shingle explode serves from the persisted th-keyed table
+      val hs = reps.select(col("doc_id"), col("th"), col("gsz"))
+        .join(AnnIndex.textSigs(s, d, "NG", ngEncode), "th")
+        .select(col("doc_id"), col("hs"), col("gsz"))
       val sh = hs
         .withColumn("df", sum(col("gsz")).over(Window.partitionBy("hs")))
         .where(col("df") <= 128)
@@ -249,16 +258,27 @@ object Dedup {
     * Approximate by construction ⇒ rows-only driver check; the planted-
     * duplicate ScalaTest proves recall.
     */
+  /** MinHash signature encode over DISTINCT texts: (th, text) →
+    * (th, h0..h15). Each shingle string hashes once and the 16 seeded
+    * hashes re-mix the 8-byte value — O(len) work once per shingle, not
+    * 16 times. Pure function of text, so [[AnnIndex.textSigs]] persists
+    * the result once per distinct content.
+    */
+  private[graft] def mhEncode(texts: DataFrame): DataFrame = {
+    val mins = (0 until 16).map(i => min(xxhash64(col("hs"), lit(i))).as(s"h$i"))
+    ngEncode(texts).groupBy("th").agg(mins.head, mins.tail: _*)
+  }
+
   val minhashLsh: Q = Q(
     "q_dedup_minhash",
     (s, d) => {
       val (members, reps) = collapseExact(s, d)
-      // hash each shingle string once, then derive the 16 seeded hashes by
-      // re-mixing the 8-byte value — O(len) work happens once per shingle,
-      // not 16 times
-      val sh = shinglesOf(reps).withColumn("hs", xxhash64(col("s")))
-      val mins = (0 until 16).map(i => min(xxhash64(col("hs"), lit(i))).as(s"h$i"))
-      val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      // r8: the signature stage (shingle explode + 16 min-aggs — THE
+      // corpus-pass cost of this operator) serves from the persisted
+      // th-keyed signature table; this run only re-derives the doc↔th
+      // mapping (the exact-dedup pass it needs anyway) and joins back
+      val sigs = reps.select(col("doc_id"), col("th"))
+        .join(AnnIndex.textSigs(s, d, "MH", mhEncode), "th").drop("th")
       val bands = capBuckets(
         sigs.select(col("doc_id"), posexplode(array(
           (0 until 4).map(b => xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
@@ -291,23 +311,33 @@ object Dedup {
     * by construction, immune to the chunk-bucket cap.
     * Approximate blocking ⇒ rows-only driver check + planted-dup spec.
     */
+  /** SimHash signature encode over DISTINCT texts: (th, text) →
+    * (th, simhash). Binary-weight voting — each distinct token votes once
+    * per text. Persisted by [[AnnIndex.textSigs]] like [[mhEncode]].
+    */
+  private[graft] def shEncode(texts: DataFrame): DataFrame = {
+    val toks = texts
+      .select(col("th"), explode(words(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
+    toks.groupBy("th").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ bitwiseOR _))
+      .select("th", "simhash")
+  }
+
   val simhash: Q = Q(
     "q_dedup_simhash",
     (s, d) => {
       val (members, reps) = collapseExact(s, d)
-      // binary-weight simhash: each distinct token votes once per doc
-      val toks = reps
-        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
-        .distinct()
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
-      val sigs = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash",
-          (0 until 64).map(i =>
-            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-            .reduce(_ bitwiseOR _))
-        .select("doc_id", "simhash")
+      // r8: the token-explode + 64-bit-sum signature stage serves from
+      // the persisted th-keyed table (see q_dedup_minhash's note)
+      val sigs = reps.select(col("doc_id"), col("th"))
+        .join(AnnIndex.textSigs(s, d, "SH", shEncode), "th").drop("th")
       val rawChunks = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
         (0 until 8).map(c => shiftright(col("simhash"), 8 * c).bitwiseAND(lit(0xFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))

@@ -963,10 +963,14 @@ object TextAnalysis {
       val stopHits = stopwordsEn.map(w =>
         regexp_count(concat(lit(" "), col("text"), lit(" ")), lit(s"\\s$w\\s")).cast("long"))
         .reduce(_ + _)
-      val docs = T.documents(s, d).select(
+      // ~40 B/doc narrow frame consumed TWICE (the keeper aggregation and
+      // the verdict join) — cached query-lifetime so the corpus is scanned
+      // and regex-scored once, not once per consumer (the q_corpus_funnel
+      // device; CacheBag releases after the harness finishes the query)
+      val docs = graft.CacheBag.track(T.documents(s, d).select(
         col("doc_id"), col("source"),
         md5(Dedup.normText).as("th"),
-        wordsC.as("words"), stopHits.as("sw"))
+        wordsC.as("words"), stopHits.as("sw")))
       val keepers = docs.select("doc_id", "th").groupBy("th")
         .agg(min("doc_id").as("keeper"))
       docs.join(keepers, "th")

@@ -278,6 +278,67 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("text signature index: encode once per distinct content; appends add only novel texts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftsig").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftsigroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftsigroot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val base = (0L until 30L).map(i =>
+      i -> s"document body tok$i alpha${i % 3} beta${i % 5} gamma delta epsilon")
+    try {
+      docsDf(base).repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val (e0, a0) = (AnnIndex.sigEncodes.get(), AnnIndex.sigAppends.get())
+      graft.operators.Dedup.minhashLsh.run(spark, tmp).collect()
+      assert(AnnIndex.sigEncodes.get() == e0 + 1)
+      graft.operators.Dedup.minhashLsh.run(spark, tmp).collect()
+      assert(AnnIndex.sigEncodes.get() == e0 + 1 &&
+        AnnIndex.sigAppends.get() == a0, "second run must load, not re-encode")
+      // simhash persists its own family under the same version
+      graft.operators.Dedup.simhash.run(spark, tmp).collect()
+      assert(AnnIndex.sigEncodes.get() == e0 + 2)
+      // the ngram family persists shingle rows (hash-gated operator — the
+      // DuckDB gate proves the persisted path is byte-identical)
+      graft.operators.Dedup.ngramJaccard.run(spark, tmp).collect()
+      assert(AnnIndex.sigEncodes.get() == e0 + 3)
+      graft.operators.Dedup.ngramJaccard.run(spark, tmp).collect()
+      assert(AnnIndex.sigEncodes.get() == e0 + 3,
+        "second ngram run must load the shingle table, not re-explode")
+      // ingest batch: 2 novel texts + 1 exact duplicate of a known text —
+      // the th-keyed artifact must grow by DISTINCT CONTENT only
+      val delta = Seq(
+        100L -> "a genuinely novel appended document body one two three",
+        101L -> "another novel appended document body four five six",
+        102L -> base.head._2)
+      docsDf(delta).repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      val out2 = graft.operators.Dedup.minhashLsh.run(spark, tmp).collect()
+      assert(AnnIndex.sigAppends.get() == a0 + 1 &&
+        AnnIndex.sigEncodes.get() == e0 + 3,
+        "append must encode the batch only, never the corpus")
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val tip = tableDir.listFiles().find(_.getName.endsWith("_33")).get
+      assert(spark.read.parquet(s"$tip/mh_sigs").count() == 2,
+        "a duplicate of known content must add no signature rows")
+      // the new duplicate doc pairs with its original through the
+      // UNCHANGED persisted signatures (the within-group device)
+      assert(out2.exists(r => r.getAs[Long]("doc_a") == base.head._1 &&
+        r.getAs[Long]("doc_b") == 102L), "appended exact dup lost its pair")
+      // chained serve ranks identically to a from-scratch build
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = graft.operators.Dedup.minhashLsh.run(spark, tmp).collect()
+      assert(out2.map(_.toString).sorted.toSeq ==
+        fresh.map(_.toString).sorted.toSeq,
+        "chained signature table diverges from a fresh build")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
   test("IVFPQ: fit-once, cell-partitioned CODE layout, delta-only append with frozen codebooks") {
     val tmp = java.nio.file.Files.createTempDirectory("graftivfpq").toString
     val idxRoot = java.nio.file.Files.createTempDirectory("graftivfpqroot").toString
