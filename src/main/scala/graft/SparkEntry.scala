@@ -10,7 +10,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     Marts.all ++ QualityTests.all ++ Analyses.all ++ EltOps.all ++
       Relational.all ++ AsOf.all ++ EventOps.all ++ TextAnalysis.all ++
-      Dedup.all ++ Similarity.all ++ Multimodal.all ++ Assembly.all
+      Dedup.all ++ Similarity.all ++ Multimodal.all ++ Assembly.all ++
+      Bpe.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1505,4 +1505,96 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("blocklisted") == expect)
     }
   }
+
+  // ---- generic dbt schema-test battery -------------------------------
+
+  test("schema tests: the whole battery passes on the healthy corpus") {
+    val out = QualityTests.schemaTests.run(spark, sfDir).collect()
+    assert(out.length == 19)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("ok"),
+        s"${r.getAs[String]("test_name")} failed: ${r.getAs[Long]("n_failures")}")
+      assert(r.getAs[Long]("n_failures") == 0L)
+    }
+  }
+
+  test("schema tests: fk probe counts violating child rows, skips null FKs") {
+    val child = Seq((1L, Option(10L)), (2L, Option(99L)), (3L, Option.empty[Long]),
+      (4L, Option(99L))).toDF("id", "fk")
+    val parent = Seq(Tuple1(10L), Tuple1(20L)).toDF("pk")
+    val r = QualityTests.fkTest("t", child, "fk", parent, "pk").head()
+    // rows 2 and 4 dangle; row 3's null FK is not a relationships failure
+    assert(r.getAs[Long]("n_failures") == 2L)
+  }
+
+  // ---- BPE subword tokenization --------------------------------------
+
+  /** Independent driver-local reference BPE (the PQ-kernel pin device):
+    * same pair-count / leftmost-merge / (-count, left, right) tie-break
+    * semantics, written against plain Scala collections.
+    */
+  private def refBpeMergeSeq(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  private def refBpeTrain(freq: Map[String, Long], m: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      freq.map { case (w, f) => w.split("").filter(_.nonEmpty).toVector -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (out.length < m && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        vocab = vocab.map { case (syms, f) => refBpeMergeSeq(syms, l, r) -> f }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe train: the classic low/lower/newest/widest scenario") {
+    // Sennrich et al.'s worked example (no end-of-word marker): the
+    // first merges must be es(9), est(9), lo(7), low(7) — the es-vs-st
+    // and lo-vs-ow ties break lexicographically.
+    val freq = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("w", "freq")
+    val merges = Bpe.trainFromFreq(freq, 4)
+    assert(merges.map(m => (m.left, m.right, m.count)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+  }
+
+  test("bpe train: bit-exact vs the local reference on the real corpus") {
+    val freq = Bpe.wordFreq(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refBpeTrain(freq, 10)
+    val got = Bpe.trainMerges(spark, sfDir, 10)
+      .map(m => (m.left, m.right, m.count))
+    assert(got == expect)
+  }
+
+  test("bpe encode: tokens reconstruct every corpus word; counts bounded") {
+    val merges = Bpe.trainMerges(spark, sfDir, 16)
+    val words = Bpe.wordFreq(spark, sfDir).select("w")
+    val bad = words
+      .withColumn("toks", Bpe.applyMerges(Bpe.chars(col("w")), merges))
+      .where(concat_ws("", col("toks")) =!= col("w") ||
+        size(col("toks")) > length(col("w")) || size(col("toks")) < 1)
+      .count()
+    assert(bad == 0, "a merge lost/reordered characters or over-split")
+    // and the registered per-doc view: words <= bpe tokens <= chars
+    val out = Bpe.encode.run(spark, sfDir)
+    assert(out.where(col("n_bpe_tokens") < col("n_words")).count() == 0)
+    assert(out.where(col("n_bpe_tokens") === 0 && col("n_words") > 0).count() == 0)
+  }
 }
