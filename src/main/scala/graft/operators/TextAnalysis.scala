@@ -1026,7 +1026,84 @@ object TextAnalysis {
             |FROM g ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Dataset card (late-r8) — the release datasheet every published
+    * corpus ships (Datasheets for Datasets, Gebru et al. 2021; HF dataset
+    * cards): per-language composition plus the corpus-total margin row in
+    * ONE pass. Where q_domain_stats judges FEEDS (per-source blocklist
+    * verdicts), this documents the RELEASE (per-language shares, token
+    * mass, within-group distinct content, length envelope).
+    *
+    * Plan: one narrow projection (lang, content hash, words) → ROLLUP on
+    * lang with the margin labeled through the GROUPING bit (the q_cube
+    * device — never output-null coalescing, which conflates real null
+    * data with margins and trips the nulls-first/nulls-last cross-engine
+    * sort divergence; null lang normalizes to '' up front, the
+    * q_ccnet_bucket device). One corpus scan, one Expand aggregate,
+    * language-sized output; the share denominator joins back from the
+    * CACHED tiny output frame (without the cache, lineage recompute would
+    * re-scan the corpus for the one-row total — the q_corpus_funnel
+    * lesson). Exact countDistinct is the q_profile trade (the 100 TB
+    * flip is approx_count_distinct, same plan shape). All doubles are
+    * single IEEE operations on exact longs — gate-safe.
+    */
+  val datasetCard: Q = Q(
+    "q_dataset_card",
+    (s, d) => {
+      val words = size(split(trim(col("text")), " +")).cast("long")
+      val docs = T.documents(s, d).select(
+        coalesce(col("lang"), lit("")).as("lang"),
+        md5(Dedup.normText).as("th"),
+        words.as("words"))
+      val per = graft.CacheBag.track(docs.rollup("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("words").as("token_mass"),
+          countDistinct("th").as("n_distinct"),
+          min("words").as("min_words"),
+          max("words").as("max_words"),
+          grouping(col("lang")).as("gb"))
+        .select(
+          when(col("gb") === 1, lit("(all)")).otherwise(col("lang")).as("lang"),
+          col("n_docs"), col("token_mass"), col("n_distinct"),
+          col("min_words"), col("max_words"), col("gb")))
+      val total = per.where(col("gb") === 1).select(col("n_docs").as("tot"))
+      per.crossJoin(broadcast(total))
+        .select(col("lang"), col("n_docs"),
+          (col("n_docs").cast("double") / col("tot").cast("double")).as("share"),
+          col("token_mass"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"),
+          (col("token_mass").cast("double") / col("n_docs").cast("double"))
+            .as("mean_words"),
+          col("min_words"), col("max_words"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH t AS (
+            |  SELECT COALESCE(lang, '') AS lang,
+            |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS th,
+            |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS words
+            |  FROM documents
+            |), g AS (
+            |  SELECT CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+            |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |         CAST(SUM(words) AS BIGINT) AS token_mass,
+            |         CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct,
+            |         CAST(MIN(words) AS BIGINT) AS min_words,
+            |         CAST(MAX(words) AS BIGINT) AS max_words,
+            |         GROUPING(lang) AS gb
+            |  FROM t GROUP BY ROLLUP (lang)
+            |), tot AS (SELECT n_docs AS tot FROM g WHERE gb = 1)
+            |SELECT g.lang, g.n_docs,
+            |       CAST(g.n_docs AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS share,
+            |       g.token_mass, g.n_distinct,
+            |       1.0 - CAST(g.n_distinct AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS dup_rate,
+            |       CAST(g.token_mass AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS mean_words,
+            |       g.min_words, g.max_words
+            |FROM g CROSS JOIN tot
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
-    tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi, domainStats)
+    tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi, domainStats,
+    datasetCard)
 }

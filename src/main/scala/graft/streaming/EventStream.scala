@@ -461,4 +461,92 @@ object EventStream {
           closed.result().iterator
       }
   }
+
+  case class FunnelOut(user_id: Long, t1: Long, t2_ms: Long, t3_ms: Long,
+      depth: Long)
+  // public: Spark's state encoder codegen needs constructor/field access
+  case class FunnelBuf(t1: Long, clicks: Seq[Long], purchases: Seq[Long],
+      maxSeen: Long)
+
+  /** H. Streaming ordered conversion funnel — the continuous twin of
+    * batch q_window_funnel (operators.EventOps): per user, the
+    * view → click → purchase depth with every step inside `windowMs`
+    * anchored at the FIRST view, later steps strictly after earlier
+    * ones. Emits once per user when the watermark passes the anchored
+    * window's end — by then the verdict is FINAL (every event that could
+    * change it is below the watermark), so OutputMode.Append is exact
+    * and the emitted row equals the batch operator's (the parity spec).
+    *
+    * State discipline — the part that survives a bot: the anchor t1 is a
+    * single long (min of views is arrival-order-insensitive, so late
+    * in-watermark views fold exactly), and the click/purchase buffers
+    * are COMPACTED each batch to entries that can still qualify under
+    * any watermark-admissible future: a click dies once it is at or
+    * below both the watermark and the current anchor (a future anchor
+    * can only land in [watermark, t1), so such a click can never become
+    * strictly-after-anchor); a purchase dies once at or below both the
+    * watermark and the current best click time (a future better click
+    * arrives at ≥ watermark ≥ the purchase, so the purchase can never
+    * become strictly-after-click); everything past the anchored window
+    * end dies immediately. Retained state is therefore bounded by the
+    * funnel window + watermark lag — the [[sessionize]] class — not by
+    * the user's event count. Users with no view garbage-collect
+    * `windowMs` after their last event without emitting (the batch
+    * operator likewise emits only view-anchored users).
+    */
+  def funnel(events: Dataset[TypedEv], windowMs: Long = 604800000L)(
+      implicit spark: SparkSession): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.filter(_.t1 >= 0).map { st =>
+              val end = st.t1 + windowMs
+              val t2 = st.clicks.filter(c => c > st.t1 && c <= end)
+                .sorted.headOption
+              val t3 = t2.flatMap(t2v =>
+                st.purchases.filter(p => p > t2v && p <= end).sorted.headOption)
+              FunnelOut(userId, st.t1, t2.getOrElse(0L), t3.getOrElse(0L),
+                if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L)
+            }.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var st = state.getOption
+              .getOrElse(FunnelBuf(-1L, Nil, Nil, Long.MinValue))
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "view" =>
+                  if (st.t1 < 0 || t < st.t1) st = st.copy(t1 = t)
+                case "click" => st = st.copy(clicks = st.clicks :+ t)
+                case "purchase" => st = st.copy(purchases = st.purchases :+ t)
+                case _ => ()
+              }
+              if (t > st.maxSeen) st = st.copy(maxSeen = t)
+            }
+            val wm = state.getCurrentWatermarkMs()
+            val end = if (st.t1 >= 0) st.t1 + windowMs else Long.MaxValue
+            val clicks = st.clicks.filter(c =>
+              c <= end && (c > wm || (st.t1 >= 0 && c > st.t1)))
+            val t2lb =
+              if (st.t1 >= 0)
+                clicks.filter(c => c > st.t1).sorted.headOption
+                  .getOrElse(Long.MaxValue)
+              else Long.MaxValue
+            val purchases = st.purchases.filter(p =>
+              p <= end && (p > wm || p > t2lb))
+            st = st.copy(clicks = clicks, purchases = purchases)
+            state.update(st)
+            val timeoutAt =
+              if (st.t1 >= 0) st.t1 + windowMs else st.maxSeen + windowMs
+            state.setTimeoutTimestamp(math.max(timeoutAt, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

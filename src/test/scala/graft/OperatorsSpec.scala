@@ -1527,6 +1527,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_failures") == 2L)
   }
 
+  test("dataset card: margin row totals the per-language rows; shares sum to 1") {
+    val out = TextAnalysis.datasetCard.run(spark, sfDir).collect()
+    val (margin, langs) = out.partition(_.getAs[String]("lang") == "(all)")
+    assert(margin.length == 1 && langs.nonEmpty)
+    val m = margin.head
+    assert(m.getAs[Long]("n_docs") == langs.map(_.getAs[Long]("n_docs")).sum)
+    assert(m.getAs[Long]("token_mass") == langs.map(_.getAs[Long]("token_mass")).sum)
+    assert(m.getAs[Double]("share") == 1.0)
+    assert(math.abs(langs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("min_words") <= r.getAs[Long]("max_words"))
+      val dup = r.getAs[Double]("dup_rate")
+      assert(dup >= 0.0 && dup < 1.0)
+    }
+    // per-language distinct can over-count vs the corpus-global margin
+    // (the same text under two langs), never under-count
+    assert(langs.map(_.getAs[Long]("n_distinct")).sum >= m.getAs[Long]("n_distinct"))
+  }
+
   // ---- BPE subword tokenization --------------------------------------
 
   /** Independent driver-local reference BPE (the PQ-kernel pin device):

@@ -34,9 +34,12 @@ class PlanGuardSpec extends SparkSpec {
   // 1-row aggregate plus the 2-row epochs frame)
   // (q_rrf_hybrid composes q_ann_topk's run as its dense leg, so it
   // inherits that same bounded broadcast-query-set NLJ)
+  // (q_schema_tests' equal_rowcount crossJoins two ONE-ROW global
+  // aggregates — the 1×1 shape, bounded by construction; q_dataset_card
+  // crossJoins its language-sized card frame with the ONE-ROW total)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
     "q_ann_pq", "q_ann_ivfpq", "q_mart_union", "q_mix_weights", "q_epoch_sample",
-    "q_rrf_hybrid")
+    "q_rrf_hybrid", "q_schema_tests", "q_dataset_card")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {

@@ -458,4 +458,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream/batch scd2 mismatch: ${streamed -- batch} vs ${batch -- streamed}")
   }
+
+  test("streaming funnel: depths finalize at the window's watermark and match batch") {
+    import graft.streaming.EventStream.{TypedEv, FunnelOut}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    def ts(ms: Long) = new Timestamp(ms)
+    val W = 604800000L // the batch operator's 7-day window
+    // (event_id, ms, user, type): A completes across batches with the
+    // anchor view arriving LATE (cross-batch, within watermark lateness);
+    // B clicks before any view; C never clicks; D purchases one ms past
+    // the anchored window.
+    val b1 = Seq(
+      (1L, 5000L, 1L, "click"), (2L, 1000L, 2L, "click"),
+      (3L, 1000L, 3L, "view"), (4L, 1000L, 4L, "view"),
+      (5L, 2000L, 4L, "click"))
+    val b2 = Seq(
+      (6L, 1000L, 1L, "view"), (7L, 9000L, 1L, "purchase"),
+      (8L, 2000L, 2L, "view"), (9L, 5000L, 3L, "purchase"),
+      (10L, 1000L + W + 1L, 4L, "purchase"))
+    val mem = MemoryStream[TypedEv]
+    val q = EventStream.funnel(mem.toDS(), W)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    mem.addData(b1.map { case (e, m, u, t) => TypedEv(u, e, ts(m), t) }: _*)
+    q.processAllAvailable()
+    mem.addData(b2.map { case (e, m, u, t) => TypedEv(u, e, ts(m), t) }: _*)
+    q.processAllAvailable()
+    // two watermark-advancing batches: the first moves the watermark past
+    // every anchored window end, the second runs the fired timeouts
+    mem.addData(TypedEv(99L, 100L, ts(3L * W), "view"))
+    q.processAllAvailable()
+    mem.addData(TypedEv(99L, 101L, ts(3L * W + 1000L), "view"))
+    q.processAllAvailable()
+    val streamed = spark.table("funnel_out").as[FunnelOut]
+      .collect().filter(_.user_id < 10L).toSet
+    q.stop()
+    assert(streamed == Set(
+      FunnelOut(1L, 1000L, 5000L, 9000L, 3L),
+      FunnelOut(2L, 2000L, 0L, 0L, 1L),
+      FunnelOut(3L, 1000L, 0L, 0L, 1L),
+      FunnelOut(4L, 1000L, 2000L, 0L, 2L)), s"got $streamed")
+    // parity: the registered batch operator on the same events (dummy
+    // watermark-advancer included — it is a depth-1 user in both worlds)
+    val tmp = java.nio.file.Files.createTempDirectory("graftfunnel").toString
+    (b1 ++ b2 ++ Seq((100L, 3L * W, 99L, "view"), (101L, 3L * W + 1000L, 99L, "view")))
+      .map { case (e, m, u, t) => (e, m * 1000000L, u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = graft.operators.EventOps.windowFunnel.run(spark, tmp)
+      .select(col("user_id"), col("t1"), col("t2_ms"), col("t3_ms"), col("depth"))
+      .as[FunnelOut].collect().filter(_.user_id < 10L).toSet
+    assert(streamed == batch,
+      s"stream/batch funnel mismatch: ${streamed -- batch} vs ${batch -- streamed}")
+  }
 }
