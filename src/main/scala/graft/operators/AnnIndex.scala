@@ -93,6 +93,8 @@ object AnnIndex {
   private[graft] val lexAppends = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val sigEncodes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val sigAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val vocabEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val vocabAppends = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Append-drift threshold: chain-append while rows encoded with frozen
     * codebooks are ≤ this fraction of the corpus; past it, refit.
@@ -237,7 +239,7 @@ object AnnIndex {
     * chain — a full refit collapses the chain, an append keeps its bases.
     */
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
-    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ", "LEX", "MH", "SH", "NG")
+    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ", "LEX", "MH", "SH", "NG", "BPE")
       .flatMap(chainDirs(s, vd, _))
       .map(new org.apache.hadoop.fs.Path(_).getName).toSet + new org.apache.hadoop.fs.Path(vd).getName
     val p = new org.apache.hadoop.fs.Path(vd)
@@ -749,6 +751,64 @@ object AnnIndex {
     val (_, _, params) = readMeta(s, vd, fam).get
     validate(vd, fam, params.toLong, sigs.count())
     sigs
+  }
+
+  /** Persisted BPE vocabulary (`bpe_wf`: word → exact corpus frequency) —
+    * the fit/serve split extended to tokenizer training, whose corpus
+    * pass is the word-count groupBy (the merge rounds themselves are
+    * vocabulary-sized, see operators.Bpe). Word counts are EXACTLY
+    * mergeable (the LEX df argument), so a pure file append tokenizes
+    * ONLY the delta and sums it into the base vocabulary.
+    *
+    * Deliberately NO chain: unlike LEX postings (corpus-sized, where a
+    * merged rewrite per append is the cost the chain avoids), the
+    * vocabulary is Heaps-bounded — a full merged rewrite per append is
+    * CHEAP, keeps the serve single-segment, and makes every version
+    * self-contained (base pointer always "-"; the stale base version is
+    * still pruned lazily via the keep-list like any collapsed chain).
+    * Merges retrain from the merged counts per content version —
+    * vocabulary-sized work, deterministic, so the post-append merge
+    * table is bit-identical to one trained from scratch (spec-proven).
+    * Truncation fails loud against the meta's exact token total.
+    */
+  private[graft] def bpeVocab(s: SparkSession, d: String): (DataFrame, Long) = {
+    val table = s"$d/documents.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    if (!exists(s, s"$vd/_GRAFT_OK_BPE")) {
+      val cur = physFiles(s, table)
+      appendBase(s, vd, "BPE", cur) match {
+        case Some((base, delta, _, params)) if params.nonEmpty =>
+          vocabAppends.incrementAndGet()
+          val dwf = Bpe.wordFreqOf(s.read.parquet(delta: _*).select("text"))
+          val deltaToks = dwf.agg(coalesce(sum("freq"), lit(0L))).head().getLong(0)
+          s.read.parquet(s"$base/bpe_wf").unionByName(dwf)
+            .groupBy("w").agg(sum("freq").cast("long").as("freq"))
+            .write.mode("overwrite").parquet(s"$vd/bpe_wf")
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "BPE", None, cnt,
+            (params.toLong + deltaToks).toString)
+          touch(s, s"$vd/_GRAFT_OK_BPE")
+          pruneSiblings(s, vd)
+        case _ =>
+          vocabEncodes.incrementAndGet()
+          val wf = Bpe.wordFreqOf(s.read.parquet(table).select("text"))
+          wf.write.mode("overwrite").parquet(s"$vd/bpe_wf")
+          val toks = s.read.parquet(s"$vd/bpe_wf")
+            .agg(coalesce(sum("freq"), lit(0L))).head().getLong(0)
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "BPE", None, cnt, toks.toString)
+          touch(s, s"$vd/_GRAFT_OK_BPE")
+          pruneSiblings(s, vd)
+      }
+    }
+    val wf = s.read.parquet(s"$vd/bpe_wf")
+    val (_, _, params) = readMeta(s, vd, "BPE").get
+    val tot = params.toLong
+    validate(vd, "BPE", tot,
+      wf.agg(coalesce(sum("freq"), lit(0L))).head().getLong(0))
+    (wf, tot)
   }
 
   /** Collapse a LEX append chain into one self-contained version — the

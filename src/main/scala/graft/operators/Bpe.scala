@@ -95,11 +95,19 @@ object Bpe {
   private[graft] def applyMerges(syms: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(syms)((c, m) => applyMerge(c, m.left, m.right))
 
-  /** The word-frequency table — the ONE corpus pass. */
-  private[graft] def wordFreq(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .select(explode(wordsOf(col("text"))).as("w"))
+  /** Word frequencies of a text frame — the tokenize side of the ONE
+    * corpus pass (also the delta encoder of the persisted vocabulary,
+    * [[AnnIndex.bpeVocab]]).
+    */
+  private[graft] def wordFreqOf(df: DataFrame): DataFrame =
+    df.select(explode(wordsOf(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** The corpus word-frequency table (direct, unpersisted — the spec's
+    * independent path; the operators serve via [[AnnIndex.bpeVocab]]).
+    */
+  private[graft] def wordFreq(s: SparkSession, d: String): DataFrame =
+    wordFreqOf(T.documents(s, d).select("text"))
 
   /** In-session model memo, keyed by the table's physical-file
     * fingerprint (the IVF memo discipline: an in-place rewrite of the
@@ -109,13 +117,18 @@ object Bpe {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
   private[graft] def resetMemo(): Unit = mergeCache.clear()
 
-  /** Train m merges over the corpus at `d` (memoized per table content). */
+  /** Train m merges over the corpus at `d`: the word counts serve from
+    * the PERSISTED vocabulary ([[AnnIndex.bpeVocab]] — corpus tokenized
+    * once per table content, delta-only on pure appends), the rounds run
+    * on it, and the resulting merge table memoizes in-JVM per content
+    * fingerprint (the IVF discipline: an in-place rewrite retrains).
+    */
   private[graft] def trainMerges(s: SparkSession, d: String, m: Int): Seq[Merge] = {
     val fp = Similarity.tableFingerprint(s, s"$d/documents.parquet")
     val key = s"$d#$m#$fp"
     val hit = mergeCache.get(key)
     if (hit != null) return hit
-    val result = trainFromFreq(wordFreq(s, d), m)
+    val result = trainFromFreq(AnnIndex.bpeVocab(s, d)._1, m)
     mergeCache.put(key, result)
     result
   }

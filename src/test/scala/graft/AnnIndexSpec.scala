@@ -417,4 +417,68 @@ class AnnIndexSpec extends SparkSpec {
       rmTree(tmp); rmTree(idxRoot)
     }
   }
+
+  test("BPE vocabulary: tokenize once, delta-only exact append; merges match a fresh build; truncation refuses") {
+    import graft.operators.Bpe
+    val tmp = java.nio.file.Files.createTempDirectory("graftbpe").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftbperoot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftbperoot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val base = (0L until 30L).map(i =>
+      i -> s"low lower newest widest common${i % 4} word$i")
+    try {
+      docsDf(base).repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val (e0, a0) = (AnnIndex.vocabEncodes.get(), AnnIndex.vocabAppends.get())
+      Bpe.resetMemo()
+      val m1 = Bpe.trainMerges(spark, tmp, 8)
+      assert(AnnIndex.vocabEncodes.get() == e0 + 1)
+      Bpe.resetMemo() // "session restart": the in-JVM merge memo is gone
+      val m1b = Bpe.trainMerges(spark, tmp, 8)
+      assert(AnnIndex.vocabEncodes.get() == e0 + 1 &&
+        AnnIndex.vocabAppends.get() == a0,
+        "second run must load the persisted vocabulary, not re-tokenize")
+      assert(m1b == m1)
+      // ingest batch: pure file append → tokenize the DELTA only, counts
+      // sum exactly into a self-contained merged vocabulary
+      val delta = (100L until 110L).map(i =>
+        i -> s"low lower appended body extra$i common${i % 4}")
+      docsDf(delta).repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      Bpe.resetMemo()
+      val m2 = Bpe.trainMerges(spark, tmp, 8)
+      assert(AnnIndex.vocabAppends.get() == a0 + 1 &&
+        AnnIndex.vocabEncodes.get() == e0 + 1,
+        "append must tokenize the batch only, never the corpus")
+      val chainedWf = AnnIndex.bpeVocab(spark, tmp)._1.collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      // exact mergeability: the appended vocabulary and the merge table
+      // are bit-identical to a from-scratch build of the grown corpus
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      Bpe.resetMemo()
+      val m2fresh = Bpe.trainMerges(spark, tmp, 8)
+      assert(AnnIndex.vocabEncodes.get() == e0 + 2)
+      assert(m2 == m2fresh, "appended merge table diverges from fresh build")
+      val freshWf = AnnIndex.bpeVocab(spark, tmp)._1.collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(chainedWf == freshWf, "appended vocabulary diverges from fresh build")
+      // tampering/corruption: a vocabulary whose token mass drifts from
+      // the version key must fail loud, not train a wrong tokenizer
+      spark.conf.set("graft.ann.indexRoot", idxRoot)
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val tip = tableDir.listFiles().filter(_.isDirectory)
+        .find(d => new java.io.File(d, "_GRAFT_OK_BPE").exists()).get
+      Seq(("zzz_bogus", 999L)).toDF("w", "freq")
+        .write.mode("append").parquet(s"$tip/bpe_wf")
+      AnnIndex.resetValidation()
+      Bpe.resetMemo()
+      intercept[IllegalStateException] { Bpe.trainMerges(spark, tmp, 8) }
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
 }
