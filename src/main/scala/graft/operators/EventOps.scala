@@ -468,6 +468,42 @@ object EventOps {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** F. Timezone-local calendar rollup (late-r8) — the reference runs its
+    * date logic in a NAMED zone, not UTC (dbt_project.yml:36,
+    * `'dbt_date:time_zone': 'America/Los_Angeles'`): per LA-local
+    * calendar date × event type, counts and exact cent mass. The UTC
+    * instant → zoned local-date step is the classic reporting hazard —
+    * an 8-hour offset moves every late-evening event to a different
+    * business day than a UTC rollup, and DST transitions make the
+    * mapping non-arithmetic (a fixed-offset shortcut breaks twice a
+    * year; the spec pins the spring-forward gap). Both engines resolve
+    * the SAME IANA rules, so the local date is engine-neutral; the
+    * instant truncates to whole epoch seconds on both sides first
+    * (sub-second precision cannot move a date boundary). One map-side-
+    * combined groupBy over a narrow projection; date×type-sized output.
+    */
+  val tzRollup: Q = Q(
+    "q_tz_rollup",
+    (s, d) => {
+      val localTs = from_utc_timestamp(
+        timestamp_seconds(expr("ts div 1000000000")), "America/Los_Angeles")
+      T.events(s, d)
+        .select(date_format(localTs, "yyyy-MM-dd").as("local_date"),
+          col("event_type"), Num.cents(col("value")).as("cents"))
+        .groupBy("local_date", "event_type")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT strftime(timezone('America/Los_Angeles',
+            |         to_timestamp(epoch_ms(ts) // 1000)), '%Y-%m-%d') AS local_date,
+            |       event_type,
+            |       CAST(COUNT(*) AS BIGINT) AS n_events,
+            |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+            |FROM events
+            |GROUP BY 1, 2
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin, scd2, jsonExtract,
-    keepNewest, anomaly, windowFunnel, retention)
+    keepNewest, anomaly, windowFunnel, retention, tzRollup)
 }

@@ -1547,6 +1547,34 @@ class OperatorsSpec extends SparkSpec {
     assert(langs.map(_.getAs[Long]("n_distinct")).sum >= m.getAs[Long]("n_distinct"))
   }
 
+  test("tz rollup: IANA zone conversion shifts business days and honors the DST gap") {
+    // spring forward 2024-03-10: 02:00-03:00 LA time does not exist.
+    // 09:30 UTC is 01:30 PST; one hour later of UTC time is 03:30 PDT —
+    // the local clock jumps 01 -> 03, which no fixed-offset shortcut gets
+    val ns = Seq("2024-03-10T09:30:00Z", "2024-03-10T10:30:00Z")
+      .map(x => java.time.Instant.parse(x).getEpochSecond * 1000000000L)
+    val hours = ns.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "ts")
+      .orderBy("id")
+      .select(date_format(from_utc_timestamp(
+        timestamp_seconds(expr("ts div 1000000000")), "America/Los_Angeles"),
+        "HH:mm").as("h"))
+      .as[String].collect().toSeq
+    assert(hours == Seq("01:30", "03:30"))
+    // the corpus: a real fraction of events lands on a different LA
+    // business day than a UTC rollup would put it
+    val secs = T.events(spark, sfDir).select(expr("ts div 1000000000").as("s"))
+    val shifted = secs.where(
+      date_format(from_utc_timestamp(timestamp_seconds(col("s")),
+        "America/Los_Angeles"), "yyyy-MM-dd") =!=
+        date_format(timestamp_seconds(col("s")), "yyyy-MM-dd")).count()
+    assert(shifted > 0, "no event shifted days — the conversion is a no-op here")
+    // the registered operator conserves the event count across the regroup
+    val out = EventOps.tzRollup.run(spark, sfDir)
+    assert(out.agg(sum("n_events")).head.getLong(0) ==
+      T.events(spark, sfDir).count())
+  }
+
   // ---- BPE subword tokenization --------------------------------------
 
   /** Independent driver-local reference BPE (the PQ-kernel pin device):
