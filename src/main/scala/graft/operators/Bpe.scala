@@ -191,15 +191,36 @@ object Bpe {
     "q_bpe_encode",
     (s, d) => {
       val merges = trainMerges(s, d, defaultM)
-      val toks = flatten(transform(wordsOf(col("text")),
+      // Scale shape — the collapseExact asymmetry applied to the encode:
+      // token count is a pure function of the WORD and corpus words are
+      // Zipf-distributed, so the merge fold runs once per DISTINCT word
+      // (the persisted vocabulary's own rows), and per-doc totals come
+      // from an occurrence→vocabulary join + doc-keyed sum (the tf
+      // shape, map-side combined; the vocabulary side broadcasts while
+      // it fits, AQE-shuffles past that). Measured: the fold-per-
+      // occurrence narrow map read 35.9 s at sf0.1 — CPU-bound on the
+      // quadratic array-append inside `aggregate`, not scan-bound;
+      // distinct-word folding removes the occurrence multiplier.
+      // Output is row-identical (sum of per-word counts = size of the
+      // concatenated encoding; every word emits ≥1 token, so the
+      // first-5-words fold covers the first 5 tokens).
+      val wtok = AnnIndex.bpeVocab(s, d)._1
+        .select(col("w"),
+          size(applyMerges(chars(col("w")), merges)).cast("long").as("n_toks"))
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), wordsOf(col("text")).as("ws"))
+      val counts = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+        .join(wtok, "w")
+        .groupBy("doc_id").agg(sum("n_toks").as("n_bpe_tokens"))
+      val headToks = flatten(transform(slice(col("ws"), lit(1), lit(5)),
         w => applyMerges(chars(w), merges)))
-      T.documents(s, d)
-        .select(col("doc_id"),
-          size(wordsOf(col("text"))).cast("long").as("n_words"),
-          toks.as("toks"))
+      docs
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+          concat_ws(" ", slice(headToks, lit(1), lit(5))).as("first_tokens"))
+        .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_words"),
-          size(col("toks")).cast("long").as("n_bpe_tokens"),
-          concat_ws(" ", slice(col("toks"), 1, 5)).as("first_tokens"))
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+          col("first_tokens"))
         .transform(Det.sortAll)
     },
     None)
