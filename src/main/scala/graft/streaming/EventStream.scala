@@ -164,6 +164,32 @@ object EventStream {
         ()
       })
 
+  /** H. Continuous vocabulary maintenance — the tokenizer's view of the
+    * [[lexIndexSink]] loop: each documents micro-batch lands as a
+    * batch-scoped idempotent partition of the corpus table, then the
+    * persisted BPE vocabulary ([[graft.operators.AnnIndex.bpeVocab]]) is
+    * brought current through its delta-only append path — the
+    * file-inventory detector sees exactly the new batch's files, so
+    * maintenance tokenizes ONLY the micro-batch. Word counts merge
+    * exactly, so the streamed vocabulary is bit-identical to a
+    * from-scratch build at every batch boundary (no chain, no
+    * compaction step needed — the artifact is Heaps-bounded and each
+    * append writes a self-contained merged version), and the merge
+    * table retrains from it vocabulary-sized. Write-then-maintain
+    * ordering makes replays safe exactly as in lexIndexSink.
+    */
+  def vocabIndexSink(s: SparkSession, corpusDir: String, docs: DataFrame,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Row], batchId: Long) => {
+        writeBatchIdempotent(batch.toDF(), batchId,
+          s"$corpusDir/documents.parquet")
+        graft.operators.AnnIndex.bpeVocab(s, corpusDir)
+        ()
+      })
+
   /** H. Streaming incremental ingest dedup — the streaming twin of
     * q_dedup_incremental (Dedup.incremental), i.e. the shape a crawl
     * ingest actually runs as: documents arrive continuously, each must be

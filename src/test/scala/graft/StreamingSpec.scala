@@ -459,6 +459,49 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch scd2 mismatch: ${streamed -- batch} vs ${batch -- streamed}")
   }
 
+  test("continuous vocabulary: micro-batches delta-append; merges equal a fresh build") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, Bpe}
+    val corpus = java.nio.file.Files.createTempDirectory("graftcv").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftcvroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftcvroot2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graftcvckpt").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def text(i: Long) = s"low lower newest widest tok$i common${i % 5}"
+    try {
+      val mem = MemoryStream[Doc]
+      val (e0, a0) = (AnnIndex.vocabEncodes.get(), AnnIndex.vocabAppends.get())
+      val q = EventStream.vocabIndexSink(spark, corpus, mem.toDF(), ckpt).start()
+      mem.addData((0L until 20L).map(i => Doc(i, text(i))): _*)
+      q.processAllAvailable()
+      assert(AnnIndex.vocabEncodes.get() == e0 + 1 &&
+        AnnIndex.vocabAppends.get() == a0, "batch 1 is the one full tokenize")
+      mem.addData((20L until 26L).map(i => Doc(i, text(i))): _*)
+      q.processAllAvailable()
+      mem.addData((26L until 30L).map(i => Doc(i, text(i))): _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(AnnIndex.vocabEncodes.get() == e0 + 1 &&
+        AnnIndex.vocabAppends.get() == a0 + 2,
+        "each later micro-batch must delta-append, never re-tokenize")
+      // the streamed vocabulary trains the same tokenizer as a
+      // from-scratch build of the landed table
+      Bpe.resetMemo()
+      val streamed = Bpe.trainMerges(spark, corpus, 8)
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      Bpe.resetMemo()
+      val fresh = Bpe.trainMerges(spark, corpus, 8)
+      assert(streamed == fresh, "streamed vocabulary diverges from fresh build")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      for (d <- Seq(corpus, idxRoot, freshRoot, ckpt)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("streaming funnel: depths finalize at the window's watermark and match batch") {
     import graft.streaming.EventStream.{TypedEv, FunnelOut}
     implicit val sqlCtx = spark.sqlContext
