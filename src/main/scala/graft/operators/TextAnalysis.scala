@@ -1065,10 +1065,17 @@ object TextAnalysis {
           when(col("gb") === 1, lit("(all)")).otherwise(col("lang")).as("lang"),
           col("n_docs"), col("token_mass"), col("n_distinct"),
           col("min_words"), col("max_words"), col("gb")))
-      val total = per.where(col("gb") === 1).select(col("n_docs").as("tot"))
-      per.crossJoin(broadcast(total))
+      // ONE row of driver traffic (the prefix-sum offsets class): the
+      // margin row IS the denominator. Plan-audited: a crossJoin with a
+      // filtered branch of the cached frame re-planned the broadcast
+      // side as a SECOND corpus scan (the cache lookup missed through
+      // the filter), so the total rides back as a literal instead —
+      // final plan reads the corpus exactly once.
+      val tot = per.where(col("gb") === 1)
+        .select("n_docs").head().getLong(0)
+      per
         .select(col("lang"), col("n_docs"),
-          (col("n_docs").cast("double") / col("tot").cast("double")).as("share"),
+          (col("n_docs").cast("double") / lit(tot).cast("double")).as("share"),
           col("token_mass"), col("n_distinct"),
           (lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
             .as("dup_rate"),

@@ -35,11 +35,10 @@ class PlanGuardSpec extends SparkSpec {
   // (q_rrf_hybrid composes q_ann_topk's run as its dense leg, so it
   // inherits that same bounded broadcast-query-set NLJ)
   // (q_schema_tests' equal_rowcount crossJoins two ONE-ROW global
-  // aggregates — the 1×1 shape, bounded by construction; q_dataset_card
-  // crossJoins its language-sized card frame with the ONE-ROW total)
+  // aggregates — the 1×1 shape, bounded by construction)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
     "q_ann_pq", "q_ann_ivfpq", "q_mart_union", "q_mix_weights", "q_epoch_sample",
-    "q_rrf_hybrid", "q_schema_tests", "q_dataset_card")
+    "q_rrf_hybrid", "q_schema_tests")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {
@@ -295,6 +294,18 @@ class PlanGuardSpec extends SparkSpec {
       s"postings are not the persisted index scan:\n$plan")
     assert("PartitionFilters: \\[[^\\]]*tslot".r.findFirstIn(plan).isDefined,
       s"query-slot filter is not partition-pruning the postings scan:\n$plan")
+  }
+
+  test("q_dataset_card: the final plan reads the corpus exactly once") {
+    // the share denominator rides back as a driver literal (one row of
+    // driver traffic); a crossJoin with a filtered branch of the cached
+    // frame re-planned the broadcast side as a SECOND corpus scan (the
+    // cache lookup missed through the filter) — pin the fix
+    val q = SparkEntry.registry.find(_.name == "q_dataset_card").get
+    val plan = q.run(spark, sfDir).queryExecution.executedPlan
+    val scans = plan.collectLeaves().filter(_.toString.contains("documents.parquet"))
+    assert(scans.size <= 1,
+      s"dataset card scans the corpus ${scans.size} times:\n$plan")
   }
 
   test("output-order contract: every query ends in a total sort, every oracle in ORDER BY ALL") {
