@@ -89,53 +89,110 @@ object TextAnalysis {
     * predict the argmax (deterministic tiebreak by language code). The
     * corpus metadata `lang` rides along so downstream can measure accuracy.
     */
+  /** The lang-id scoring core (stopword-hit argmax), shared by the
+    * registered classifier and its evaluation operator — one definition
+    * so the eval can never drift from what it grades.
+    */
+  private def langIdScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val langs: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "und", "ist"),
+      "en" -> Seq("the", "and", "of", "is"),
+      "es" -> Seq("el", "la", "que", "los"),
+      "fr" -> Seq("le", "la", "et", "les"))
+    def hits(ws: Seq[String]) = ws.map(w =>
+      size(split(concat(lit(" "), col("text"), lit(" ")), s"\\s$w\\s")).cast("long") - 1L)
+      .reduce(_ + _)
+    val scored = T.documents(s, d).select(
+      (Seq(col("doc_id"), col("lang").as("meta_lang")) ++
+        langs.map { case (code, ws) => hits(ws).as(s"hits_$code") }): _*)
+    // argmax with deterministic ascending-code tiebreak via struct max
+    val best = greatest(langs.map { case (code, _) =>
+      struct(col(s"hits_$code").as("h"), lit(code).as("c"))
+    }: _*)
+    scored.withColumn("predicted", best.getField("c"))
+  }
+
+  /** The lang-id oracle core (shared verbatim by q_lang_id and
+    * q_langid_eval — same no-drift argument as [[langIdScored]]).
+    */
+  private val langIdCoreSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang AS meta_lang,
+      |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sder\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sdie\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sund\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sist\s')) - 1 AS BIGINT) AS hits_de,
+      |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sthe\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sand\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sof\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sis\s')) - 1 AS BIGINT) AS hits_en,
+      |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sel\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sla\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sque\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\slos\s')) - 1 AS BIGINT) AS hits_es,
+      |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sle\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sla\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\set\s')) - 1
+      |       + len(regexp_split_to_array(' ' || text || ' ', '\sles\s')) - 1 AS BIGINT) AS hits_fr
+      |  FROM documents
+      |)
+      |SELECT doc_id, meta_lang, hits_de, hits_en, hits_es, hits_fr,
+      |       CASE WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+      |            WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+      |            WHEN hits_en >= hits_de THEN 'en'
+      |            ELSE 'de' END AS predicted
+      |FROM t""".stripMargin
+
   val langId: Q = Q(
     "q_lang_id",
+    (s, d) => langIdScored(s, d).transform(Det.sortAll),
+    Some(langIdCoreSql + "\nORDER BY ALL")
+  )
+
+  /** G. Classifier evaluation (late-r8) — the confusion matrix of the
+    * cheap lang-id heuristic against the corpus's ground-truth labels:
+    * before a filter routes 100 TB by a heuristic's verdicts, the
+    * pipeline grades it on labeled data. One matrix cell per
+    * (true, predicted) pair with the per-true-label row rate (recall on
+    * the diagonal). The scoring core and the oracle core are SHARED
+    * verbatim with q_lang_id, so the eval can never drift from the
+    * classifier it grades. Plan: the classifier's narrow scan → one
+    * map-side-combined groupBy to the ≤|langs|² matrix; row totals
+    * re-aggregate the CACHED matrix frame (matrix-sized, not a second
+    * corpus pass) and join back broadcast. Null ground-truth labels keep
+    * a group as '' (the q_ccnet_bucket device).
+    */
+  val langidEval: Q = Q(
+    "q_langid_eval",
     (s, d) => {
-      val langs: Seq[(String, Seq[String])] = Seq(
-        "de" -> Seq("der", "die", "und", "ist"),
-        "en" -> Seq("the", "and", "of", "is"),
-        "es" -> Seq("el", "la", "que", "los"),
-        "fr" -> Seq("le", "la", "et", "les"))
-      def hits(ws: Seq[String]) = ws.map(w =>
-        size(split(concat(lit(" "), col("text"), lit(" ")), s"\\s$w\\s")).cast("long") - 1L)
-        .reduce(_ + _)
-      val scored = T.documents(s, d).select(
-        (Seq(col("doc_id"), col("lang").as("meta_lang")) ++
-          langs.map { case (code, ws) => hits(ws).as(s"hits_$code") }): _*)
-      // argmax with deterministic ascending-code tiebreak via struct max
-      val best = greatest(langs.map { case (code, _) =>
-        struct(col(s"hits_$code").as("h"), lit(code).as("c"))
-      }: _*)
-      scored.withColumn("predicted", best.getField("c"))
+      val cells = graft.CacheBag.track(
+        langIdScored(s, d)
+          .select(coalesce(col("meta_lang"), lit("")).as("true_lang"),
+            col("predicted"))
+          .groupBy("true_lang", "predicted")
+          .agg(count(lit(1)).as("n_docs")))
+      val totals = cells.groupBy("true_lang").agg(sum("n_docs").as("n_true"))
+      cells.join(broadcast(totals), "true_lang")
+        .select(col("true_lang"), col("predicted"), col("n_docs"), col("n_true"),
+          (col("n_docs").cast("double") / col("n_true").cast("double"))
+            .as("row_rate"))
         .transform(Det.sortAll)
     },
-    Some("""WITH t AS (
-            |  SELECT doc_id, lang AS meta_lang,
-            |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sder\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sdie\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sund\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sist\s')) - 1 AS BIGINT) AS hits_de,
-            |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sthe\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sand\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sof\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sis\s')) - 1 AS BIGINT) AS hits_en,
-            |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sel\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sla\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sque\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\slos\s')) - 1 AS BIGINT) AS hits_es,
-            |    CAST(len(regexp_split_to_array(' ' || text || ' ', '\sle\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sla\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\set\s')) - 1
-            |       + len(regexp_split_to_array(' ' || text || ' ', '\sles\s')) - 1 AS BIGINT) AS hits_fr
-            |  FROM documents
+    Some(s"""WITH p AS (
+            |$langIdCoreSql
+            |), g AS (
+            |  SELECT COALESCE(meta_lang, '') AS true_lang, predicted,
+            |         CAST(COUNT(*) AS BIGINT) AS n_docs
+            |  FROM p GROUP BY 1, 2
+            |), r AS (
+            |  SELECT true_lang, CAST(SUM(n_docs) AS BIGINT) AS n_true
+            |  FROM g GROUP BY 1
             |)
-            |SELECT doc_id, meta_lang, hits_de, hits_en, hits_es, hits_fr,
-            |       CASE WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
-            |            WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
-            |            WHEN hits_en >= hits_de THEN 'en'
-            |            ELSE 'de' END AS predicted
-            |FROM t ORDER BY ALL""".stripMargin)
+            |SELECT g.true_lang, g.predicted, g.n_docs, r.n_true,
+            |       CAST(g.n_docs AS DOUBLE) / CAST(r.n_true AS DOUBLE) AS row_rate
+            |FROM g JOIN r USING (true_lang)
+            |ORDER BY ALL""".stripMargin)
   )
 
   /** G. Document fingerprinting: normalized md5 plus a 64-bit FNV-1a-style
@@ -1112,5 +1169,5 @@ object TextAnalysis {
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
     tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi, domainStats,
-    datasetCard)
+    datasetCard, langidEval)
 }
