@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Q, T}
@@ -136,6 +136,88 @@ object Multimodal {
           (n % 24 + 1).toInt, sha)
       }
     }
+  }
+
+  /** Walk a GIF's block structure by pure byte arithmetic and return one
+    * (byte offset, width, height) per image frame — the frame-extraction
+    * primitive for multi-frame media, no codec library. GIF layout
+    * (public spec, GIF89a): header(6) + logical screen descriptor(7,
+    * plus global color table when flagged) + a block sequence — 0x21
+    * extensions (label + length-prefixed sub-blocks, 0-terminated),
+    * 0x2C image descriptors (9 bytes + local color table when flagged +
+    * LZW min-code byte + length-prefixed data sub-blocks), 0x3B trailer.
+    * Pixel data is SKIPPED via the length prefixes — LZW is never
+    * decoded, so walking a frame costs O(sub-block count), not O(pixels).
+    * A malformed/truncated stream returns the frames found so far
+    * (sniffing semantics, like [[parseHeader]]); an unknown block type
+    * stops the walk rather than misparse.
+    */
+  private[graft] def gifFrames(b: Array[Byte]): Seq[(Long, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    if (b.length < 14 ||
+        !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return Nil
+    var i = 6
+    val flags = u8(i + 4)
+    i += 7
+    if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 7) + 1))
+    def skipSubBlocks(j0: Int): Int = {
+      var j = j0
+      while (j < b.length && u8(j) != 0) j += 1 + u8(j)
+      j + 1 // past the 0 terminator
+    }
+    var done = false
+    while (!done && i < b.length) {
+      u8(i) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          if (i + 2 >= b.length) done = true
+          else i = skipSubBlocks(i + 2)
+        case 0x2c =>
+          if (i + 10 >= b.length) done = true
+          else {
+            out += ((i.toLong, le16(i + 5), le16(i + 7)))
+            val lflags = u8(i + 9)
+            var j = i + 10
+            if ((lflags & 0x80) != 0) j += 3 * (1 << ((lflags & 7) + 1))
+            i = skipSubBlocks(j + 1) // +1: LZW minimum-code-size byte
+          }
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Long,
+      width: Int, height: Int)
+
+  /** Frame-sampling seam — the video keyframe-sampling shape over
+    * multi-frame payloads: every `stride`-th frame as a typed row
+    * (frame_idx stride = the fps-downsample of a real pipeline), same
+    * per-partition batch contract as [[decodeBatch]] (one walker/codec
+    * init per partition, rows streamed through; a frame's pixel decode
+    * would hang off byte_offset here). Stills and non-media payloads
+    * emit nothing — they are decodeDataset's frames=1 rows.
+    */
+  def frameSampleBatch(stride: Int)(
+      batch: Iterator[(Long, Array[Byte])]): Iterator[FrameMeta] =
+    batch.flatMap { case (id, bytes) =>
+      gifFrames(bytes).zipWithIndex.collect {
+        case ((off, w, h), idx) if idx % stride == 0 =>
+          FrameMeta(id, idx, off, w, h)
+      }
+    }
+
+  /** The Spark-side plumbing for frame sampling: (doc_id, payload:binary)
+    * → sampled frame rows, narrow per-partition pass (no shuffle — frame
+    * explosion is bounded by the stride and rides the scan).
+    */
+  def frameSample(s: SparkSession, media: DataFrame,
+      stride: Int = 2): Dataset[FrameMeta] = {
+    import s.implicits._
+    media.as[(Long, Array[Byte])].mapPartitions(frameSampleBatch(stride))
   }
 
   /** G. mapPartitions batch-decode pipeline over the binary payload

@@ -1506,6 +1506,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal frame sampling: GIF block walk finds every frame; stride samples; stills emit none") {
+    // hand-built 2-frame GIF89a: logical screen 4x3, a graphic-control
+    // extension between header and frames (the walker must skip its
+    // sub-blocks), frame 0 4x3, frame 1 2x2, trailer — pixel data is
+    // length-prefixed garbage the walker must never decode
+    val gif: Array[Byte] = Seq[Int](
+      'G', 'I', 'F', '8', '9', 'a',
+      4, 0, 3, 0, 0x00, 0, 0, // logical screen descriptor, no GCT
+      0x21, 0xF9, 0x04, 1, 2, 3, 4, 0x00, // graphic control extension
+      0x2C, 0, 0, 0, 0, 4, 0, 3, 0, 0x00, 0x02, 2, 0xAA, 0xBB, 0x00, // frame 0
+      0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0x00, 0x02, 1, 0xCC, 0x00, // frame 1
+      0x3B).map(_.toByte).toArray
+    val frames = Multimodal.gifFrames(gif)
+    assert(frames.map { case (_, w, h) => (w, h) } == Seq((4, 3), (2, 2)))
+    assert(frames.map(_._1) == frames.map(_._1).sorted, "offsets must ascend")
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G') // a still / non-GIF
+    val media = Seq((1L, gif), (2L, png)).toDF("doc_id", "payload")
+    val sampled = Multimodal.frameSample(spark, media, stride = 2).collect()
+    assert(sampled.toSeq.map(f => (f.doc_id, f.frame_idx, f.width, f.height)) ==
+      Seq((1L, 0, 4, 3)), "stride 2 keeps frame 0 only; non-GIF emits nothing")
+    assert(Multimodal.frameSample(spark, media, 1).collect().length == 2)
+  }
+
   // ---- generic dbt schema-test battery -------------------------------
 
   test("schema tests: the whole battery passes on the healthy corpus") {
