@@ -185,7 +185,13 @@ object Dedup {
         .as("s"))
       .select(col("th"), xxhash64(col("s")).as("hs"))
 
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+  /** Representative-level near-dup pairs (one row per (distinct raw
+    * text, distinct raw text) candidate surviving df-cap + inter≥3), the
+    * pre-expansion core of [[ngramPairs]] — also the edge generator for
+    * cluster labels, which never needs the member-doc expansion.
+    */
+  private[operators] def ngramRepPairs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
       val (members, reps) = collapseExact(s, d)
       // shuffle 8-byte shingle hashes, not strings: the inverted-index
       // join and intersection counts are identical (64-bit collisions are
@@ -208,6 +214,11 @@ object Dedup {
         .select(col("rep_a"), col("rep_b"), col("inter"),
           (col("ca.nsh") + col("cb.nsh") - col("inter")).as("uni"))
         .where(col("inter") >= 3)
+      (repPairs, members, cnt)
+  }
+
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+      val (repPairs, members, cnt) = ngramRepPairs(s, d)
       val cross = expandPairs(repPairs, members, Seq("inter", "uni"))
       val within = members.as("x")
         .join(members.as("y"),
@@ -478,20 +489,45 @@ object Dedup {
     * min-over-window on the content hash) unioned with ngram-Jaccard
     * ≥ 0.5 edges, closed by pointer-jumping connected components.
     */
+  /** Doc-level cluster labels (doc_id, cluster_id = min doc of the
+    * near-dup component), with the component computation COLLAPSED to
+    * distinct-normalized-text nodes (late-r8). The old formulation ran
+    * label propagation over ONE NODE PER DOCUMENT with explicit
+    * exact-dup edges — on a web-shape corpus (the 100× smoke duplicates
+    * every text ×100 verbatim) that multiplies the CC node set, the
+    * per-round edge join, and the label state by the duplication factor
+    * for zero information: every doc of one normalized text is in the
+    * same component BY DEFINITION of the exact edges. Nodes are now the
+    * distinct normalized texts (node id = the group's min doc_id, so the
+    * propagated min-label IS the doc-level cluster id), ngram rep pairs
+    * bridge nodes (a raw-text group maps into exactly one normalized
+    * group), and docs join their node's label back at serve — the
+    * collapseExact asymmetry applied to the component computation
+    * itself. Output provably identical (same blobs, same bridges, same
+    * min-doc labels); the hash gate agrees.
+    */
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
+    // ~50 B/doc narrow frame consumed by the node groupBy, the rep→node
+    // mapping and the serve join — cached query-lifetime (funnel device)
+    val docs = graft.CacheBag.track(T.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-    val hashed = docs.select(col("doc_id"), md5(normText).as("th"))
-    val keepers = hashed.groupBy("th").agg(min("doc_id").as("keeper"))
-    val exactE = hashed.join(keepers, "th")
-      .where(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id").as("a"), col("keeper").as("b"))
-    val ngramE = ngramPairs(s, d)
+      .select(col("doc_id"), md5(normText).as("nth")))
+    val nodes = docs.groupBy("nth").agg(min("doc_id").as("nid"))
+    // ngram bridges at rep level; rep doc → its normalized node id
+    val (repPairs, _, _) = ngramRepPairs(s, d)
+    val repNid = docs.join(nodes, "nth").select(col("doc_id"), col("nid"))
+    val ngramE = repPairs
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
       .where(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val half = exactE.union(ngramE)
-    connectedComponents(docs.select(col("doc_id").as("id")), half)
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(repNid.select(col("doc_id").as("rep_a"), col("nid").as("a")), "rep_a")
+      .join(repNid.select(col("doc_id").as("rep_b"), col("nid").as("b")), "rep_b")
+      .select(col("a"), col("b"))
+      .where(col("a") =!= col("b"))
+    val labels = connectedComponents(nodes.select(col("nid").as("id")), ngramE)
+    docs.join(nodes, "nth")
+      .join(labels, col("nid") === col("id"))
+      .select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   val clusters: Q = Q(
