@@ -95,6 +95,8 @@ object AnnIndex {
   private[graft] val sigAppends = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val vocabEncodes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val vocabAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val ccEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val ccAppends = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Append-drift threshold: chain-append while rows encoded with frozen
     * codebooks are ≤ this fraction of the corpus; past it, refit.
@@ -239,7 +241,7 @@ object AnnIndex {
     * chain — a full refit collapses the chain, an append keeps its bases.
     */
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
-    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ", "LEX", "MH", "SH", "NG", "BPE")
+    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ", "LEX", "MH", "SH", "NG", "BPE", "CC")
       .flatMap(chainDirs(s, vd, _))
       .map(new org.apache.hadoop.fs.Path(_).getName).toSet + new org.apache.hadoop.fs.Path(vd).getName
     val p = new org.apache.hadoop.fs.Path(vd)
@@ -809,6 +811,69 @@ object AnnIndex {
     validate(vd, "BPE", tot,
       wf.agg(coalesce(sum("freq"), lit(0L))).head().getLong(0))
     (wf, tot)
+  }
+
+  /** Persisted near-dup cluster labels (`cc_labels`: normalized-text hash
+    * → component key) — the fit/serve split extended to the LAST
+    * recompute-heavy family: connected components. Before this, every
+    * q_dedup_clusters / q_split_assign run re-derived the pair graph and
+    * re-ran O(log diameter) label-propagation rounds over the whole
+    * distinct-text node set; at 100 TB with daily ingest that is a full
+    * component recomputation per batch for a structure that mostly does
+    * not change.
+    *
+    * The component key is the component's MIN NORMALIZED-TEXT HASH — a
+    * pure function of the component's CONTENT (doc ids stay out of the
+    * artifact: an append can lower a component's min doc id, which would
+    * invalidate id-based labels even when the structure is unchanged).
+    * Doc-level cluster ids derive at serve: min doc id per component,
+    * component-count-sized aggregation over the distinct-text frame.
+    *
+    * Append discipline (the caller's `tryDelta` implements the graph
+    * math; this function owns versioning): a pure file append can only
+    * ADD edges incident to genuinely-new texts — old↔old pairs depend
+    * only on old texts' shingles and the df cap, so they are immutable
+    * UNLESS an append pushes a shingle's document frequency across the
+    * cap (which rewrites old nsh counts and can delete old edges):
+    * `tryDelta` detects any old-df≤cap→new-df>cap crossing and returns
+    * None, forcing a full refit — monotone growth appends, monotone-
+    * violating growth refits (the drift-refit posture). The merged
+    * labels table is distinct-text-sized, so each append writes a
+    * SELF-CONTAINED version (the vocab argument — no chain). Validation:
+    * the label row count must equal the version key's recorded count.
+    */
+  private[graft] def ccIndex(s: SparkSession, d: String,
+      full: () => DataFrame,
+      tryDelta: (Seq[String], DataFrame) => Option[DataFrame]): DataFrame = {
+    val table = s"$d/documents.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    if (!exists(s, s"$vd/_GRAFT_OK_CC")) {
+      val cur = physFiles(s, table)
+      def writeLabels(labels: DataFrame): Unit = {
+        labels.write.mode("overwrite").parquet(s"$vd/cc_labels")
+        val n = s.read.parquet(s"$vd/cc_labels").count()
+        writeFileList(s, vd, cur)
+        writeMeta(s, vd, "CC", None, cnt, n.toString)
+        touch(s, s"$vd/_GRAFT_OK_CC")
+        pruneSiblings(s, vd)
+      }
+      val viaAppend = appendBase(s, vd, "CC", cur) match {
+        case Some((base, delta, _, params)) if params.nonEmpty =>
+          tryDelta(delta, s.read.parquet(s"$base/cc_labels")) match {
+            case Some(labels) =>
+              ccAppends.incrementAndGet(); writeLabels(labels); true
+            case None => false
+          }
+        case _ => false
+      }
+      if (!viaAppend) { ccEncodes.incrementAndGet(); writeLabels(full()) }
+    }
+    val labels = s.read.parquet(s"$vd/cc_labels")
+    val (_, _, params) = readMeta(s, vd, "CC").get
+    validate(vd, "CC", params.toLong, labels.count())
+    labels
   }
 
   /** Collapse a LEX append chain into one self-contained version — the

@@ -513,21 +513,142 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), md5(normText).as("nth")))
     val nodes = docs.groupBy("nth").agg(min("doc_id").as("nid"))
-    // ngram bridges at rep level; rep doc → its normalized node id
-    val (repPairs, _, _) = ngramRepPairs(s, d)
-    val repNid = docs.join(nodes, "nth").select(col("doc_id"), col("nid"))
-    val ngramE = repPairs
-      .withColumn("jaccard",
-        col("inter").cast("double") / col("uni").cast("double"))
-      .where(col("jaccard") >= 0.5)
-      .join(repNid.select(col("doc_id").as("rep_a"), col("nid").as("a")), "rep_a")
-      .join(repNid.select(col("doc_id").as("rep_b"), col("nid").as("b")), "rep_b")
-      .select(col("a"), col("b"))
-      .where(col("a") =!= col("b"))
-    val labels = connectedComponents(nodes.select(col("nid").as("id")), ngramE)
-    docs.join(nodes, "nth")
-      .join(labels, col("nid") === col("id"))
-      .select(col("doc_id"), col("label").as("cluster_id"))
+
+    // full component build: propagation over distinct-normalized-text
+    // nodes, then the content-keyed component key (min member nth) the
+    // persisted artifact stores — see AnnIndex.ccIndex for why doc ids
+    // stay out of the artifact
+    def fullBuild(): DataFrame = {
+      val (repPairs, _, _) = ngramRepPairs(s, d)
+      val repNid = docs.join(nodes, "nth").select(col("doc_id"), col("nid"))
+      val ngramE = repPairs
+        .where(col("inter").cast("double") / col("uni").cast("double") >= 0.5)
+        .join(repNid.select(col("doc_id").as("rep_a"), col("nid").as("a")), "rep_a")
+        .join(repNid.select(col("doc_id").as("rep_b"), col("nid").as("b")), "rep_b")
+        .select(col("a"), col("b"))
+        .where(col("a") =!= col("b"))
+      val labels = connectedComponents(nodes.select(col("nid").as("id")), ngramE)
+      val nthLab = nodes.join(labels, col("nid") === col("id"))
+        .select(col("nth"), col("label"))
+      val ckeys = nthLab.groupBy("label").agg(min("nth").as("ckey"))
+      nthLab.join(ckeys, "label").select(col("nth"), col("ckey"))
+    }
+
+    val labels = AnnIndex.ccIndex(s, d, () => fullBuild(), ccTryDelta(s, d))
+    // doc-level cluster ids at serve: min doc per component — a
+    // component-count-sized aggregation over the distinct-text frame,
+    // broadcast back (never persisted: an append can lower them)
+    val compMin = labels.join(nodes, "nth")
+      .groupBy("ckey").agg(min("nid").as("cluster_id"))
+    docs.join(labels, "nth")
+      .join(broadcast(compMin), "ckey")
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
+  /** The append-path component math for [[AnnIndex.ccIndex]]: given the
+    * appended files and the base version's (nth, ckey) labels, return
+    * the grown corpus's labels — or None when the append is not
+    * provably structure-monotone.
+    *
+    * Why this is exact (and what forces the refit): an old↔old near-dup
+    * edge is a function of the two texts' shingles and the corpus-wide
+    * shingle df cap. A pure file append leaves old texts' shingles
+    * untouched, so old↔old edges — and old texts' capped-shingle counts
+    * behind their jaccards — change ONLY if an append pushes some
+    * shingle's df across the cap (df is monotone under appends). No
+    * crossing ⇒ the grown graph is exactly (old edges) ∪ (edges incident
+    * to genuinely-new texts) ⇒ components only merge along new-text
+    * bridges, never split or re-partition — so union-find over the
+    * REDUCED graph (new texts + the old component keys they touch, a
+    * candidate-bounded driver structure guarded like the incremental-
+    * dedup broadcast) reproduces the from-scratch components, and the
+    * merged component key min(old keys ∪ new member nths) equals the
+    * from-scratch min member nth because each old key already IS its
+    * component's min. The spec pins append-vs-fresh equality on merge,
+    * join and min-doc-lowering scenarios; the df-crossing scenario pins
+    * the refit trigger.
+    */
+  private[operators] def ccTryDelta(s: SparkSession, d: String)(
+      deltaPaths: Seq[String], oldLabels: DataFrame): Option[DataFrame] = {
+    // one corpus-narrow scan: raw-text hash (the shingle-table key),
+    // normalized hash (the node), per-raw-text doc counts full vs old
+    val thInfo = T.documents(s, d)
+      .select(md5(col("text")).as("th"), md5(normText).as("nth"))
+      .groupBy("th").agg(count(lit(1)).as("nd_full"), min("nth").as("nth"))
+    val deltaTh = s.read.parquet(deltaPaths: _*)
+      .select(md5(col("text")).as("th"))
+      .groupBy("th").agg(count(lit(1)).as("nd_delta"))
+    val joined = graft.CacheBag.track(thInfo.join(deltaTh, Seq("th"), "left")
+      .select(col("th"), col("nth"), col("nd_full"),
+        (col("nd_full") - coalesce(col("nd_delta"), lit(0L))).as("nd_old")))
+    // the persisted shingle table (textSigs auto-appends new texts)
+    val ng = AnnIndex.textSigs(s, d, "NG", ngEncode)
+    val dfs = graft.CacheBag.track(ng.join(joined, "th")
+      .groupBy("hs")
+      .agg(sum("nd_full").as("df_new"), sum("nd_old").as("df_old")))
+    if (!dfs.where(col("df_old") >= 1L && col("df_old") <= 128L &&
+        col("df_new") > 128L).isEmpty) return None
+    val okHs = dfs.where(col("df_new") <= 128L).select("hs")
+    val shOk = graft.CacheBag.track(ng.join(okHs, "hs")
+      .join(joined.select("th", "nd_old"), "th"))
+    val nsh = shOk.groupBy("th").agg(count(lit(1)).as("nsh"))
+    // candidate pairs: new-text shingles probe the full posting list —
+    // bounded per shingle by the df cap, the batch's own candidate budget
+    val newSh = shOk.where(col("nd_old") === 0L)
+      .select(col("th").as("th_a"), col("hs"))
+    val pairs = newSh
+      .join(shOk.select(col("th").as("th_b"), col("hs")), "hs")
+      .where(col("th_a") =!= col("th_b"))
+      .groupBy("th_a", "th_b").agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= 3L)
+      .join(nsh.select(col("th").as("th_a"), col("nsh").as("nsh_a")), "th_a")
+      .join(nsh.select(col("th").as("th_b"), col("nsh").as("nsh_b")), "th_b")
+      .where(col("inter").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("inter")).cast("double") >= 0.5)
+    // th edges → node (nth) edges → reduced keys (old nth: its persisted
+    // component key; new nth: itself)
+    val keyed = pairs
+      .join(joined.select(col("th").as("th_a"), col("nth").as("nth_a")), "th_a")
+      .join(joined.select(col("th").as("th_b"), col("nth").as("nth_b")), "th_b")
+      .where(col("nth_a") =!= col("nth_b"))
+      .join(oldLabels.select(col("nth").as("nth_a"), col("ckey").as("key_a")),
+        Seq("nth_a"), "left")
+      .join(oldLabels.select(col("nth").as("nth_b"), col("ckey").as("key_b")),
+        Seq("nth_b"), "left")
+      .select(coalesce(col("key_a"), col("nth_a")).as("ka"),
+        coalesce(col("key_b"), col("nth_b")).as("kb"))
+      .where(col("ka") =!= col("kb")).distinct()
+    // reduced-graph budget: same measured-guard posture as the
+    // incremental-dedup broadcast — a backfill-sized batch refits
+    val reduced = keyed.limit(200001).collect()
+    if (reduced.length > 200000) return None
+    // driver union-find, roots = min key (so the merged key equals the
+    // from-scratch min member nth)
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    reduced.foreach { row =>
+      val (ra, rb) = (find(row.getString(0)), find(row.getString(1)))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val relabel = reduced.iterator
+      .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet.toSeq
+      .map((k: String) => (k, find(k))).filter { case (k, v) => k != v }
+    val allNth = joined.select("nth").distinct()
+    val base = allNth.join(oldLabels, Seq("nth"), "left")
+      .select(col("nth"), coalesce(col("ckey"), col("nth")).as("key0"))
+    import s.implicits._
+    val out =
+      if (relabel.isEmpty) base.select(col("nth"), col("key0").as("ckey"))
+      else base
+        .join(broadcast(relabel.toDF("key0", "ck2")), Seq("key0"), "left")
+        .select(col("nth"), coalesce(col("ck2"), col("key0")).as("ckey"))
+    Some(out)
   }
 
   val clusters: Q = Q(

@@ -418,6 +418,102 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  private def ccDocsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("CC labels: fit once; append merges, joins and lowers cluster ids exactly as a fresh build") {
+    import graft.operators.{AnnIndex, Dedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graftcc").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftccroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftccroot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    val t = (1 to 16).map(i => f"tk$i%02d")
+    val A = t.slice(0, 12).mkString(" ")  // cluster A template
+    val B = t.slice(4, 16).mkString(" ")  // overlaps A at jaccard 6/14 < 0.5
+    val C = t.slice(2, 14).mkString(" ")  // 8/12 ≈ 0.67 to BOTH — the bridge
+    val filler15 = "filler doc unique15 with words alpha15 beta15 gamma15"
+    val base = Seq(10L -> A, 11L -> A, 13L -> B, 14L -> B, 15L -> filler15) ++
+      (16L to 20L).map(i =>
+        i -> s"filler doc unique$i with words alpha$i beta$i gamma$i")
+    def cid(out: Array[org.apache.spark.sql.Row], doc: Long): Long =
+      out.find(_.getAs[Long]("doc_id") == doc).get.getAs[Long]("cluster_id")
+    try {
+      ccDocsDf(base).repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val (e0, a0) = (AnnIndex.ccEncodes.get(), AnnIndex.ccAppends.get())
+      val out1 = Dedup.clusters.run(spark, tmp).collect()
+      assert(AnnIndex.ccEncodes.get() == e0 + 1)
+      assert(cid(out1, 11L) == 10L && cid(out1, 14L) == 13L &&
+        cid(out1, 10L) == 10L && cid(out1, 13L) == 13L,
+        s"A and B must start as separate clusters: ${out1.mkString(",")}")
+      Dedup.clusters.run(spark, tmp).collect()
+      assert(AnnIndex.ccEncodes.get() == e0 + 1 &&
+        AnnIndex.ccAppends.get() == a0, "second run must load, not rebuild")
+      // ingest batch: a bridge text near-dup to BOTH templates (merges two
+      // old components and, with the smallest doc id, becomes the merged
+      // cluster id), an exact copy of an old filler (joins its component
+      // and lowers its id), and a novel singleton
+      val delta = Seq(2L -> C, 3L -> filler15,
+        4L -> "totally novel appended text nothing shared here at all")
+      ccDocsDf(delta).repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      val out2 = Dedup.clusters.run(spark, tmp).collect()
+      assert(AnnIndex.ccAppends.get() == a0 + 1 &&
+        AnnIndex.ccEncodes.get() == e0 + 1,
+        "a monotone append must take the delta path, never re-run CC on the corpus")
+      assert(cid(out2, 10L) == 2L && cid(out2, 11L) == 2L &&
+        cid(out2, 13L) == 2L && cid(out2, 14L) == 2L && cid(out2, 2L) == 2L,
+        s"the bridge must merge A and B under the new min doc: ${out2.mkString(",")}")
+      assert(cid(out2, 3L) == 3L && cid(out2, 15L) == 3L,
+        "an exact copy with a smaller id must lower its component's cluster id")
+      assert(cid(out2, 4L) == 4L)
+      // the incremental labels ARE the from-scratch labels
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = Dedup.clusters.run(spark, tmp).collect()
+      assert(AnnIndex.ccEncodes.get() == e0 + 2)
+      assert(out2.map(_.toString).sorted.toSeq == fresh.map(_.toString).sorted.toSeq,
+        "append-path components diverge from a fresh build")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
+  test("CC labels: a shingle df crossing the cap forces a refit; output stays exact") {
+    import graft.operators.{AnnIndex, Dedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graftccx").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftccxroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftccxroot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // 126 docs share one trigram (df=126 ≤ cap 128, edges still impossible:
+    // inter=1 < 3); appending 5 more pushes df to 131 — old texts' capped-
+    // shingle counts change, so the append is NOT structure-monotone
+    def doc(i: Long) = i -> s"cshare1 cshare2 cshare3 tail${i}a tail${i}b tail${i}c"
+    try {
+      ccDocsDf((0L until 126L).map(doc)).repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val (e0, a0) = (AnnIndex.ccEncodes.get(), AnnIndex.ccAppends.get())
+      Dedup.clusters.run(spark, tmp).collect()
+      assert(AnnIndex.ccEncodes.get() == e0 + 1)
+      ccDocsDf((200L until 205L).map(doc)).repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      val out = Dedup.clusters.run(spark, tmp).collect()
+      assert(AnnIndex.ccEncodes.get() == e0 + 2 &&
+        AnnIndex.ccAppends.get() == a0,
+        "a df-cap crossing must refit, not append")
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = Dedup.clusters.run(spark, tmp).collect()
+      assert(out.map(_.toString).sorted.toSeq == fresh.map(_.toString).sorted.toSeq)
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
   test("BPE vocabulary: tokenize once, delta-only exact append; merges match a fresh build; truncation refuses") {
     import graft.operators.Bpe
     val tmp = java.nio.file.Files.createTempDirectory("graftbpe").toString
