@@ -506,14 +506,19 @@ object Dedup {
     * itself. Output provably identical (same blobs, same bridges, same
     * min-doc labels); the hash gate agrees.
     */
-  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    // ~50 B/doc narrow frame consumed by the node groupBy, the rep→node
-    // mapping and the serve join — cached query-lifetime (funnel device)
+  /** Ensure the persisted component-label artifact is current for `d`
+    * (build or delta-append as needed) and return it — the maintenance
+    * entry point the continuous-clustering sink calls per micro-batch.
+    */
+  private[graft] def clusterIndex(s: SparkSession, d: String): DataFrame = {
     val docs = graft.CacheBag.track(T.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), md5(normText).as("nth")))
-    val nodes = docs.groupBy("nth").agg(min("doc_id").as("nid"))
+    clusterIndexWith(s, d, docs, docs.groupBy("nth").agg(min("doc_id").as("nid")))
+  }
 
+  private def clusterIndexWith(s: SparkSession, d: String,
+      docs: DataFrame, nodes: DataFrame): DataFrame = {
     // full component build: propagation over distinct-normalized-text
     // nodes, then the content-keyed component key (min member nth) the
     // persisted artifact stores — see AnnIndex.ccIndex for why doc ids
@@ -533,8 +538,17 @@ object Dedup {
       val ckeys = nthLab.groupBy("label").agg(min("nth").as("ckey"))
       nthLab.join(ckeys, "label").select(col("nth"), col("ckey"))
     }
+    AnnIndex.ccIndex(s, d, () => fullBuild(), ccTryDelta(s, d))
+  }
 
-    val labels = AnnIndex.ccIndex(s, d, () => fullBuild(), ccTryDelta(s, d))
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    // ~50 B/doc narrow frame consumed by the node groupBy, the rep→node
+    // mapping and the serve join — cached query-lifetime (funnel device)
+    val docs = graft.CacheBag.track(T.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), md5(normText).as("nth")))
+    val nodes = docs.groupBy("nth").agg(min("doc_id").as("nid"))
+    val labels = clusterIndexWith(s, d, docs, nodes)
     // doc-level cluster ids at serve: min doc per component — a
     // component-count-sized aggregation over the distinct-text frame,
     // broadcast back (never persisted: an append can lower them)
