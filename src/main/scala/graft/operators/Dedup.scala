@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Q, T}
 
@@ -90,14 +89,26 @@ object Dedup {
     * k rows generates k² candidate pairs, so one corpus-common key (a
     * stop-phrase shingle, a universal simhash byte, a hot LSH band) turns
     * the self-join quadratic; past `cap` members a bucket carries no
-    * discriminating signal anyway. Implemented as a count-window over the
-    * key — one shuffle that the following self-join on the same key reuses
-    * (no second Exchange), and no broadcast of an unbounded bucket table.
+    * discriminating signal anyway.
+    *
+    * r9: groupBy(keys).count + LEFT SEMI join back — NOT count over
+    * Window.partitionBy(keys). The window variant materializes each
+    * bucket on ONE task, and the hottest bucket — the very one the cap
+    * exists to discard — is exactly the one that becomes an unsplittable
+    * straggler at web scale (a stop-phrase shingle shared by 10⁷ distinct
+    * pages must be collected onto one task just to be thrown away). The
+    * groupBy is map-side combined to one row per bucket, the ≤cap filter
+    * shrinks the right side to the keep-list, and the semi join back is
+    * AQE-skew-splittable on the hot keys. Same device as [[collapseExact]];
+    * the semi join's Exchange on `keys` is reused by the candidate
+    * self-join on the same keys, so no shuffle is added vs the window.
     */
-  private[operators] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
-    df.withColumn("bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val kept = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= cap)
-      .drop("bsz")
+      .select(keys.map(col): _*)
+    df.join(kept, keys, "left_semi")
+  }
 
   /** G. Exact dedup: hash-groupBy on normalized content; every doc keeps
     * its group size, keeper id (min doc_id), and dup flag.
@@ -200,9 +211,15 @@ object Dedup {
       val hs = reps.select(col("doc_id"), col("th"), col("gsz"))
         .join(AnnIndex.textSigs(s, d, "NG", ngEncode), "th")
         .select(col("doc_id"), col("hs"), col("gsz"))
-      val sh = hs
-        .withColumn("df", sum(col("gsz")).over(Window.partitionBy("hs")))
+      // shingle document frequency (member docs = sum of group sizes) via
+      // groupBy + semi join back, NOT sum over Window.partitionBy(hs): a
+      // corpus-ubiquitous stop-phrase shingle among DISTINCT texts is a
+      // one-task window straggler materialized only to be discarded —
+      // same rationale as [[capBuckets]]
+      val keptSh = hs.groupBy("hs").agg(sum(col("gsz")).as("df"))
         .where(col("df") <= 128)
+        .select("hs")
+      val sh = hs.join(keptSh, Seq("hs"), "left_semi")
         .select("doc_id", "hs")
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val repPairs = sh.as("a")

@@ -72,6 +72,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out.where(col("keeper_id") === 0L).count() == n)
   }
 
+  test("hot shingle: ngram dedup survives one stop-phrase shared by 200k DISTINCT texts") {
+    // the r9 hardening target — the FEATURE-key twin of the mega-duplicate
+    // test above: a corpus-ubiquitous stop-phrase shingle among distinct
+    // texts (df = 200k ≫ the 128 cap). Under the old sum-over-window df
+    // device the whole hot bucket would ride ONE unsplittable window task
+    // just to be discarded; the groupBy + semi-join device map-side-
+    // combines the df count and AQE-splits the join back. Without the df
+    // cap itself the self-join would be quadratic (200k² candidate pairs
+    // from the shared boilerplate shingles) — so completing at all proves
+    // the cap, and the plan assertion proves the device.
+    val n = 200000
+    val boiler = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("the common boiler plate filler u"), col("id")).as("text"))
+    val planted = Seq(
+      (n.toLong, "alpha beta gamma delta epsilon zeta uniqone"),
+      (n.toLong + 1, "alpha beta gamma delta epsilon zeta uniqtwo")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("grafthot").toString
+    boiler.union(planted).repartition(8).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val q = Dedup.ngramJaccard.run(spark, tmp)
+    assert(q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "ngram candidate stage plans a window")
+    val pairs = q.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((n.toLong, n.toLong + 1)),
+      s"expected only the planted pair, got ${pairs.size} pairs")
+  }
+
   test("minhash LSH surfaces a planted near-duplicate pair") {
     // Two docs sharing almost all shingles must collide in >=1 band.
     val base = (1 to 40).map(i => s"w$i").mkString(" ")

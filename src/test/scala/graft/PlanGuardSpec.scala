@@ -51,19 +51,24 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  test("no registered query windows over a whole-content identity key") {
+  test("no registered query windows over a dedup-family content or feature key") {
     // r8: group-size / keeper / first-occurrence devices must be
     // groupBy + equi-join back, never min/count over
     // Window.partitionBy(content-hash): a window partition is ONE task
     // and is not AQE-splittable, so at web scale a mass-duplicate key
     // (every empty doc normalizes to one hash, a viral page/image is
     // byte-identical 10⁷ times, the zero vector) funnels that whole
-    // group through a single straggler. These are the content-identity
-    // key names across the dedup family (doc text, binary payload,
-    // vector, paragraph, span); bucket/df keys (capBuckets, shingle df)
-    // are a different class — their windows reuse the join's own shuffle
-    // and their keys are post-collapse distinct-text-scoped.
-    val contentKeys = Set("content_hash", "th", "ph", "vh", "hp", "hg")
+    // group through a single straggler. r9 widens the pin from the
+    // content-identity keys (doc text, binary payload, vector,
+    // paragraph, span) to the candidate-stage FEATURE keys too (shingle
+    // hash, simhash chunk, LSH band/code): a hot feature bucket among
+    // DISTINCT texts — a stop-phrase shingle, a universal simhash byte —
+    // is the same one-task shape, materialized only to be discarded by
+    // the cap. capBuckets / the ngram df cap now use groupBy + semi-join
+    // back (AQE-skew-splittable); this pin keeps every dedup-family join
+    // key on that device.
+    val contentKeys = Set("content_hash", "th", "ph", "vh", "hp", "hg",
+      "hs", "chunk", "chunk_idx", "band_hash", "band_idx", "code")
     for (q <- SparkEntry.registry) {
       val offenders = q.run(spark, sfDir).queryExecution.optimizedPlan.collect {
         case w: LogicalWindow
