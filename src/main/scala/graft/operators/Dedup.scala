@@ -358,28 +358,38 @@ object Dedup {
       .select("th", "simhash")
   }
 
+  /** Representative-level simhash candidate pairs (one row per pair of
+    * DISTINCT raw texts sharing a blocking chunk), the pre-expansion core
+    * shared by q_dedup_simhash and q_dedup_simhash_rep.
+    */
+  private[operators] def simhashRepPairs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val (members, reps) = collapseExact(s, d)
+    // r8: the token-explode + 64-bit-sum signature stage serves from
+    // the persisted th-keyed table (see q_dedup_minhash's note)
+    val sigs = reps.select(col("doc_id"), col("th"))
+      .join(AnnIndex.textSigs(s, d, "SH", shEncode), "th").drop("th")
+    val rawChunks = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
+      (0 until 8).map(c => shiftright(col("simhash"), 8 * c).bitwiseAND(lit(0xFFL))): _*))
+      .as(Seq("chunk_idx", "chunk")))
+    // Skew guard: corpora with a shared vocabulary make some byte
+    // patterns near-universal; see capBuckets.
+    val chunks = capBuckets(rawChunks, Seq("chunk_idx", "chunk"), 64)
+    val repPairs = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+    (repPairs, members)
+  }
+
   val simhash: Q = Q(
     "q_dedup_simhash",
     (s, d) => {
-      val (members, reps) = collapseExact(s, d)
-      // r8: the token-explode + 64-bit-sum signature stage serves from
-      // the persisted th-keyed table (see q_dedup_minhash's note)
-      val sigs = reps.select(col("doc_id"), col("th"))
-        .join(AnnIndex.textSigs(s, d, "SH", shEncode), "th").drop("th")
-      val rawChunks = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
-        (0 until 8).map(c => shiftright(col("simhash"), 8 * c).bitwiseAND(lit(0xFFL))): _*))
-        .as(Seq("chunk_idx", "chunk")))
-      // Skew guard: corpora with a shared vocabulary make some byte
-      // patterns near-universal; see capBuckets.
-      val chunks = capBuckets(rawChunks, Seq("chunk_idx", "chunk"), 64)
-      val repPairs = chunks.as("a")
-        .join(chunks.as("b"),
-          col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk") === col("b.chunk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-        .distinct()
+      val (repPairs, members) = simhashRepPairs(s, d)
       // identical texts: identical signatures, hamming 0 by construction
       val within = members.as("x")
         .join(members.as("y"),
@@ -395,6 +405,114 @@ object Dedup {
         .transform(Det.sortAll)
     },
     None
+  )
+
+  /** G. Rep-level near-dup output — the FineWeb/SemDeDup consumption
+    * shape and the family's 100 TB default: ONE row per pair of DISTINCT
+    * texts (the representatives), carrying both groups' member counts,
+    * instead of the member-doc expansion. The expanded contract
+    * (q_dedup_simhash) is quadratic in the duplication factor BY
+    * CONTRACT — a 10⁵-duplicate viral page alone yields ~10¹⁰ member
+    * pairs at web scale, unwritable regardless of plan quality — while
+    * the rep-level output is linear in distinct content: a keep/purge
+    * pipeline decides per GROUP (keep rep_a's group, purge rep_b's, or
+    * union them into a cluster) and never needs the member cross
+    * product; [[membersManifest]] (q_dedup_members) is the join that
+    * recovers doc-level verdicts. Expansion equivalence is spec-proven:
+    * rep pairs × manifest ∪ within-group pairs == the expanded operator
+    * row-for-row. Approximate blocking family ⇒ rows-only driver check.
+    */
+  val simhashRep: Q = Q(
+    "q_dedup_simhash_rep",
+    (s, d) => {
+      val (repPairs, members) = simhashRepPairs(s, d)
+      val sizes = members.groupBy("rep").agg(count(lit(1)).as("n"))
+      repPairs.where(col("hamming") <= 12)
+        .join(sizes.select(col("rep").as("rep_a"), col("n").as("n_a")), "rep_a")
+        .join(sizes.select(col("rep").as("rep_b"), col("n").as("n_b")), "rep_b")
+        .select("rep_a", "rep_b", "hamming", "n_a", "n_b")
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  /** G. Rep-level n-gram Jaccard pairs — the oracle-checked member of
+    * the rep-level family (see [[simhashRep]] for the scale rationale):
+    * exact Jaccard over df-capped shingles between DISTINCT raw texts,
+    * one row per qualifying representative pair with both groups'
+    * member counts. Hash-matched against a DuckDB oracle that collapses
+    * to min-doc representatives and applies the identical member-doc df
+    * cap, so the rep-level device itself (collapse, persisted-signature
+    * serve, cap, join) is pinned by the gate — q_dedup_ngram then
+    * proves the expansion on top of the same core.
+    */
+  val ngramRep: Q = Q(
+    "q_dedup_ngram_rep",
+    (s, d) => {
+      val (repPairs, members, _) = ngramRepPairs(s, d)
+      val sizes = members.groupBy("rep").agg(count(lit(1)).as("n"))
+      repPairs
+        .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+        .join(sizes.select(col("rep").as("rep_a"), col("n").as("n_a")), "rep_a")
+        .join(sizes.select(col("rep").as("rep_b"), col("n").as("n_b")), "rep_b")
+        .select("rep_a", "rep_b", "inter", "uni", "jaccard", "n_a", "n_b")
+        .transform(Det.sortAll)
+    },
+    Some("""WITH g AS (
+            |  SELECT md5(text) AS th, MIN(doc_id) AS rep, COUNT(*) AS gsz
+            |  FROM documents GROUP BY 1
+            |), reps AS (
+            |  SELECT g.rep AS doc_id, g.gsz, d.text
+            |  FROM g JOIN documents d ON d.doc_id = g.rep
+            |), w AS (
+            |  SELECT doc_id, gsz, regexp_split_to_array(text, ' +') AS ws FROM reps
+            |), sh0 AS (
+            |  SELECT DISTINCT doc_id, gsz, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+            |), sh AS (
+            |  SELECT doc_id, s FROM (
+            |    SELECT doc_id, s, SUM(gsz) OVER (PARTITION BY s) AS df FROM sh0
+            |  ) WHERE df <= 128
+            |), cnt AS (
+            |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+            |), pairs AS (
+            |  SELECT a.doc_id AS rep_a, b.doc_id AS rep_b, COUNT(*) AS inter
+            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2
+            |)
+            |SELECT p.rep_a, p.rep_b, p.inter,
+            |       ca.nsh + cb.nsh - p.inter AS uni,
+            |       CAST(p.inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - p.inter AS DOUBLE) AS jaccard,
+            |       ga.gsz AS n_a, gb.gsz AS n_b
+            |FROM pairs p
+            |JOIN cnt ca ON p.rep_a = ca.doc_id
+            |JOIN cnt cb ON p.rep_b = cb.doc_id
+            |JOIN g ga ON p.rep_a = ga.rep
+            |JOIN g gb ON p.rep_b = gb.rep
+            |WHERE p.inter >= 3
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. The members manifest — the doc↔representative mapping that turns
+    * rep-level verdicts ([[simhashRep]], [[ngramRep]]) back into
+    * doc-level ones: one row per document with its group's
+    * representative (min doc_id over identical raw text) and size. The
+    * exact-identity twin of q_dedup_exact keyed on RAW text (the
+    * near-dup family's collapse key) rather than normalized text.
+    * Linear in the corpus, hash-matched.
+    */
+  val membersManifest: Q = Q(
+    "q_dedup_members",
+    (s, d) => {
+      val (members, reps) = collapseExact(s, d)
+      members.join(reps.select(col("doc_id").as("rep"), col("gsz")), "rep")
+        .select(col("doc_id"), col("rep"), col("gsz").as("group_size"))
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT doc_id,
+            |       MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep,
+            |       COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+            |FROM documents ORDER BY ALL""".stripMargin)
   )
 
   /** G. Near-dup clusters: connected components over the dedup pair graph
@@ -500,32 +618,11 @@ object Dedup {
       .select((labeled.columns.map(col) :+ col("cluster_size")).toIndexedSeq: _*)
   }
 
-  /** (doc_id, cluster_id) labels of the near-dup graph — the shared
-    * cluster computation behind q_dedup_clusters and q_split_assign:
-    * exact-dup edges (groupBy + equi-join keeper device — never
-    * min-over-window on the content hash) unioned with ngram-Jaccard
-    * ≥ 0.5 edges, closed by pointer-jumping connected components.
-    */
-  /** Doc-level cluster labels (doc_id, cluster_id = min doc of the
-    * near-dup component), with the component computation COLLAPSED to
-    * distinct-normalized-text nodes (late-r8). The old formulation ran
-    * label propagation over ONE NODE PER DOCUMENT with explicit
-    * exact-dup edges — on a web-shape corpus (the 100× smoke duplicates
-    * every text ×100 verbatim) that multiplies the CC node set, the
-    * per-round edge join, and the label state by the duplication factor
-    * for zero information: every doc of one normalized text is in the
-    * same component BY DEFINITION of the exact edges. Nodes are now the
-    * distinct normalized texts (node id = the group's min doc_id, so the
-    * propagated min-label IS the doc-level cluster id), ngram rep pairs
-    * bridge nodes (a raw-text group maps into exactly one normalized
-    * group), and docs join their node's label back at serve — the
-    * collapseExact asymmetry applied to the component computation
-    * itself. Output provably identical (same blobs, same bridges, same
-    * min-doc labels); the hash gate agrees.
-    */
   /** Ensure the persisted component-label artifact is current for `d`
-    * (build or delta-append as needed) and return it — the maintenance
-    * entry point the continuous-clustering sink calls per micro-batch.
+    * (build or delta-append as needed) and return its (nth, ckey) rows —
+    * the maintenance entry point
+    * [[graft.streaming.EventStream.clusterIndexSink]] calls per
+    * micro-batch (and [[clusterLabels]] calls at serve).
     */
   private[graft] def clusterIndex(s: SparkSession, d: String): DataFrame = {
     val docs = graft.CacheBag.track(T.documents(s, d)
@@ -558,6 +655,28 @@ object Dedup {
     AnnIndex.ccIndex(s, d, () => fullBuild(), ccTryDelta(s, d))
   }
 
+  /** Doc-level cluster labels (doc_id, cluster_id = min doc of the
+    * near-dup component) — the shared cluster computation behind
+    * q_dedup_clusters and q_split_assign: exact-dup edges (groupBy +
+    * equi-join keeper device — never min-over-window on the content
+    * hash) unioned with ngram-Jaccard ≥ 0.5 edges, closed by
+    * pointer-jumping connected components, with the component
+    * computation COLLAPSED to distinct-normalized-text nodes (late-r8).
+    * The old formulation ran label propagation over ONE NODE PER
+    * DOCUMENT with explicit exact-dup edges — on a web-shape corpus
+    * (the 100× smoke duplicates every text ×100 verbatim) that
+    * multiplies the CC node set, the per-round edge join, and the label
+    * state by the duplication factor for zero information: every doc of
+    * one normalized text is in the same component BY DEFINITION of the
+    * exact edges. Nodes are the distinct normalized texts (node id =
+    * the group's min doc_id, so the propagated min-label IS the
+    * doc-level cluster id), ngram rep pairs bridge nodes (a raw-text
+    * group maps into exactly one normalized group), and docs join their
+    * node's label back at serve — the collapseExact asymmetry applied
+    * to the component computation itself. Output provably identical
+    * (same blobs, same bridges, same min-doc labels); the hash gate
+    * agrees.
+    */
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     // ~50 B/doc narrow frame consumed by the node groupBy, the rep→node
     // mapping and the serve join — cached query-lifetime (funnel device)
@@ -1365,7 +1484,7 @@ object Dedup {
             |ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, clusters,
-    decontaminate, spanDedup, paragraphDedup, incremental, bloomDedup,
-    splitAssign)
+  val all: Seq[Q] = Seq(exact, ngramJaccard, ngramRep, minhashLsh, simhash,
+    simhashRep, membersManifest, clusters, decontaminate, spanDedup,
+    paragraphDedup, incremental, bloomDedup, splitAssign)
 }

@@ -155,6 +155,42 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall below 0.8 floor")
   }
 
+  test("rep-level output: manifest expansion reconstructs the expanded simhash pairs exactly") {
+    // the 100 TB consumption shape: (rep_a, rep_b) pairs + the members
+    // manifest must carry the SAME information as the member-doc
+    // expansion — rebuild the expansion from the two rep-level outputs
+    // and demand row-set equality with q_dedup_simhash, plus the pair
+    // count reconciling to Σ n_a·n_b + Σ k(k-1)/2
+    val dir = "/root/testdata/sf0.001"
+    val rep = Dedup.simhashRep.run(spark, dir).cache()
+    val mem = Dedup.membersManifest.run(spark, dir).select("doc_id", "rep").cache()
+    val cross = rep
+      .join(mem.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(mem.select(col("rep").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    val rebuilt = cross.union(within)
+      .as[(Long, Long, Long)].collect().toSet
+    val expanded = Dedup.simhash.run(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rebuilt == expanded,
+      s"rep-level rebuild diverges: ${(rebuilt -- expanded).take(3)} vs ${(expanded -- rebuilt).take(3)}")
+    // the budget arithmetic a consumer uses to size (or refuse) an expansion
+    val crossBudget = rep.agg(sum(col("n_a") * col("n_b"))).head().getLong(0)
+    val withinBudget = Dedup.membersManifest.run(spark, dir)
+      .select("rep", "group_size").distinct()
+      .agg(sum(col("group_size") * (col("group_size") - lit(1L))))
+      .head().getLong(0) / 2
+    assert(crossBudget + withinBudget == expanded.size.toLong,
+      s"pair budget ${crossBudget + withinBudget} != expanded ${expanded.size}")
+    rep.unpersist(); mem.unpersist()
+  }
+
   test("simhash hamming distance is small for near-dup, large for far") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " aa bb"
@@ -1558,6 +1594,44 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.frameSample(spark, media, 1).collect().length == 2)
   }
 
+  test("multimodal frame sampling: APNG fcTL chunk walk is the second real container behind the seam") {
+    // hand-built 2-frame APNG per the public PNG/APNG chunk grammar
+    // (len|type|data|crc, big-endian): IHDR, acTL, fcTL(4x3), IDAT,
+    // fcTL(2x2), fdAT, IEND — crcs are garbage the walker must skip,
+    // pixel chunks are garbage it must never decode
+    def be32(v: Int): Seq[Int] =
+      Seq((v >>> 24) & 0xff, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    def chunk(tpe: String, data: Seq[Int]): Seq[Int] =
+      be32(data.length) ++ tpe.map(_.toInt) ++ data ++ Seq(0xDE, 0xAD, 0xBE, 0xEF)
+    def fctl(seq: Int, w: Int, h: Int): Seq[Int] =
+      be32(seq) ++ be32(w) ++ be32(h) ++ be32(0) ++ be32(0) ++ Seq(0, 1, 0, 10, 0, 0)
+    val sig = Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    val apng = (sig ++
+      chunk("IHDR", be32(4) ++ be32(3) ++ Seq(8, 6, 0, 0, 0)) ++
+      chunk("acTL", be32(2) ++ be32(0)) ++
+      chunk("fcTL", fctl(0, 4, 3)) ++
+      chunk("IDAT", Seq(0xAA, 0xBB, 0xCC)) ++
+      chunk("fcTL", fctl(1, 2, 2)) ++
+      chunk("fdAT", be32(2) ++ Seq(0xDD)) ++
+      chunk("IEND", Nil)).map(_.toByte).toArray
+    val frames = Multimodal.apngFrames(apng)
+    assert(frames.map { case (_, w, h) => (w, h) } == Seq((4, 3), (2, 2)))
+    assert(frames.map(_._1) == frames.map(_._1).sorted, "offsets must ascend")
+    // a STILL png (no fcTL) emits nothing through the sampler
+    val still = (sig ++
+      chunk("IHDR", be32(9) ++ be32(9) ++ Seq(8, 6, 0, 0, 0)) ++
+      chunk("IDAT", Seq(1, 2, 3)) ++ chunk("IEND", Nil)).map(_.toByte).toArray
+    val media = Seq((1L, apng), (2L, still)).toDF("doc_id", "payload")
+    assert(Multimodal.frameSample(spark, media, 1).collect().toSeq
+      .map(f => (f.doc_id, f.frame_idx, f.width, f.height))
+      .sortBy(x => (x._1, x._2)) == Seq((1L, 0, 4, 3), (1L, 1, 2, 2)))
+    // stride 2 = the fps downsample: every other frame
+    assert(Multimodal.frameSample(spark, media, 2).collect().toSeq
+      .map(f => (f.doc_id, f.frame_idx)) == Seq((1L, 0)))
+    // truncation mid-fcTL: frames found so far (none), never a misparse
+    assert(Multimodal.apngFrames(apng.take(73)).isEmpty)
+  }
+
   // ---- generic dbt schema-test battery -------------------------------
 
   test("schema tests: the whole battery passes on the healthy corpus") {
@@ -1625,6 +1699,35 @@ class OperatorsSpec extends SparkSpec {
     val out = EventOps.tzRollup.run(spark, sfDir)
     assert(out.agg(sum("n_events")).head.getLong(0) ==
       T.events(spark, sfDir).count())
+  }
+
+  test("tz rollup: the zone is a parameter; a southern-hemisphere zone's opposite DST sense resolves") {
+    // the reference's time_zone is a dbt VAR — drive the same plan with
+    // Australia/Sydney, whose DST runs October→April (opposite sense to
+    // LA). Spring forward 2024-10-06: 02:00–03:00 AEDT does not exist —
+    // 15:30 UTC (Oct 5) is 01:30 AEST; one UTC hour later is 03:30 AEDT.
+    val ns = Seq("2024-10-05T15:30:00Z", "2024-10-05T16:30:00Z")
+      .map(x => java.time.Instant.parse(x).getEpochSecond * 1000000000L)
+    val hours = ns.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "ts")
+      .orderBy("id")
+      .select(date_format(from_utc_timestamp(
+        timestamp_seconds(expr("ts div 1000000000")), "Australia/Sydney"),
+        "HH:mm").as("h"))
+      .as[String].collect().toSeq
+    assert(hours == Seq("01:30", "03:30"))
+    // the parameterized core under the Sydney zone: count conserved, and
+    // the regroup genuinely differs from the LA rollup (UTC+10/+11 vs
+    // UTC-8/-7 puts most events on different business days)
+    val syd = EventOps.tzRollupIn(spark, sfDir, "Australia/Sydney")
+    assert(syd.agg(sum("n_events")).head.getLong(0) ==
+      T.events(spark, sfDir).count())
+    val la = EventOps.tzRollup.run(spark, sfDir)
+    val sydDates = syd.select("local_date", "event_type", "n_events")
+      .as[(String, String, Long)].collect().toSet
+    val laDates = la.select("local_date", "event_type", "n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(sydDates != laDates, "Sydney rollup identical to LA — zone ignored")
   }
 
   // ---- BPE subword tokenization --------------------------------------
