@@ -453,6 +453,20 @@ object Similarity {
     * a stream-static join. Everything here is stateless per batch — the
     * scale axis is the persisted index, not stream state.
     */
+  /** Bring the persisted LSH signature index current for `d` — fit on
+    * first sight, FROZEN-geometry delta encode on a pure append, drift
+    * refit past [[AnnIndex.refitFraction]] — the per-micro-batch
+    * maintenance entry of graft.streaming.EventStream.annIndexSink (the
+    * ingest loop that keeps [[annServeLshBatch]]'s static side fresh).
+    * LSH is the streaming-serve family, so it is the one maintained per
+    * batch; the trained-codebook families (IVF/PQ) refresh on their own
+    * first-touch/append discipline at serve time.
+    */
+  private[graft] def ensureAnnIndex(s: SparkSession, d: String): Unit = {
+    AnnIndex.lsh(s, d, vecs(s, d))
+    ()
+  }
+
   private[graft] def annServeLshBatch(s: SparkSession, d: String,
       queryBatch: DataFrame, k: Int = 5): DataFrame = {
     val e = vecs(s, d)

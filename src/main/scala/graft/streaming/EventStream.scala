@@ -160,7 +160,12 @@ object EventStream {
       .foreachBatch((batch: Dataset[Row], batchId: Long) => {
         writeBatchIdempotent(batch.toDF(), batchId,
           s"$corpusDir/documents.parquet")
-        graft.operators.AnnIndex.lex(s, corpusDir)
+        // maintenance is one "query" per micro-batch: release its
+        // CacheBag entries — a cached corpus-path frame would serve the
+        // PREVIOUS batch's file listing to the next one (the batch
+        // harness never mutates a table, streams do every batch)
+        try graft.operators.AnnIndex.lex(s, corpusDir)
+        finally graft.CacheBag.release()
         ()
       })
 
@@ -186,7 +191,67 @@ object EventStream {
       .foreachBatch((batch: Dataset[Row], batchId: Long) => {
         writeBatchIdempotent(batch.toDF(), batchId,
           s"$corpusDir/documents.parquet")
-        graft.operators.AnnIndex.bpeVocab(s, corpusDir)
+        // per-batch cache release — see lexIndexSink
+        try graft.operators.AnnIndex.bpeVocab(s, corpusDir)
+        finally graft.CacheBag.release()
+        ()
+      })
+
+  /** H. Continuous near-dup clustering — the component-label view of the
+    * [[lexIndexSink]] loop: each documents micro-batch lands as a
+    * batch-scoped idempotent partition of the corpus table, then the
+    * persisted component labels ([[graft.operators.Dedup.clusterIndex]] →
+    * AnnIndex.ccIndex) are brought current. The maintenance step goes
+    * through the exactness-proven incremental path when the append is
+    * structure-monotone (new texts' edges merge into existing components
+    * via a driver union-find over the REDUCED graph — component-count-
+    * sized, never the corpus), and detects a df-cap crossing (which can
+    * delete old edges) to force a full refit instead of serving a wrong
+    * closure. Write-then-maintain ordering makes replays safe exactly as
+    * in lexIndexSink; q_dedup_clusters / q_split_assign then serve
+    * cluster-label joins current to the last closed micro-batch.
+    */
+  def clusterIndexSink(s: SparkSession, corpusDir: String, docs: DataFrame,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Row], batchId: Long) => {
+        writeBatchIdempotent(batch.toDF(), batchId,
+          s"$corpusDir/documents.parquet")
+        // per-batch cache release — see lexIndexSink
+        try graft.operators.Dedup.clusterIndex(s, corpusDir)
+        finally graft.CacheBag.release()
+        ()
+      })
+
+  /** H. Continuous ANN index maintenance — the vector-ingest twin of
+    * [[lexIndexSink]], closing the loop that [[annServeLshSink]] reads
+    * from: each embeddings micro-batch lands as a batch-scoped
+    * idempotent partition of the vector table, then the persisted LSH
+    * signature index is brought current
+    * ([[graft.operators.Similarity.ensureAnnIndex]] →
+    * AnnIndex.lsh). On a pure append the delta encodes under the
+    * index's FROZEN geometry (bits/bands/radius from fit time — the
+    * stored signatures' bucket space; re-solving from the grown n would
+    * desynchronize serve probes from stored codes) and chains; once
+    * frozen-encoded rows pass the drift threshold
+    * (AnnIndex.refitFraction) maintenance refits instead — the same
+    * append/refit discipline the batch spec pins, now exercised across
+    * micro-batch boundaries. Write-then-maintain ordering makes replays
+    * safe exactly as in lexIndexSink.
+    */
+  def annIndexSink(s: SparkSession, corpusDir: String, vecs: DataFrame,
+      checkpoint: String): DataStreamWriter[Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Row], batchId: Long) => {
+        writeBatchIdempotent(batch.toDF(), batchId,
+          s"$corpusDir/embeddings.parquet")
+        // per-batch cache release — see lexIndexSink
+        try graft.operators.Similarity.ensureAnnIndex(s, corpusDir)
+        finally graft.CacheBag.release()
         ()
       })
 
@@ -490,9 +555,12 @@ object EventStream {
 
   case class FunnelOut(user_id: Long, t1: Long, t2_ms: Long, t3_ms: Long,
       depth: Long)
-  // public: Spark's state encoder codegen needs constructor/field access
-  case class FunnelBuf(t1: Long, clicks: Seq[Long], purchases: Seq[Long],
-      maxSeen: Long)
+  // public: Spark's state encoder codegen needs constructor/field access.
+  // hasView is an explicit flag, not a t1 sign-test: a -1 sentinel would
+  // conflate "no view yet" with a genuinely negative (pre-1970) event
+  // time and silently drop that user at timeout.
+  case class FunnelBuf(hasView: Boolean, t1: Long, clicks: Seq[Long],
+      purchases: Seq[Long], maxSeen: Long)
 
   /** H. Streaming ordered conversion funnel — the continuous twin of
     * batch q_window_funnel (operators.EventOps): per user, the
@@ -530,7 +598,7 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[FunnelBuf]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.filter(_.t1 >= 0).map { st =>
+            val out = state.getOption.filter(_.hasView).map { st =>
               val end = st.t1 + windowMs
               val t2 = st.clicks.filter(c => c > st.t1 && c <= end)
                 .sorted.headOption
@@ -543,12 +611,12 @@ object EventStream {
             out.iterator
           } else {
             var st = state.getOption
-              .getOrElse(FunnelBuf(-1L, Nil, Nil, Long.MinValue))
+              .getOrElse(FunnelBuf(hasView = false, 0L, Nil, Nil, Long.MinValue))
             rows.foreach { e =>
               val t = e.ts.getTime
               e.event_type match {
                 case "view" =>
-                  if (st.t1 < 0 || t < st.t1) st = st.copy(t1 = t)
+                  if (!st.hasView || t < st.t1) st = st.copy(hasView = true, t1 = t)
                 case "click" => st = st.copy(clicks = st.clicks :+ t)
                 case "purchase" => st = st.copy(purchases = st.purchases :+ t)
                 case _ => ()
@@ -556,11 +624,11 @@ object EventStream {
               if (t > st.maxSeen) st = st.copy(maxSeen = t)
             }
             val wm = state.getCurrentWatermarkMs()
-            val end = if (st.t1 >= 0) st.t1 + windowMs else Long.MaxValue
+            val end = if (st.hasView) st.t1 + windowMs else Long.MaxValue
             val clicks = st.clicks.filter(c =>
-              c <= end && (c > wm || (st.t1 >= 0 && c > st.t1)))
+              c <= end && (c > wm || (st.hasView && c > st.t1)))
             val t2lb =
-              if (st.t1 >= 0)
+              if (st.hasView)
                 clicks.filter(c => c > st.t1).sorted.headOption
                   .getOrElse(Long.MaxValue)
               else Long.MaxValue
@@ -569,7 +637,7 @@ object EventStream {
             st = st.copy(clicks = clicks, purchases = purchases)
             state.update(st)
             val timeoutAt =
-              if (st.t1 >= 0) st.t1 + windowMs else st.maxSeen + windowMs
+              if (st.hasView) st.t1 + windowMs else st.maxSeen + windowMs
             state.setTimeoutTimestamp(math.max(timeoutAt, wm + 1))
             Iterator.empty
           }

@@ -502,6 +502,126 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  case class Vec(vec_id: Long, embedding: Seq[Float])
+
+  test("continuous ANN maintenance: frozen-geometry delta encode, drift refit, serve stays accurate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, Similarity}
+    val corpus = java.nio.file.Files.createTempDirectory("graftanns").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftannsroot").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graftannsckpt").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    val dim = 16
+    def vec(i: Long): Seq[Float] =
+      (0 until dim).map(j => math.sin(i * 31.0 + j * 7.0).toFloat)
+    def noisy(i: Long): Seq[Float] =
+      (0 until dim).map(j =>
+        (math.sin(i * 31.0 + j * 7.0) + 0.02 * math.sin(i * 13.0 + j * 3.0)).toFloat)
+    // perturbed copies of corpus vectors must resolve to their source
+    def recall(ids: Seq[Long]): Int = {
+      val q = ids.map(i => (i + 100000L, noisy(i))).toDF("query_id", "embedding")
+      val got = Similarity.annServeLshBatch(spark, corpus, q, 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      ids.count(i => got.get(i + 100000L).contains(i))
+    }
+    try {
+      val mem = MemoryStream[Vec]
+      val (e0, a0) = (AnnIndex.lshEncodes.get(), AnnIndex.lshAppends.get())
+      val q = EventStream.annIndexSink(spark, corpus, mem.toDF(), ckpt).start()
+      mem.addData((0L until 60L).map(i => Vec(i, vec(i))): _*)
+      q.processAllAvailable()
+      assert(AnnIndex.lshEncodes.get() == e0 + 1 &&
+        AnnIndex.lshAppends.get() == a0, "batch 1 is the one full corpus encode")
+      // batch 2: 10 rows on a 60-row fit — inside refitFraction, so the
+      // delta must encode under the FROZEN fit geometry and chain
+      mem.addData((60L until 70L).map(i => Vec(i, vec(i))): _*)
+      q.processAllAvailable()
+      assert(AnnIndex.lshEncodes.get() == e0 + 1 &&
+        AnnIndex.lshAppends.get() == a0 + 1,
+        "batch 2 must frozen-geometry delta-encode, never re-encode the corpus")
+      // the appended vectors are SERVED through the chained index
+      val r2 = recall(60L until 70L)
+      assert(r2 >= 8, s"recall through streamed append: $r2/10")
+      // batch 3: 40 more rows → (110-60)/110 > refitFraction — the drift
+      // trigger must REFIT (parity with the batch append/refit spec)
+      mem.addData((70L until 110L).map(i => Vec(i, vec(i))): _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(AnnIndex.lshEncodes.get() == e0 + 2 &&
+        AnnIndex.lshAppends.get() == a0 + 1,
+        "frozen-encoded rows past refitFraction must refit, not chain")
+      val r3 = recall(100L until 110L)
+      assert(r3 >= 8, s"recall after streamed refit: $r3/10")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      for (d <- Seq(corpus, idxRoot, ckpt)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  test("continuous clustering: micro-batches delta-append labels; serve equals a fresh build") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, Dedup}
+    val corpus = java.nio.file.Files.createTempDirectory("graftcc2").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftcc2root").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftcc2root2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graftcc2ckpt").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")          // X
+    val xPrime = (1 to 9).map(i => s"w$i").mkString(" ") + " z1" // ~X (J=7/9)
+    val xChain = (1 to 8).map(i => s"w$i").mkString(" ") + " z1 z2" // ~X' (J=6/10)
+    try {
+      val mem = MemoryStream[Doc]
+      val (e0, a0) = (AnnIndex.ccEncodes.get(), AnnIndex.ccAppends.get())
+      val q = EventStream.clusterIndexSink(spark, corpus, mem.toDF(), ckpt).start()
+      // batch 1: the {X, X'} near-dup component + two isolated uniques
+      mem.addData(Doc(0L, base), Doc(1L, xPrime),
+        Doc(2L, "totally different content nothing shared here at all"),
+        Doc(3L, "another unrelated document with its own words only"))
+      q.processAllAvailable()
+      assert(AnnIndex.ccEncodes.get() == e0 + 1 &&
+        AnnIndex.ccAppends.get() == a0, "batch 1 is the one full component build")
+      // batch 2: X'' chains onto X' — the new text must JOIN the existing
+      // component through the incremental union-find, not a rebuild
+      mem.addData(Doc(4L, xChain),
+        Doc(5L, "yet another unique text with completely fresh vocabulary"))
+      q.processAllAvailable()
+      assert(AnnIndex.ccEncodes.get() == e0 + 1 &&
+        AnnIndex.ccAppends.get() == a0 + 1,
+        "batch 2 must delta-append, never re-run label propagation")
+      // batch 3: an exact duplicate of X (no new distinct text, labels
+      // must absorb the member without structural change) + one unique
+      mem.addData(Doc(6L, base),
+        Doc(7L, "final batch brings one more standalone document text"))
+      q.processAllAvailable()
+      q.stop()
+      assert(AnnIndex.ccEncodes.get() == e0 + 1 &&
+        AnnIndex.ccAppends.get() == a0 + 2)
+      val streamed = Dedup.clusters.run(spark, corpus).collect().map(_.toString).toSeq
+      assert(AnnIndex.ccEncodes.get() == e0 + 1, "serve must not rebuild")
+      // the chained component reached {0,1,4,6}
+      val byDoc = Dedup.clusters.run(spark, corpus)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(Seq(0L, 1L, 4L, 6L).map(byDoc) == Seq(0L, 0L, 0L, 0L),
+        s"chained component broken: $byDoc")
+      assert(Seq(2L, 3L, 5L, 7L).map(byDoc) == Seq(2L, 3L, 5L, 7L))
+      // and the streamed labels equal a from-scratch build of the landed table
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = Dedup.clusters.run(spark, corpus).collect().map(_.toString).toSeq
+      assert(streamed == fresh, "streamed labels diverge from fresh build")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      for (d <- Seq(corpus, idxRoot, freshRoot, ckpt)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("streaming funnel: depths finalize at the window's watermark and match batch") {
     import graft.streaming.EventStream.{TypedEv, FunnelOut}
     implicit val sqlCtx = spark.sqlContext
