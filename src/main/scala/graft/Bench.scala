@@ -18,18 +18,26 @@ object Bench {
     // both in-order passes crossed the same noisy window). A query that
     // throws must not masquerade as a fast one: its elapsed time is
     // discarded and it is reported in a "failed" list instead.
-    // ANN fit/append activity per timing: the persisted index survives
+    // Fit/append activity per timing: a persisted artifact survives
     // across runs, so a recorded min is usually a pure WARM serve — a
     // fit-path regression would be invisible unless the artifact says
     // which timings paid a fit/encode (ADVICE r7). Any counter movement
-    // during a query marks that pass "cold".
+    // during a query marks that pass "cold". r9: the sum covers EVERY
+    // persisted-artifact family — ANN (ivf/pq/lsh/ivfpq), LEX postings,
+    // text signatures, BPE vocabulary + merge-table training, and CC
+    // component labels — BENCH_r08's cold map was empty while
+    // q_split_assign p1 paid a 7.6 s CC fit and q_bpe_train p1 a 4.1 s
+    // vocabulary build, exactly the blind spot this closes.
     def fitCount(): Long = {
       import graft.operators.AnnIndex._
       ivfFits.get + pqFits.get + lshEncodes.get +
         ivfAppends.get + pqAppends.get + lshAppends.get +
         ivfpqEncodes.get + ivfpqAppends.get +
         lexEncodes.get + lexAppends.get +
-        sigEncodes.get + sigAppends.get
+        sigEncodes.get + sigAppends.get +
+        vocabEncodes.get + vocabAppends.get +
+        ccEncodes.get + ccAppends.get +
+        graft.operators.Bpe.bpeTrains.get
     }
     def timeOne(q: Q): (Either[String, Double], Boolean) = {
       val t0 = System.nanoTime()

@@ -109,13 +109,23 @@ object Bpe {
   private[graft] def wordFreq(s: SparkSession, d: String): DataFrame =
     wordFreqOf(T.documents(s, d).select("text"))
 
-  /** In-session model memo, keyed by the table's physical-file
-    * fingerprint (the IVF memo discipline: an in-place rewrite of the
-    * corpus retrains instead of serving stale merges).
+  /** In-session model memo: (dataset, m) → (content fingerprint, merges).
+    * The fingerprint VALIDATES the entry rather than keying it (the IVF
+    * memo discipline: an in-place rewrite of the corpus retrains instead
+    * of serving stale merges) — keyed on the fingerprint the map would
+    * grow one entry per content version for the life of the JVM (every
+    * micro-batch under a streaming sink adds a version); keyed on
+    * (dataset, m) it holds at most one live model per trained
+    * configuration, replaced on content change.
     */
   private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[Merge])]()
   private[graft] def resetMemo(): Unit = mergeCache.clear()
+
+  /** Count of real merge-table trainings (memo misses) — Bench folds this
+    * into its cold/warm fit attribution like the AnnIndex counters.
+    */
+  private[graft] val bpeTrains = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Train m merges over the corpus at `d`: the word counts serve from
     * the PERSISTED vocabulary ([[AnnIndex.bpeVocab]] — corpus tokenized
@@ -125,11 +135,12 @@ object Bpe {
     */
   private[graft] def trainMerges(s: SparkSession, d: String, m: Int): Seq[Merge] = {
     val fp = Similarity.tableFingerprint(s, s"$d/documents.parquet")
-    val key = s"$d#$m#$fp"
+    val key = s"$d#$m"
     val hit = mergeCache.get(key)
-    if (hit != null) return hit
+    if (hit != null && hit._1 == fp) return hit._2
+    bpeTrains.incrementAndGet()
     val result = trainFromFreq(AnnIndex.bpeVocab(s, d)._1, m)
-    mergeCache.put(key, result)
+    mergeCache.put(key, (fp, result))
     result
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Num, Q, T}
@@ -482,18 +483,27 @@ object EventOps {
     * (sub-second precision cannot move a date boundary). One map-side-
     * combined groupBy over a narrow projection; date×type-sized output.
     */
+  /** The zone-parameterized rollup core: the reference's time_zone is a
+    * dbt VAR (`dbt_project.yml:36`), not a constant, so the engine
+    * threads any IANA id — the registered query pins the reference's
+    * default; the spec additionally drives a southern-hemisphere zone
+    * (opposite DST sense) through the same plan.
+    */
+  private[graft] def tzRollupIn(s: SparkSession, d: String,
+      zone: String): DataFrame = {
+    val localTs = from_utc_timestamp(
+      timestamp_seconds(expr("ts div 1000000000")), zone)
+    T.events(s, d)
+      .select(date_format(localTs, "yyyy-MM-dd").as("local_date"),
+        col("event_type"), Num.cents(col("value")).as("cents"))
+      .groupBy("local_date", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+      .transform(Det.sortAll)
+  }
+
   val tzRollup: Q = Q(
     "q_tz_rollup",
-    (s, d) => {
-      val localTs = from_utc_timestamp(
-        timestamp_seconds(expr("ts div 1000000000")), "America/Los_Angeles")
-      T.events(s, d)
-        .select(date_format(localTs, "yyyy-MM-dd").as("local_date"),
-          col("event_type"), Num.cents(col("value")).as("cents"))
-        .groupBy("local_date", "event_type")
-        .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
-        .transform(Det.sortAll)
-    },
+    (s, d) => tzRollupIn(s, d, "America/Los_Angeles"),
     Some("""SELECT strftime(timezone('America/Los_Angeles',
             |         to_timestamp(epoch_ms(ts) // 1000)), '%Y-%m-%d') AS local_date,
             |       event_type,

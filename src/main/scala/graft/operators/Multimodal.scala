@@ -190,6 +190,43 @@ object Multimodal {
     out.result()
   }
 
+  /** APNG frame walk — the PNG-container twin of [[gifFrames]], so the
+    * keyframe-sampling seam rests on two real multi-frame containers:
+    * walk the chunk stream (4-byte big-endian length | 4-byte type |
+    * data | 4-byte crc, per the public PNG/APNG spec) and emit one
+    * (chunk byte offset, width, height) per fcTL frame-control chunk
+    * (width/height are the data's 2nd/3rd big-endian u32s, after the
+    * sequence number). A still PNG has no fcTL and emits nothing —
+    * decodeDataset's frames=1 rows. Pure byte arithmetic: pixel data
+    * (IDAT/fdAT) is never decoded, so the walk costs O(chunk count).
+    * Malformed/truncated streams return the frames found so far; a
+    * length overrunning the buffer stops the walk rather than misparse
+    * (the [[parseHeader]] sniffing semantics).
+    */
+  private[graft] def apngFrames(b: Array[Byte]): Seq[(Long, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 8 || !(0 until 8).forall(i => u8(i) == sig(i))) return Nil
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= b.length) {
+      val len = be32(i)
+      if (len > (b.length - i - 12).toLong) done = true // truncated/bogus
+      else if (b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' &&
+          b(i + 7) == 'D') done = true
+      else {
+        if (b(i + 4) == 'f' && b(i + 5) == 'c' && b(i + 6) == 'T' &&
+            b(i + 7) == 'L' && len >= 26)
+          out += ((i.toLong, be32(i + 12).toInt, be32(i + 16).toInt))
+        i += 12 + len.toInt
+      }
+    }
+    out.result()
+  }
+
   case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Long,
       width: Int, height: Int)
 
@@ -204,7 +241,9 @@ object Multimodal {
   def frameSampleBatch(stride: Int)(
       batch: Iterator[(Long, Array[Byte])]): Iterator[FrameMeta] =
     batch.flatMap { case (id, bytes) =>
-      gifFrames(bytes).zipWithIndex.collect {
+      // container signatures are mutually exclusive, so at most one
+      // walker emits; each returns Nil immediately on a foreign payload
+      (gifFrames(bytes) ++ apngFrames(bytes)).zipWithIndex.collect {
         case ((off, w, h), idx) if idx % stride == 0 =>
           FrameMeta(id, idx, off, w, h)
       }

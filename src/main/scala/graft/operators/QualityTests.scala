@@ -186,9 +186,15 @@ object QualityTests {
       // synthetic lineitem deliberately has no composite key (the
       // generator samples line numbers independently), so the event
       // stream's natural (user, event-time) identity carries this test.
+      // countDistinct over the STRUCT, not the bare column pair:
+      // count(DISTINCT a, b) drops rows where either column is NULL,
+      // while the DuckDB oracle's SELECT DISTINCT user_id, ts counts
+      // NULL tuples — struct(a, b) is itself never NULL, and distinct
+      // aggregation compares its fields null-safely, matching the
+      // oracle's row-value semantics if a null key ever appears.
       val eventsBattery = T.events(s, d)
         .agg(
-          (count(lit(1)) - countDistinct(col("user_id"), col("ts"))).as("t1"),
+          (count(lit(1)) - countDistinct(struct(col("user_id"), col("ts")))).as("t1"),
           count(when(col("event_type").isNull, 1)).as("t2"))
         .select(rows(
           "unique_combination: events.(user_id,ts)" -> col("t1"),
