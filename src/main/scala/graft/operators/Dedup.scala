@@ -102,8 +102,16 @@ object Dedup {
     * AQE-skew-splittable on the hot keys. Same device as [[collapseExact]];
     * the semi join's Exchange on `keys` is reused by the candidate
     * self-join on the same keys, so no shuffle is added vs the window.
+    *
+    * The priced trade: the keep-list branch re-derives `df`'s lineage (a
+    * narrow encode scan — there is no one-pass formulation of "filter
+    * each row by its key's total count" that doesn't co-locate whole
+    * buckets), measured ~15% on the sf0.1 ngram serve (3.0 → 3.5 s
+    * isolated). That second pass is linear and parallel at any scale;
+    * the window's hot-bucket straggler is unbounded — at 100 TB one
+    * stop-phrase bucket is a task that never finishes.
     */
-  private[operators] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val kept = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= cap)
       .select(keys.map(col): _*)

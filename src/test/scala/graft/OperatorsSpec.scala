@@ -72,17 +72,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out.where(col("keeper_id") === 0L).count() == n)
   }
 
-  test("hot shingle: ngram dedup survives one stop-phrase shared by 200k DISTINCT texts") {
+  test("hot shingle: ngram dedup survives one stop-phrase shared by 1M DISTINCT texts") {
     // the r9 hardening target — the FEATURE-key twin of the mega-duplicate
     // test above: a corpus-ubiquitous stop-phrase shingle among distinct
-    // texts (df = 200k ≫ the 128 cap). Under the old sum-over-window df
+    // texts (df = 10⁶ ≫ the 128 cap). Under the old sum-over-window df
     // device the whole hot bucket would ride ONE unsplittable window task
     // just to be discarded; the groupBy + semi-join device map-side-
     // combines the df count and AQE-splits the join back. Without the df
-    // cap itself the self-join would be quadratic (200k² candidate pairs
+    // cap itself the self-join would be quadratic (10¹² candidate pairs
     // from the shared boilerplate shingles) — so completing at all proves
     // the cap, and the plan assertion proves the device.
-    val n = 200000
+    val n = 1000000
     val boiler = spark.range(n).select(
       col("id").as("doc_id"),
       concat(lit("the common boiler plate filler u"), col("id")).as("text"))

@@ -84,6 +84,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("media container walkers never throw and emit ascending in-bounds offsets on arbitrary bytes") {
+    // the frame walkers run inside per-partition tasks over UNTRUSTED
+    // crawl payloads: any byte stream must yield a (possibly empty)
+    // frame list — never an exception, an out-of-bounds offset, or a
+    // non-terminating walk. Fuzzed over random buffers, random buffers
+    // behind each container's valid magic, and every truncation of the
+    // magic itself. Driver-side: the kernels are plain functions.
+    import graft.operators.Multimodal
+    val genBytes = Gen.chooseNum(0, 64)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+    val bufs = sample(genBytes, 300).map(_.toArray)
+    val gifMagic = "GIF89a".getBytes("US-ASCII")
+    val pngMagic = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val all = bufs ++ bufs.map(gifMagic ++ _) ++ bufs.map(pngMagic ++ _) ++
+      (0 to 8).map(pngMagic.take) ++ (0 to 6).map(gifMagic.take)
+    for (b <- all; fs <- Seq(Multimodal.gifFrames(b), Multimodal.apngFrames(b))) {
+      assert(fs.map(_._1) == fs.map(_._1).sorted, "offsets must ascend")
+      fs.foreach { case (off, _, _) =>
+        assert(off >= 0 && off < b.length, s"offset $off out of ${b.length}")
+      }
+    }
+  }
+
+  test("capBuckets: the semi-join device equals the count-over-window formulation on skewed keys") {
+    // the r9 rewrite's semantic pin: groupBy + LEFT SEMI back must keep
+    // EXACTLY the rows the one-pass window filter kept, for any key
+    // distribution and cap — generated with a deliberately skewed key
+    // mix (a few mass keys + a long tail) including duplicate rows
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      k <- Gen.frequency((8, Gen.chooseNum(0, 3)), (2, Gen.chooseNum(4, 40)))
+      p <- Gen.chooseNum(0, 1000)
+    } yield (k.toLong, p.toLong)
+    val df = sample(gen, 800).toDF("k", "p")
+    for (cap <- Seq(1, 5, 64)) {
+      val got = graft.operators.Dedup.capBuckets(df, Seq("k"), cap)
+        .select("k", "p").as[(Long, Long)].collect().toSeq.sorted
+      val want = df
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("k")))
+        .where(col("bsz") <= cap)
+        .select("k", "p").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"cap=$cap: semi-join device diverges from window filter")
+    }
+  }
+
   test("multi-probe LSH solver: boundary recall target met at every corpus size") {
     // The r4 scheme clamped the solved band count to the cost cap, so
     // expected boundary recall silently fell below target past n ≈ 4k.
