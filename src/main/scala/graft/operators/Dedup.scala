@@ -44,13 +44,28 @@ object Dedup {
     * merge two different docs, unlike the 64-bit candidate hashes where a
     * collision only perturbs one count.
     *
-    * Returns (members: rep ↔ doc_id, reps: one doc per distinct text with
-    * its group size).
+    * Returns (members: rep ↔ doc_id, reps: (doc_id, th, gsz) — one row
+    * per distinct text, doc_id = the group's min member). reps carries NO
+    * text column (r9): every consumer reads signatures from the persisted
+    * th-keyed table ([[AnnIndex.textSigs]]), so the pre-r8 text-fetch join
+    * was a dead corpus scan per lineage reference — reps is now the group
+    * table itself renamed, and the only corpus cost in this function's
+    * lineage is the one narrow (doc_id, md5(text)) scan.
     */
   private[operators] def collapseExact(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // (doc_id, th) funnel frame, deliberately NOT cached: the near-dup
+    // queries reference members/reps lineage several times, and each
+    // reference re-scans (doc_id, text)→md5 — but those rescans are
+    // narrow, embarrassingly parallel, and pushdown-pruned, while a
+    // columnar cache of the frame measured 40-100% SLOWER on the whole
+    // family at sf0.1 (cache build + InMemoryTableScan overhead exceeds
+    // the rescan cost, and the cached exchange blocks AQE reuse). At
+    // true 100 TB the persisted-signature artifact already carries the
+    // expensive per-content work; md5-scan multiplicity is the priced
+    // remainder.
     val docs = T.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("text"), md5(col("text")).as("th"))
+      .select(col("doc_id"), md5(col("text")).as("th"))
     // group identity (keeper id + size) via groupBy + equi-join back, NOT
     // min/count over Window.partitionBy(th): a window partition is one
     // unsplittable task, and at web-corpus scale one content key is a
@@ -58,17 +73,10 @@ object Dedup {
     // single hash; a viral page is byte-identical 10⁷ times) — the groupBy
     // is map-side combined to one row per distinct text, and the join back
     // is AQE-skew-splittable. Same device as span/paragraph dedup.
-    val groups = docs.select("doc_id", "th").groupBy("th")
+    val groups = docs.groupBy("th")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
-    // members: narrow (doc_id, th) rows join the group table — text never
-    // rides this skewed join; reps: fetch text through the doc_id ===
-    // rep equi-join, which is unique-keyed and therefore skew-free.
-    // the reps join drops groups' th before joining: both sides derive
-    // from `docs`, and a same-named lineage-shared column on both sides
-    // trips DetectAmbiguousSelfJoin once the caller selects th
-    (docs.select("doc_id", "th").join(groups, "th").select(col("rep"), col("doc_id")),
-      docs.join(groups.select("rep", "gsz"), docs("doc_id") === col("rep"))
-        .select(docs("doc_id"), col("text"), col("th"), col("gsz")))
+    (docs.join(groups, "th").select(col("rep"), col("doc_id")),
+      groups.select(col("rep").as("doc_id"), col("th"), col("gsz")))
   }
 
   /** Expand representative-level pairs to member-doc pairs: every
@@ -512,9 +520,19 @@ object Dedup {
   val membersManifest: Q = Q(
     "q_dedup_members",
     (s, d) => {
-      val (members, reps) = collapseExact(s, d)
-      members.join(reps.select(col("doc_id").as("rep"), col("gsz")), "rep")
-        .select(col("doc_id"), col("rep"), col("gsz").as("group_size"))
+      // standalone two-scan formulation of collapseExact's member
+      // mapping (going through collapseExact itself costs four corpus
+      // scans — its reps branch exists to carry text, which the
+      // manifest never needs). The collapse key MUST stay md5(raw
+      // text), the family's key: the expansion-equivalence spec
+      // rebuilds q_dedup_simhash from simhashRep × this manifest and
+      // fails on any drift.
+      val hashed = T.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("th"))
+      val groups = hashed.groupBy("th")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("group_size"))
+      hashed.join(groups, "th")
+        .select(col("doc_id"), col("rep"), col("group_size"))
         .transform(Det.sortAll)
     },
     Some("""SELECT doc_id,
