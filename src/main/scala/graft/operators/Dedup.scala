@@ -218,7 +218,7 @@ object Dedup {
     * cluster labels, which never needs the member-doc expansion.
     */
   private[operators] def ngramRepPairs(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
       val (members, reps) = collapseExact(s, d)
       // shuffle 8-byte shingle hashes, not strings: the inverted-index
       // join and intersection counts are identical (64-bit collisions are
@@ -247,11 +247,11 @@ object Dedup {
         .select(col("rep_a"), col("rep_b"), col("inter"),
           (col("ca.nsh") + col("cb.nsh") - col("inter")).as("uni"))
         .where(col("inter") >= 3)
-      (repPairs, members, cnt)
+      (repPairs, members, cnt, reps)
   }
 
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-      val (repPairs, members, cnt) = ngramRepPairs(s, d)
+      val (repPairs, members, cnt, _) = ngramRepPairs(s, d)
       val cross = expandPairs(repPairs, members, Seq("inter", "uni"))
       val within = members.as("x")
         .join(members.as("y"),
@@ -379,7 +379,7 @@ object Dedup {
     * shared by q_dedup_simhash and q_dedup_simhash_rep.
     */
   private[operators] def simhashRepPairs(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val (members, reps) = collapseExact(s, d)
     // r8: the token-explode + 64-bit-sum signature stage serves from
     // the persisted th-keyed table (see q_dedup_minhash's note)
@@ -399,13 +399,13 @@ object Dedup {
       .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
-    (repPairs, members)
+    (repPairs, members, reps)
   }
 
   val simhash: Q = Q(
     "q_dedup_simhash",
     (s, d) => {
-      val (repPairs, members) = simhashRepPairs(s, d)
+      val (repPairs, members, _) = simhashRepPairs(s, d)
       // identical texts: identical signatures, hamming 0 by construction
       val within = members.as("x")
         .join(members.as("y"),
@@ -441,8 +441,10 @@ object Dedup {
   val simhashRep: Q = Q(
     "q_dedup_simhash_rep",
     (s, d) => {
-      val (repPairs, members) = simhashRepPairs(s, d)
-      val sizes = members.groupBy("rep").agg(count(lit(1)).as("n"))
+      val (repPairs, _, reps) = simhashRepPairs(s, d)
+      // group sizes ride the reps (group) table directly — re-counting
+      // members would rebuild the member join just to recover gsz
+      val sizes = reps.select(col("doc_id").as("rep"), col("gsz").as("n"))
       repPairs.where(col("hamming") <= 12)
         .join(sizes.select(col("rep").as("rep_a"), col("n").as("n_a")), "rep_a")
         .join(sizes.select(col("rep").as("rep_b"), col("n").as("n_b")), "rep_b")
@@ -465,8 +467,9 @@ object Dedup {
   val ngramRep: Q = Q(
     "q_dedup_ngram_rep",
     (s, d) => {
-      val (repPairs, members, _) = ngramRepPairs(s, d)
-      val sizes = members.groupBy("rep").agg(count(lit(1)).as("n"))
+      val (repPairs, _, _, reps) = ngramRepPairs(s, d)
+      // group sizes ride the reps (group) table directly (see simhashRep)
+      val sizes = reps.select(col("doc_id").as("rep"), col("gsz").as("n"))
       repPairs
         .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
         .join(sizes.select(col("rep").as("rep_a"), col("n").as("n_a")), "rep_a")
@@ -664,7 +667,7 @@ object Dedup {
     // persisted artifact stores — see AnnIndex.ccIndex for why doc ids
     // stay out of the artifact
     def fullBuild(): DataFrame = {
-      val (repPairs, _, _) = ngramRepPairs(s, d)
+      val (repPairs, _, _, _) = ngramRepPairs(s, d)
       val repNid = docs.join(nodes, "nth").select(col("doc_id"), col("nid"))
       val ngramE = repPairs
         .where(col("inter").cast("double") / col("uni").cast("double") >= 0.5)
