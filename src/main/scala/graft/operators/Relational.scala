@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Det, Num, Q, T}
 
@@ -550,35 +551,44 @@ object Relational {
     * approx_count_distinct (HLL, q_approx_distinct's device): same
     * single-pass shape, sketch-sized shuffle — the exact form is kept
     * here because the gate hash-compares and the plan shape (one scan,
-    * one agg, stack) is identical either way.
+    * one agg, stack) is identical either way — `exact = false` IS that
+    * flip (r9): the same builder with approx_count_distinct in the
+    * distinct slot, spec-checked against the exact path's counts within
+    * the sketch's error bound, so the production form is code, not a
+    * comment.
     */
+  private[graft] def profileIn(s: SparkSession, d: String,
+      exact: Boolean): DataFrame = {
+    val src = T.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      Num.cents(col("o_totalprice")).as("o_totalprice_cents"),
+      col("o_orderpriority"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice_cents", "o_orderpriority")
+    def dist(c: String) =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"c_$c"),
+      dist(c).as(s"d_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val stacked = cols.map(c =>
+      s"'$c', c_$c, d_$c, mn_$c, mx_$c").mkString(", ")
+    src.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) as " +
+          "(column_name, n_nonnull, n_distinct, min_s, max_s)"))
+      .select(col("column_name"), col("n_rows"),
+        col("n_nonnull").cast("long").as("n_nonnull"),
+        (col("n_rows") - col("n_nonnull")).cast("long").as("n_null"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("min_s"), col("max_s"))
+      .transform(Det.sortAll)
+  }
+
   val profile: Q = Q(
     "q_profile",
-    (s, d) => {
-      val src = T.orders(s, d).select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        Num.cents(col("o_totalprice")).as("o_totalprice_cents"),
-        col("o_orderpriority"))
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice_cents", "o_orderpriority")
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-        count(col(c)).as(s"c_$c"),
-        countDistinct(col(c)).as(s"d_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c")))
-      val stacked = cols.map(c =>
-        s"'$c', c_$c, d_$c, mn_$c, mx_$c").mkString(", ")
-      src.agg(aggs.head, aggs.tail: _*)
-        .select(col("n_rows"), expr(
-          s"stack(${cols.size}, $stacked) as " +
-            "(column_name, n_nonnull, n_distinct, min_s, max_s)"))
-        .select(col("column_name"), col("n_rows"),
-          col("n_nonnull").cast("long").as("n_nonnull"),
-          (col("n_rows") - col("n_nonnull")).cast("long").as("n_null"),
-          col("n_distinct").cast("long").as("n_distinct"),
-          col("min_s"), col("max_s"))
-        .transform(Det.sortAll)
-    },
+    (s, d) => profileIn(s, d, exact = true),
     Some("""WITH t AS (
             |  SELECT o_orderkey, o_custkey, o_orderstatus,
             |         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS o_totalprice_cents,

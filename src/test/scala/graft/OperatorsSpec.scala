@@ -1336,6 +1336,30 @@ class OperatorsSpec extends SparkSpec {
     assert(p("o_orderkey").getAs[Long]("n_distinct") == nRows)
   }
 
+  test("profile: the 100 TB approx flip is the same plan with sketch-bounded distincts") {
+    // exact = false swaps countDistinct for approx_count_distinct (HLL,
+    // default rsd 0.05) in the SAME single-scan builder — schema, row
+    // set, null/min/max columns identical; only n_distinct may deviate,
+    // and must stay within 3× the sketch's relative error of the exact
+    // count (a generous bound that cannot flake, but catches a wrong
+    // column or a broken flip outright)
+    val exact = Relational.profileIn(spark, sfDir, exact = true).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val approx = Relational.profileIn(spark, sfDir, exact = false).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((c, a) <- approx) {
+      val e = exact(c)
+      for (f <- Seq("n_rows", "n_nonnull", "n_null"))
+        assert(a.getAs[Long](f) == e.getAs[Long](f), s"$c.$f drifted")
+      for (f <- Seq("min_s", "max_s"))
+        assert(a.getAs[String](f) == e.getAs[String](f), s"$c.$f drifted")
+      val (de, da) = (e.getAs[Long]("n_distinct"), a.getAs[Long]("n_distinct"))
+      assert(math.abs(da - de) <= math.max(1L, (0.15 * de).toLong),
+        s"$c: approx distinct $da outside 15% of exact $de")
+    }
+  }
+
   test("grouped sample: per-language head of the hash permutation, pre-pruned") {
     val out = Assembly.groupedSample.run(spark, sfDir)
     val docs = T.documents(spark, sfDir).where(col("doc_id").isNotNull)
