@@ -313,28 +313,40 @@ object Dedup {
     ngEncode(texts).groupBy("th").agg(mins.head, mins.tail: _*)
   }
 
+  /** Representative-level MinHash band-collision pairs, the
+    * pre-expansion core shared by q_dedup_minhash and
+    * q_dedup_minhash_rep. Returns (repPairs, members, reps, sigs) —
+    * sigs rides along for the within-group semi filter (texts with no
+    * 3-shingle have no signature and emit no within pairs).
+    */
+  private[operators] def minhashRepPairs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (members, reps) = collapseExact(s, d)
+    // r8: the signature stage (shingle explode + 16 min-aggs — THE
+    // corpus-pass cost of this operator) serves from the persisted
+    // th-keyed signature table; this run only re-derives the doc↔th
+    // mapping (the exact-dedup pass it needs anyway) and joins back
+    val sigs = reps.select(col("doc_id"), col("th"))
+      .join(AnnIndex.textSigs(s, d, "MH", mhEncode), "th").drop("th")
+    val bands = capBuckets(
+      sigs.select(col("doc_id"), posexplode(array(
+        (0 until 4).map(b => xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+          col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))): _*)).as(Seq("band_idx", "band_hash"))),
+      Seq("band_idx", "band_hash"), 64)
+    val repPairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+      .agg(count(lit(1)).as("bands_matching"))
+    (repPairs, members, reps, sigs)
+  }
+
   val minhashLsh: Q = Q(
     "q_dedup_minhash",
     (s, d) => {
-      val (members, reps) = collapseExact(s, d)
-      // r8: the signature stage (shingle explode + 16 min-aggs — THE
-      // corpus-pass cost of this operator) serves from the persisted
-      // th-keyed signature table; this run only re-derives the doc↔th
-      // mapping (the exact-dedup pass it needs anyway) and joins back
-      val sigs = reps.select(col("doc_id"), col("th"))
-        .join(AnnIndex.textSigs(s, d, "MH", mhEncode), "th").drop("th")
-      val bands = capBuckets(
-        sigs.select(col("doc_id"), posexplode(array(
-          (0 until 4).map(b => xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
-            col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))): _*)).as(Seq("band_idx", "band_hash"))),
-        Seq("band_idx", "band_hash"), 64)
-      val repPairs = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
-        .agg(count(lit(1)).as("bands_matching"))
+      val (repPairs, members, _, sigs) = minhashRepPairs(s, d)
       val within = members.as("x")
         .join(members.as("y"),
           col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
@@ -343,6 +355,25 @@ object Dedup {
           lit(4L).as("bands_matching"))
       expandPairs(repPairs, members, Seq("bands_matching"))
         .union(within)
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  /** G. Rep-level MinHash pairs — completes the rep-level output family
+    * (see [[simhashRep]] for the scale rationale): one row per pair of
+    * DISTINCT texts colliding in ≥1 LSH band, with the band-match count
+    * and both groups' member counts. Approximate family ⇒ rows-only.
+    */
+  val minhashRep: Q = Q(
+    "q_dedup_minhash_rep",
+    (s, d) => {
+      val (repPairs, _, reps, _) = minhashRepPairs(s, d)
+      val sizes = reps.select(col("doc_id"), col("gsz"))
+      repPairs
+        .join(sizes.select(col("doc_id").as("rep_a"), col("gsz").as("n_a")), "rep_a")
+        .join(sizes.select(col("doc_id").as("rep_b"), col("gsz").as("n_b")), "rep_b")
+        .select("rep_a", "rep_b", "bands_matching", "n_a", "n_b")
         .transform(Det.sortAll)
     },
     None
@@ -1513,7 +1544,7 @@ object Dedup {
             |ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, ngramRep, minhashLsh, simhash,
-    simhashRep, membersManifest, clusters, decontaminate, spanDedup,
+  val all: Seq[Q] = Seq(exact, ngramJaccard, ngramRep, minhashLsh, minhashRep,
+    simhash, simhashRep, membersManifest, clusters, decontaminate, spanDedup,
     paragraphDedup, incremental, bloomDedup, splitAssign)
 }

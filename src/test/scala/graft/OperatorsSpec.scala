@@ -191,6 +191,23 @@ class OperatorsSpec extends SparkSpec {
     rep.unpersist(); mem.unpersist()
   }
 
+  test("rep-level minhash: sum of n_a*n_b equals the expanded cross-group pair count") {
+    // the band-collision rep pairs carry the group sizes precisely so a
+    // consumer can size (or refuse) the expansion without running it —
+    // label each expanded pair with its endpoints' representatives and
+    // reconcile the cross-group count against the rep-level budget
+    val dir = "/root/testdata/sf0.001"
+    val rep = Dedup.minhashRep.run(spark, dir)
+    val mem = Dedup.membersManifest.run(spark, dir).select("doc_id", "rep")
+    val labeled = Dedup.minhashLsh.run(spark, dir)
+      .join(mem.select(col("doc_id").as("doc_a"), col("rep").as("ra")), "doc_a")
+      .join(mem.select(col("doc_id").as("doc_b"), col("rep").as("rb")), "doc_b")
+    val cross = labeled.where(col("ra") =!= col("rb")).count()
+    val budget = rep.agg(coalesce(sum(col("n_a") * col("n_b")), lit(0L)))
+      .head().getLong(0)
+    assert(cross == budget, s"expanded cross pairs $cross != rep budget $budget")
+  }
+
   test("simhash hamming distance is small for near-dup, large for far") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " aa bb"
