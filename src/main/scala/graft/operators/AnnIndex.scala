@@ -241,7 +241,8 @@ object AnnIndex {
     * chain — a full refit collapses the chain, an append keeps its bases.
     */
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
-    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ", "LEX", "MH", "SH", "NG", "BPE", "CC")
+    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ", "LEX", "MH", "SH", "NG", "BPE",
+        "CC", "BIN", "EP")
       .flatMap(chainDirs(s, vd, _))
       .map(new org.apache.hadoop.fs.Path(_).getName).toSet + new org.apache.hadoop.fs.Path(vd).getName
     val p = new org.apache.hadoop.fs.Path(vd)

@@ -308,63 +308,87 @@ object Multimodal {
     * looks inside the bytes except through [[parseHeader]]-class byte
     * arithmetic, so real image payloads take the identical plan.
     * Approximate blocking ⇒ rows-only driver check + planted-pair spec.
+    *
+    * r10: the signature stage persists ([[AnnIndex.textSigs]] family BIN,
+    * keyed by the distinct payload's md5) — the all-offsets explode +
+    * 64-bit vote runs once per table content, not once per session, and
+    * a crawl batch appends only its genuinely-novel payloads' signatures
+    * (duplicates of known bytes add zero rows). Spec proves the persisted
+    * serve row-identical to the direct computation.
     */
+  /** The BIN signature encode — the corpus-pass cost of [[binaryDedup]],
+    * persisted behind [[AnnIndex.textSigs]] (family BIN). Input: one row
+    * per DISTINCT payload, keyed by `th` = md5 of the bytes (for the text
+    * corpus cast to binary, md5(text) over the identical UTF-8 bytes —
+    * collapseExact's key discipline). The simhash is a pure function of
+    * the payload, so the artifact is append-stable: new duplicates of a
+    * known payload add ZERO rows, and a pure file append encodes only
+    * genuinely-novel content. Output: (th, simhash).
+    *
+    * 8-byte shingles at every offset (substring is 1-based; payloads
+    * shorter than 8 bytes yield their whole tail as the one shingle),
+    * then the deterministic hash-mod sample — see [[binaryDedup]]'s
+    * scaladoc on why a fixed stride would break under byte shifts.
+    */
+  private[graft] def binSigs(fresh: DataFrame): DataFrame = {
+      val payloads = fresh.select(col("th"), col("text").cast("binary").as("payload"))
+      val shingleExpr = expr(
+        "array_distinct(transform(" +
+          "sequence(0, greatest(0L, octet_length(payload) - 8)), " +
+          "i -> xxhash64(substring(payload, cast(i+1 as int), 8))))")
+      val allSh = payloads.select(col("th"),
+          octet_length(col("payload")).as("plen"), explode(shingleExpr).as("h"))
+      // tiny payloads (<32 windows ⇔ plen < 39: windows = plen − 7) keep
+      // every shingle so their signature isn't vote-starved by the sample
+      val sampled = allSh
+        .where(pmod(col("h"), lit(4L)) === 0L || col("plen") < 39)
+        .select("th", "h")
+      // sampled-out backstop: a payload just above the tiny cutoff whose
+      // EVERY window hash misses h ≡ 0 (mod 4) — P ≈ 0.75^windows, rare
+      // but real — would emit no signature and silently become unpairable
+      // by anything but an exact byte copy. Such payloads fall back to
+      // voting with ALL their shingles (the tiny-payload rule applied a
+      // posteriori). The fallback list is expected-empty, so the
+      // re-explode almost never materializes a row.
+      val starved = payloads.select("th", "payload")
+        .join(sampled.groupBy("th").agg(count(lit(1)).as("nsh")),
+          Seq("th"), "left_anti")
+        .select(col("th"), explode(shingleExpr).as("h"))
+      val sh = sampled.union(starved)
+      val bitSums = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"b$i"))
+      sh.groupBy("th").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+            .reduce(_ bitwiseOR _))
+        .select("th", "simhash")
+  }
+
   val binaryDedup: Q = Q(
     "q_dedup_binary",
     (s, d) => {
       val hashed = T.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .where(col("text").isNotNull)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .withColumn("ph", md5(col("payload")))
+        // md5(text) IS md5 of the payload bytes: the binary cast is the
+        // identity on the UTF-8 encoding md5 already hashes
+        .select(col("doc_id"), md5(col("text")).as("ph"))
       // exact pre-collapse via groupBy + equi-join, not a window over the
       // payload hash: a byte-identical viral image is ONE key carrying
       // millions of rows at 100 TB, and a window partition is a single
-      // unsplittable task (same device as Dedup.collapseExact; the
-      // doc_id === rep join that fetches payloads is unique-keyed).
-      val groups = hashed.select("doc_id", "ph").groupBy("ph")
-        .agg(min("doc_id").as("rep"))
-      val members = hashed.select("doc_id", "ph").join(groups, "ph")
+      // unsplittable task (same device as Dedup.collapseExact).
+      val groups = hashed.groupBy("ph").agg(min("doc_id").as("rep"))
+      val members = hashed.join(groups, "ph")
         .select(col("rep"), col("doc_id"))
-      val reps = hashed.join(groups, hashed("doc_id") === groups("rep"))
-        .select(hashed("doc_id"), col("payload"))
-      // 8-byte shingles at every offset (substring is 1-based; payloads
-      // shorter than 8 bytes yield their whole tail as the one shingle),
-      // then the deterministic hash-mod sample — see the scaladoc on why
-      // a fixed stride would break under byte shifts
-      val shingleExpr = expr(
-        "array_distinct(transform(" +
-          "sequence(0, greatest(0L, octet_length(payload) - 8)), " +
-          "i -> xxhash64(substring(payload, cast(i+1 as int), 8))))")
-      val allSh = reps.select(col("doc_id"),
-          octet_length(col("payload")).as("plen"), explode(shingleExpr).as("h"))
-      // tiny payloads (<32 windows ⇔ plen < 39: windows = plen − 7) keep
-      // every shingle so their signature isn't vote-starved by the sample
-      val sampled = allSh
-        .where(pmod(col("h"), lit(4L)) === 0L || col("plen") < 39)
-        .select("doc_id", "h")
-      // sampled-out backstop: a payload just above the tiny cutoff whose
-      // EVERY window hash misses h ≡ 0 (mod 4) — P ≈ 0.75^windows, rare
-      // but real — would emit no signature and silently become unpairable
-      // by anything but an exact byte copy. Such reps fall back to voting
-      // with ALL their shingles (the tiny-payload rule applied a
-      // posteriori). The fallback doc list is expected-empty, so the
-      // re-explode almost never materializes a row.
-      val starvedDocs = reps.select("doc_id")
-        .join(sampled.groupBy("doc_id").agg(count(lit(1)).as("nsh")),
-          Seq("doc_id"), "left_anti")
-      val starvedSh = reps.join(starvedDocs, Seq("doc_id"))
-        .select(col("doc_id"), explode(shingleExpr).as("h"))
-      val sh = sampled.union(starvedSh)
-      val bitSums = (0 until 64).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)).as(s"b$i"))
-      val sigs = sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash",
-          (0 until 64).map(i =>
-            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-            .reduce(_ bitwiseOR _))
-        .select("doc_id", "simhash")
+      // the all-offsets shingle explode + 64-bit vote — THE corpus-pass
+      // cost — serves from the persisted th-keyed BIN signature table
+      // (r10): a run re-derives only the cheap doc↔hash mapping above and
+      // joins the frozen signatures back per distinct payload
+      val persisted = AnnIndex.textSigs(s, d, "BIN", binSigs)
+      val sigs = groups.join(persisted, groups("ph") === persisted("th"))
+        .select(col("rep").as("doc_id"), col("simhash"))
       val rawChunks = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
         (0 until 8).map(c => shiftright(col("simhash"), 8 * c).bitwiseAND(lit(0xFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))

@@ -339,6 +339,56 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("BIN signature index: binary dedup serves persisted payload simhashes; appends add only novel payloads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftbinsig").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftbinroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftbinroot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    val base = (1 to 120).map(i => s"w${i % 37}").mkString(" ")
+    val edited = base.replace("w5 ", "w999 ")
+    val docs0 = Seq(1L -> base, 2L -> edited, 3L -> base,
+      4L -> (1 to 120).map(i => s"z$i").mkString(" "))
+    try {
+      docs0.toDF("doc_id", "text").repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val (e0, a0) = (AnnIndex.sigEncodes.get(), AnnIndex.sigAppends.get())
+      val out1 = graft.operators.Multimodal.binaryDedup.run(spark, tmp).collect()
+      assert(AnnIndex.sigEncodes.get() == e0 + 1)
+      // planted semantics hold through the persisted path
+      val keys1 = out1.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(keys1((1L, 3L)) && keys1((1L, 2L)))
+      graft.operators.Multimodal.binaryDedup.run(spark, tmp).collect()
+      assert(AnnIndex.sigEncodes.get() == e0 + 1 &&
+        AnnIndex.sigAppends.get() == a0, "second run must load, not re-encode")
+      // ingest batch: one novel payload + one exact byte-duplicate of a
+      // known payload — the th-keyed artifact grows by distinct bytes only
+      Seq(10L -> (1 to 120).map(i => s"q$i").mkString(" "), 11L -> base)
+        .toDF("doc_id", "text").repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      val out2 = graft.operators.Multimodal.binaryDedup.run(spark, tmp).collect()
+      assert(AnnIndex.sigAppends.get() == a0 + 1 &&
+        AnnIndex.sigEncodes.get() == e0 + 1,
+        "append must encode the batch only, never the corpus")
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val tip = tableDir.listFiles().find(_.getName.endsWith("_6")).get
+      assert(spark.read.parquet(s"$tip/bin_sigs").count() == 1,
+        "a duplicate of known bytes must add no signature rows")
+      // the appended duplicate pairs with its originals through the
+      // UNCHANGED persisted signatures (the within-group device)
+      val keys2 = out2.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(keys2((1L, 11L)) && keys2((3L, 11L)), s"appended dup lost pairs: $keys2")
+      // chained serve is row-identical to a from-scratch build
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = graft.operators.Multimodal.binaryDedup.run(spark, tmp).collect()
+      assert(out2.map(_.toString).sorted.toSeq ==
+        fresh.map(_.toString).sorted.toSeq,
+        "chained BIN signature table diverges from a fresh build")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
   test("IVFPQ: fit-once, cell-partitioned CODE layout, delta-only append with frozen codebooks") {
     val tmp = java.nio.file.Files.createTempDirectory("graftivfpq").toString
     val idxRoot = java.nio.file.Files.createTempDirectory("graftivfpqroot").toString
