@@ -37,6 +37,7 @@ object Bench {
         sigEncodes.get + sigAppends.get +
         vocabEncodes.get + vocabAppends.get +
         ccEncodes.get + ccAppends.get +
+        epEncodes.get + epAppends.get +
         graft.operators.Bpe.bpeTrains.get
     }
     def timeOne(q: Q): (Either[String, Double], Boolean) = {

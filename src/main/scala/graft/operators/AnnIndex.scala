@@ -97,6 +97,8 @@ object AnnIndex {
   private[graft] val vocabAppends = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val ccEncodes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val ccAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val epEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val epAppends = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Append-drift threshold: chain-append while rows encoded with frozen
     * codebooks are ≤ this fraction of the corpus; past it, refit.
@@ -875,6 +877,179 @@ object AnnIndex {
     val (_, _, params) = readMeta(s, vd, "CC").get
     validate(vd, "CC", params.toLong, labels.count())
     labels
+  }
+
+  /** 128-bit content key for a distinct VECTOR — the embedding twin of
+    * the text families' md5(text) `th`: two independent 64-bit xxhash64
+    * values (the second salted by a literal) rendered as one 32-hex-char
+    * string. A 64-bit key alone risks silently merging distinct vectors
+    * at corpus scale (the reason Similarity's in-plan collapse keeps the
+    * raw vector as a secondary equality key); 128 bits puts a collision
+    * at ~n²/2^128 — the same budget the md5 text keys accept. All-builtin
+    * and codegen'd: no JSON/string rendering of doubles on the hot scan.
+    */
+  private[graft] def ehCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lpad(hex(xxhash64(v)), 16, "0"),
+      lpad(hex(xxhash64(v, lit(42))), 16, "0"))
+
+  /** Persisted embedding near-dup PAIR graph (family EP) — the fit/serve
+    * split extended to the LAST per-session corpus-pass family: before
+    * this, every q_dedup_embed / q_dedup_semantic run re-ran the whole
+    * candidate machinery (hyperplane encode of every distinct vector,
+    * split-ball bucket self-join, distinct, exact rescore) — at sf0.1 the
+    * two most expensive queries in the bench, and at 100 TB a full corpus
+    * pass per session for a structure that only changes on ingest.
+    *
+    * Artifacts (all DISTINCT-CONTENT-sized — the textSigs growth
+    * argument: duplicates of a known vector add zero rows):
+    *  - `ep_reps`  (eh, v, nrm): the distinct-vector table, keyed by the
+    *    128-bit [[ehCol]] content key (doc/vec ids stay OUT of the
+    *    artifact — an append can lower a group's min vec_id with no
+    *    structural change; serve re-derives the cheap id↔eh mapping);
+    *  - `ep_sigs`  (eh, band_idx, code): the capped banded hyperplane
+    *    signatures under the FIT-TIME geometry;
+    *  - `ep_pairs` (eh_a < eh_b, cosine): the exact-rescored qualifying
+    *    pairs — the operator's whole output structure, id-free.
+    *
+    * Geometry (bits/bands/radius, solved by [[Similarity.lshParams]] at
+    * the dedup design point from the DISTINCT count) is FROZEN in the
+    * meta: an append encodes its delta under the stored solve (signatures
+    * under different bit counts don't share a bucket space). No chain —
+    * every append writes self-contained merged artifacts (the vocab/CC
+    * argument: distinct-content-sized tables are cheap to rewrite).
+    *
+    * Append = new distinct vectors only (anti-joined against `ep_reps`):
+    * frozen-geometry encode of the delta, re-cap over base ∪ delta, then
+    * candidates TOUCHING a new vector via one-sided full-radius probe of
+    * the new side against the union's exact codes — the same hamming ball
+    * as the fresh build's split-ball join restricted to pairs with ≥1 new
+    * endpoint — and exact rescore. Old↔old pairs carry over verbatim:
+    * they depend only on old signatures and the bucket caps, so the
+    * append differs from a fresh build ONLY where a delta row re-fills a
+    * bucket the base had capped out (the LSH-family re-cap posture) — and
+    * since every emitted pair is exact-cosine-verified, the artifact can
+    * never hold a FALSE pair; divergence is bounded to candidate recall,
+    * the family's declared approximation axis. Drift past
+    * [[refitFraction]] (frozen geometry mis-sized for the grown corpus)
+    * refits. Validation: `ep_reps` row count vs the meta's recorded
+    * distinct count, failing loud on truncation.
+    *
+    * Returns the (eh_a, eh_b, cosine) pair reader; the serve side joins
+    * members through its own per-run id↔eh mapping.
+    */
+  private[graft] def embedPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val table = s"$d/embeddings.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    val repSchema = StructType(Seq(StructField("eh", StringType),
+      StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType)))
+    val sigSchema = StructType(Seq(StructField("eh", StringType),
+      StructField("band_idx", IntegerType), StructField("code", LongType)))
+    val pairSchema = StructType(Seq(StructField("eh_a", StringType),
+      StructField("eh_b", StringType), StructField("cosine", DoubleType)))
+    def distinctReps(df: DataFrame): DataFrame =
+      df.withColumn("eh", ehCol(col("v")))
+        .groupBy("eh").agg(min("v").as("v"), min("nrm").as("nrm"))
+    def encodeSigs(reps: DataFrame, bands: Int, bits: Int): DataFrame =
+      reps.select(col("eh"),
+        posexplode(Vectors.hyperplaneBands(col("v"), 42L, bands, bits))
+          .as(Seq("band_idx", "code")))
+    def rescore(cand: DataFrame, reps: DataFrame): DataFrame =
+      cand
+        .join(reps.select(col("eh").as("eh_a"), col("v").as("va"),
+          col("nrm").as("na")), "eh_a")
+        .join(reps.select(col("eh").as("eh_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "eh_b")
+        .select(col("eh_a"), col("eh_b"),
+          (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+        .where(col("cosine") >= Similarity.dedupTau)
+    if (!exists(s, s"$vd/_GRAFT_OK_EP")) {
+      val cur = physFiles(s, table)
+      val viaAppend = appendBase(s, vd, "EP", cur) match {
+        case Some((base, delta, nFit, params))
+            if params.nonEmpty &&
+              (cnt - nFit).toDouble / math.max(cnt, 1L) <= refitFraction =>
+          epAppends.incrementAndGet()
+          val ps = params.split(",")
+          val (bits, bands, radius) = (ps(0).toInt, ps(1).toInt, ps(2).toInt)
+          val baseReps = s.read.schema(repSchema).parquet(s"$base/ep_reps")
+          val fresh = distinctReps(deltaVecs(s, delta))
+            .join(baseReps.select("eh"), Seq("eh"), "left_anti")
+          val unionSigs = s.read.schema(sigSchema).parquet(s"$base/ep_sigs")
+            .unionByName(encodeSigs(fresh, bands, bits))
+          Dedup.capBuckets(unionSigs, Seq("band_idx", "code"), 256)
+            .write.mode("overwrite").parquet(s"$vd/ep_sigs")
+          val capped = s.read.schema(sigSchema).parquet(s"$vd/ep_sigs")
+          // candidates touching a NEW vector: the new side probes its
+          // full hamming-≤radius ball against the union's EXACT codes —
+          // for pairs with ≥1 new endpoint this is the same candidate set
+          // as the fresh build's split-ball join, and the ball multiplier
+          // rides only the batch-sized side
+          val probed = capped.join(fresh.select("eh"), Seq("eh"), "left_semi")
+            .withColumn("mask", explode(lit(Similarity.probeMasks(bits, radius))))
+            .select(col("eh").as("eh_n"), col("band_idx"),
+              col("code").bitwiseXOR(col("mask")).as("code"))
+          val cand = capped.join(probed, Seq("band_idx", "code"))
+            .where(col("eh") =!= col("eh_n"))
+            .select(least(col("eh"), col("eh_n")).as("eh_a"),
+              greatest(col("eh"), col("eh_n")).as("eh_b"))
+            .distinct()
+          val allReps = baseReps.unionByName(fresh)
+          s.read.schema(pairSchema).parquet(s"$base/ep_pairs")
+            .unionByName(rescore(cand, allReps))
+            .write.mode("overwrite").parquet(s"$vd/ep_pairs")
+          allReps.write.mode("overwrite").parquet(s"$vd/ep_reps")
+          val nReps = s.read.schema(repSchema).parquet(s"$vd/ep_reps").count()
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, "EP", None, nFit, s"$bits,$bands,$radius,$nReps")
+          touch(s, s"$vd/_GRAFT_OK_EP")
+          pruneSiblings(s, vd)
+          true
+        case _ => false
+      }
+      if (!viaAppend) {
+        epEncodes.incrementAndGet()
+        distinctReps(deltaVecs(s, Seq(table)))
+          .write.mode("overwrite").parquet(s"$vd/ep_reps")
+        val reps = s.read.schema(repSchema).parquet(s"$vd/ep_reps")
+        val nDist = reps.count()
+        val (bits, bands, radius) = Similarity.lshParams(
+          math.max(nDist, 2L), Similarity.dedupTau, 0.02, 96)
+        Dedup.capBuckets(encodeSigs(reps, bands, bits), Seq("band_idx", "code"), 256)
+          .write.mode("overwrite").parquet(s"$vd/ep_sigs")
+        val capped = s.read.schema(sigSchema).parquet(s"$vd/ep_sigs")
+        // split-ball self-join (see Similarity.splitProbeMasks): each side
+        // probes the full radius restricted to its own half of the bit
+        // positions; the popcount-sum predicate restores exactly the
+        // hamming-≤radius candidate set
+        def expand(df: DataFrame, masks: Array[Long]): DataFrame =
+          df.withColumn("mask", explode(lit(masks)))
+            .select(col("eh"), col("band_idx"),
+              col("code").bitwiseXOR(col("mask")).as("code"),
+              expr("bit_count(mask)").as("mbits"))
+        val (lowMasks, highMasks) = Similarity.splitProbeMasks(bits, radius)
+        val cand = expand(capped, lowMasks).as("a")
+          .join(expand(capped, highMasks).as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.code") === col("b.code") &&
+              col("a.mbits") + col("b.mbits") <= radius &&
+              col("a.eh") < col("b.eh"))
+          .select(col("a.eh").as("eh_a"), col("b.eh").as("eh_b"))
+          .distinct()
+        rescore(cand, reps).write.mode("overwrite").parquet(s"$vd/ep_pairs")
+        writeFileList(s, vd, cur)
+        writeMeta(s, vd, "EP", None, math.max(cnt, 1L),
+          s"$bits,$bands,$radius,$nDist")
+        touch(s, s"$vd/_GRAFT_OK_EP")
+        pruneSiblings(s, vd)
+      }
+    }
+    val (_, _, params) = readMeta(s, vd, "EP").get
+    validate(vd, "EP", params.split(",")(3).toLong,
+      s.read.schema(repSchema).parquet(s"$vd/ep_reps").count())
+    s.read.schema(pairSchema).parquet(s"$vd/ep_pairs")
   }
 
   /** Collapse a LEX append chain into one self-contained version — the

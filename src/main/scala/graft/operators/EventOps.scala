@@ -514,6 +514,56 @@ object EventOps {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** F. Rolling time-RANGE window aggregation (r10) — per user, at every
+    * event, the trailing-7-day event count, exact cent mass and IEEE mean:
+    * the moving-baseline shape behind rate limiting, spend monitoring and
+    * per-entity anomaly baselines (q_anomaly's global z-test has no
+    * per-event trailing view; this is it). A RANGE frame, not ROWS: the
+    * frame is defined by the TIME span [ts−7d, ts], so rows sharing a
+    * timestamp are peers on both engines and the result is independent of
+    * tie order — a ROWS frame over a non-unique ordering would be
+    * engine-ambiguous and could never hash-match.
+    *
+    * Cross-engine exactness: the frame key is integer epoch millis (the
+    * events axis normalized by T.events), the sum is exact integer cents,
+    * and the mean is ONE IEEE division of exact ints — the Num rules.
+    *
+    * Scale: one shuffle by user_id; each user's timeline streams through
+    * the window operator with running-frame state (Spark's range-frame
+    * implementation keeps a sliding buffer bounded by the 7-day span).
+    * The per-user partition is the sessionize class — a bot user's
+    * history sorts on one spillable task; the streaming twins bound that
+    * axis, and keys here are real user ids, not content keys (no
+    * mass-duplicate magnet).
+    */
+  val rollingStats: Q = Q(
+    "q_rolling_stats",
+    (s, d) => {
+      val e = T.events(s, d).select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"),
+        Num.cents(col("value")).as("value_cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+        .rangeBetween(-604800000L, 0L)
+      e.withColumn("roll_events", count(lit(1)).over(w).cast("long"))
+        .withColumn("roll_value_cents", sum(col("value_cents")).over(w))
+        .withColumn("roll_avg_cents",
+          col("roll_value_cents").cast("double") / col("roll_events").cast("double"))
+        .transform(Det.sortAll)
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+            |       CAST(ROUND(value*100,0) AS BIGINT) AS value_cents,
+            |       CAST(COUNT(*) OVER w AS BIGINT) AS roll_events,
+            |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) OVER w AS BIGINT)
+            |         AS roll_value_cents,
+            |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) OVER w AS DOUBLE) /
+            |         CAST(COUNT(*) OVER w AS DOUBLE) AS roll_avg_cents
+            |FROM events
+            |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+            |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(windowEvents, sessionize, rangeJoin, scd2, jsonExtract,
-    keepNewest, anomaly, windowFunnel, retention, tzRollup)
+    keepNewest, anomaly, windowFunnel, retention, tzRollup, rollingStats)
 }

@@ -212,8 +212,11 @@ object Similarity {
   /** The q_dedup_embed dataflow, unsorted — shared by the registered
     * query and [[semanticDedup]]'s component graph.
     */
-  private[graft] def embedPairs(s: SparkSession, d: String): DataFrame = {
-    val EmbedGraph(members, e, repPairs) = embedGraph(s, d)
+  private[graft] def embedPairs(s: SparkSession, d: String): DataFrame =
+    embedPairsFrom(embedGraph(s, d))
+
+  private[graft] def embedPairsFrom(g: EmbedGraph): DataFrame = {
+    val EmbedGraph(members, e, repPairs) = g
     val cross = repPairs
       .join(members.select(col("rep").as("rep_a"), col("vec_id").as("ia")), "rep_a")
       .join(members.select(col("rep").as("rep_b"), col("vec_id").as("ib")), "rep_b")
@@ -234,7 +237,49 @@ object Similarity {
     cross.union(within)
   }
 
+  /** r10 serve path: the collapse stays per-run (the cheap id↔content
+    * mapping over one narrow scan — the textSigs serve discipline), but
+    * the candidate machinery (hyperplane encode, split-ball bucket join,
+    * exact rescore) serves from the PERSISTED id-free pair graph
+    * ([[AnnIndex.embedPairs]], family EP): pairs keyed by the 128-bit
+    * vector content hash join back to this run's reps. On a fresh build
+    * the artifact is computed by exactly the [[embedGraphDirect]] plan
+    * (same geometry solve, caps, split-ball masks, rescore kernel), so
+    * the served graph is row-identical to the direct computation
+    * (spec-pinned); an ingest append extends it delta-only.
+    */
   private[graft] def embedGraph(s: SparkSession, d: String): EmbedGraph = {
+      val tagged = vecsRaw(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("eh", AnnIndex.ehCol(col("v")))
+      // groupBy (eh, v): the raw vector stays a SECONDARY equality key so
+      // even a 128-bit hash collision of distinct vectors cannot merge
+      // them in the SERVED id mapping (the artifact's own keying accepts
+      // the 2^-128 budget, see AnnIndex.ehCol)
+      val groups = tagged.groupBy("eh", "v")
+        .agg(min("vec_id").as("rep"), min("nrm").as("nrm"),
+          count(lit(1)).as("gsz"))
+      val members = tagged.select("vec_id", "eh", "v")
+        .join(groups.select("eh", "v", "rep"), Seq("eh", "v"))
+        .select(col("rep"), col("vec_id"))
+      val e = groups.select(col("rep").as("vec_id"), col("v"), col("nrm"),
+        col("gsz"))
+      val ehPairs = AnnIndex.embedPairs(s, d)
+      val ehRep = groups.select(col("eh"), col("rep"))
+      val repPairs = ehPairs
+        .join(ehRep.select(col("eh").as("eh_a"), col("rep").as("ra")), "eh_a")
+        .join(ehRep.select(col("eh").as("eh_b"), col("rep").as("rb")), "eh_b")
+        .select(least(col("ra"), col("rb")).as("rep_a"),
+          greatest(col("ra"), col("rb")).as("rep_b"), col("cosine"))
+      EmbedGraph(members, e, repPairs)
+  }
+
+  /** The in-plan computation the EP artifact freezes — kept as the spec
+    * oracle for serve parity (and as the reference formulation of the
+    * candidate dataflow; [[AnnIndex.embedPairs]]'s fresh build IS this
+    * plan keyed by content hash instead of rep id).
+    */
+  private[graft] def embedGraphDirect(s: SparkSession, d: String): EmbedGraph = {
       // Exact-duplicate pre-collapse, the embedding twin of
       // Dedup.collapseExact: identical vectors (the k×-duplicated-page
       // norm — every copy embeds to the same point) share every band
@@ -344,6 +389,34 @@ object Similarity {
         .select(col("vec_id"), col("label").as("cluster_id"))
         .transform(Dedup.withClusterSize)
         .withColumn("is_dup", col("vec_id") =!= col("cluster_id"))
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  /** G. Rep-level embedding near-dup pairs (r10) — completing the
+    * rep-level output family (q_dedup_ngram_rep / q_dedup_minhash_rep /
+    * q_dedup_simhash_rep) on the embedding leg: ONE row per qualifying
+    * pair of DISTINCT vectors with both groups' member counts, instead of
+    * the member expansion — the expansion is quadratic in the duplication
+    * factor BY CONTRACT (a 10⁵-duplicated page's embedding is one rep
+    * here), while rep-level output is linear in distinct content; keep/
+    * purge decisions act per GROUP and the member mapping recovers
+    * doc-level verdicts with one join. Group sizes serve from the group
+    * table the collapse already aggregates (no re-count over members).
+    * Approximate through the candidate stage like q_dedup_embed ⇒
+    * rows-only; spec reconciles Σ n_a·n_b + Σ k(k−1)/2 against the
+    * expanded operator's row count.
+    */
+  val dedupEmbedRep: Q = Q(
+    "q_dedup_embed_rep",
+    (s, d) => {
+      val EmbedGraph(_, reps, repPairs) = embedGraph(s, d)
+      val gsz = reps.select(col("vec_id"), col("gsz"))
+      repPairs
+        .join(gsz.select(col("vec_id").as("rep_a"), col("gsz").as("n_a")), "rep_a")
+        .join(gsz.select(col("vec_id").as("rep_b"), col("gsz").as("n_b")), "rep_b")
+        .select(col("rep_a"), col("rep_b"), col("cosine"), col("n_a"), col("n_b"))
         .transform(Det.sortAll)
     },
     None
@@ -900,6 +973,81 @@ object Similarity {
     None
   )
 
+  /** G. MMR diversified re-ranking (r10) — maximal marginal relevance
+    * (Carbonell & Goldstein 1998), the standard diversity-aware serve on
+    * top of a retrieval leg: from each query's exact top-20 candidate
+    * pool, greedily select 5 maximizing
+    * λ·cos(q,c) − (1−λ)·max_{s∈S} cos(c,s) with λ=0.7 — near-duplicate
+    * hits crowd a plain top-k (the very redundancy the dedup family
+    * measures); MMR picks the next result for marginal information, the
+    * shape RAG retrieval and eval-set selection actually serve.
+    *
+    * The greedy loop is inherently sequential IN k but embarrassingly
+    * parallel ACROSS queries, so each of the 5 rounds is one
+    * candidate-sized DataFrame step (argmax via per-query row_number,
+    * state update via a join against the precomputed candidate-pair
+    * cosine table) — every frame is O(|queries|·k²), broadcast-class;
+    * nothing corpus-shaped enters the iteration (the corpus is touched
+    * once, by the pool scan). localCheckpoint per round keeps the plan
+    * linear in k instead of exponential lineage doubling. Ties break by
+    * candidate id; λ and 1−λ are exact dyadic-free constants applied as
+    * single IEEE ops — deterministic under any scheduling. Approximate
+    * ⇒ rows-only; spec pins the full selection against an independent
+    * local greedy reference (same left-to-right dot kernel order).
+    */
+  val mmrRerank: Q = Q(
+    "q_mmr_rerank",
+    (s, d) => {
+      val e = vecs(s, d)
+      val lambda = 0.7
+      val queries = broadcast(e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm")))
+      val wq = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))
+      val pool = queries.join(e.as("b"), col("query_id") =!= col("b.vec_id"))
+        .select(col("query_id"), col("b.vec_id").as("cand_id"),
+          (Vectors.dot(col("qv"), col("b.v")) / (col("qnrm") * col("b.nrm"))).as("rel"),
+          col("b.v").as("cv"), col("b.nrm").as("cnrm"))
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= 20).drop("rn")
+        .localCheckpoint()
+      val sim = pool.as("x").join(pool.as("y"), Seq("query_id"))
+        .where(col("x.cand_id") =!= col("y.cand_id"))
+        .select(col("query_id"), col("x.cand_id").as("cand_id"),
+          col("y.cand_id").as("other_id"),
+          (Vectors.dot(col("x.cv"), col("y.cv")) /
+            (col("x.cnrm") * col("y.cnrm"))).as("sim"))
+        .localCheckpoint()
+      var remaining = pool.select("query_id", "cand_id", "rel")
+        .withColumn("maxsim", lit(0.0))
+        .localCheckpoint()
+      var selected: DataFrame = null
+      val wpick = Window.partitionBy("query_id").orderBy(col("mmr").desc, col("cand_id"))
+      for (step <- 1 to 5) {
+        val pick = remaining
+          .withColumn("mmr",
+            lit(lambda) * col("rel") - lit(1 - lambda) * col("maxsim"))
+          .withColumn("rk", row_number().over(wpick))
+          .where(col("rk") === 1)
+          .select(col("query_id"), col("cand_id"), col("mmr"),
+            lit(step.toLong).as("mmr_rank"))
+          .localCheckpoint()
+        selected = if (selected == null) pick else selected.unionByName(pick)
+        remaining = remaining
+          .join(pick.select(col("query_id"), col("cand_id").as("picked")), Seq("query_id"))
+          .where(col("cand_id") =!= col("picked"))
+          .join(sim.select(col("query_id"), col("cand_id"),
+            col("other_id").as("picked"), col("sim")),
+            Seq("query_id", "cand_id", "picked"), "left")
+          .select(col("query_id"), col("cand_id"), col("rel"),
+            greatest(col("maxsim"), coalesce(col("sim"), lit(0.0))).as("maxsim"))
+          .localCheckpoint()
+      }
+      selected.transform(Det.sortAll)
+    },
+    None
+  )
+
   /** G. Hybrid retrieval via reciprocal-rank fusion (r8) — the standard
     * production serve on top of the two ranker families the engine
     * already has: BM25 (q_bm25, the sparse leg) and exact cosine top-k
@@ -1022,6 +1170,6 @@ object Similarity {
             |ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(dedupEmbed, semanticDedup, annTopK, annLsh, annIvf,
-    annPq, annIvfPq, rrfHybrid)
+  val all: Seq[Q] = Seq(dedupEmbed, dedupEmbedRep, semanticDedup, annTopK,
+    annLsh, annIvf, annPq, annIvfPq, rrfHybrid, mmrRerank)
 }

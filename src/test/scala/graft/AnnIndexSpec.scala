@@ -339,6 +339,74 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("EP pair index: embed dedup serves the persisted pair graph; fresh build equals the direct plan; appends are delta-only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftep").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftepidx").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftepidx2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // orthogonal one-hot axes (pairwise cosine ≤ 0.01 ≪ τ); a near-dup
+    // adds a small epsilon on the next coordinate (cosine ≈ 0.99995 ≥ τ)
+    def vec(axis: Int, eps: Double): Array[Float] =
+      (0 until 8).map(j => (if (j == axis) 1.0
+        else if (j == (axis + 1) % 8) eps else 0.0).toFloat).toArray
+    // ids 1/2 exact dups, 3 a near-dup of them, 4..8 orthogonal spread
+    val base0 = Seq(
+      1L -> vec(0, 0), 2L -> vec(0, 0), 3L -> vec(0, 0.01),
+      4L -> vec(1, 0), 5L -> vec(2, 0), 6L -> vec(3, 0),
+      7L -> vec(4, 0), 8L -> vec(5, 0))
+    try {
+      base0.toDF("vec_id", "embedding").repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/embeddings.parquet")
+      val (e0, a0) = (AnnIndex.epEncodes.get(), AnnIndex.epAppends.get())
+      val out1 = Similarity.dedupEmbed.run(spark, tmp).collect()
+      assert(AnnIndex.epEncodes.get() == e0 + 1)
+      // the served graph is row-identical to the direct (non-persisted)
+      // plan on the same corpus — the whole point of the parity contract
+      val direct = Similarity.embedPairsFrom(Similarity.embedGraphDirect(spark, tmp))
+        .transform(graft.Det.sortAll).collect()
+      assert(out1.map(_.toString).toSeq == direct.map(_.toString).toSeq,
+        "persisted serve diverges from the direct plan")
+      Similarity.dedupEmbed.run(spark, tmp).collect()
+      assert(AnnIndex.epEncodes.get() == e0 + 1 && AnnIndex.epAppends.get() == a0,
+        "second run must load, not re-encode")
+      // ingest batch: a near-dup of vector 4 (new pair across the append
+      // boundary), plus an exact duplicate of vector 1 (zero new reps for
+      // it — within-group pair served from the id mapping alone)
+      Seq(20L -> vec(1, 0.01), 21L -> vec(0, 0))
+        .toDF("vec_id", "embedding").repartition(1).write.mode("append")
+        .parquet(s"$tmp/embeddings.parquet")
+      val out2 = Similarity.dedupEmbed.run(spark, tmp).collect()
+      assert(AnnIndex.epAppends.get() == a0 + 1 &&
+        AnnIndex.epEncodes.get() == e0 + 1,
+        "append must delta-encode, never re-encode the corpus")
+      val keys2 = out2.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      assert(keys2((4L, 20L)), s"appended near-dup pair missing: $keys2")
+      assert(keys2((1L, 21L)) && keys2((2L, 21L)) && keys2((3L, 21L)),
+        s"appended exact dup lost member pairs: $keys2")
+      // the duplicate vector added no rep row: 7 distinct in the base
+      // (ids 1/2 share a vector) + 1 novel appended
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val tip = tableDir.listFiles().find(_.getName.endsWith("_10")).get
+      assert(spark.read.parquet(s"$tip/ep_reps").count() == 8,
+        "duplicate of a known vector must add no rep rows")
+      // chained serve equals a from-scratch build (no caps hit here, so
+      // the approximate append is exactly the fresh pair set)
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = Similarity.dedupEmbed.run(spark, tmp).collect()
+      assert(out2.map(_.toString).sorted.toSeq == fresh.map(_.toString).sorted.toSeq,
+        "chained EP pair graph diverges from a fresh build")
+      // semantic dedup rides the same artifact: labels on the appended
+      // corpus equal the closure (fresh root still set)
+      val sem = Similarity.semanticDedup.run(spark, tmp).collect()
+      val cl = sem.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L && cl(21L) == 1L)
+      assert(cl(4L) == 4L && cl(20L) == 4L)
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
   test("BIN signature index: binary dedup serves persisted payload simhashes; appends add only novel payloads") {
     val tmp = java.nio.file.Files.createTempDirectory("graftbinsig").toString
     val idxRoot = java.nio.file.Files.createTempDirectory("graftbinroot").toString

@@ -191,6 +191,37 @@ class OperatorsSpec extends SparkSpec {
     rep.unpersist(); mem.unpersist()
   }
 
+  test("rep-level embed pairs: group-size budget reconciles the expanded operator exactly") {
+    // the embedding leg of the rep-level family: label each expanded pair
+    // with its endpoints' exact-dup representatives; the cross-group count
+    // must equal Σ n_a·n_b and the total must add Σ k(k−1)/2 within-group
+    // pairs (every group's self-cosine passes the threshold: ≈1 for real
+    // vectors, NaN — which Spark ranks above any value — for zero vectors)
+    val dir = "/root/testdata/sf0.001"
+    val rep = Similarity.dedupEmbedRep.run(spark, dir).cache()
+    val mem = Similarity.embedGraph(spark, dir).members.cache()
+    val expanded = Similarity.dedupEmbed.run(spark, dir).cache()
+    val labeled = expanded
+      .join(mem.select(col("vec_id").as("vec_a"), col("rep").as("ra")), "vec_a")
+      .join(mem.select(col("vec_id").as("vec_b"), col("rep").as("rb")), "vec_b")
+    val cross = labeled.where(col("ra") =!= col("rb")).count()
+    val budget = rep.agg(coalesce(sum(col("n_a") * col("n_b")), lit(0L)))
+      .head().getLong(0)
+    assert(cross == budget, s"expanded cross pairs $cross != rep budget $budget")
+    val withinBudget = mem.groupBy("rep").agg(count(lit(1)).as("k"))
+      .agg(coalesce(sum(col("k") * (col("k") - lit(1L))), lit(0L)))
+      .head().getLong(0) / 2
+    assert(expanded.count() == budget + withinBudget,
+      s"pair budget ${budget + withinBudget} != expanded ${expanded.count()}")
+    // each rep pair is itself a member pair of the expansion, cosine intact
+    val repKeys = rep.select(least(col("rep_a"), col("rep_b")).as("vec_a"),
+        greatest(col("rep_a"), col("rep_b")).as("vec_b"), col("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    val expKeys = expanded.as[(Long, Long, Double)].collect().toSet
+    assert(repKeys.subsetOf(expKeys), "rep pair missing from the expansion")
+    rep.unpersist(); mem.unpersist(); expanded.unpersist()
+  }
+
   test("rep-level minhash: sum of n_a*n_b equals the expanded cross-group pair count") {
     // the band-collision rep pairs carry the group sizes precisely so a
     // consumer can size (or refuse) the expansion without running it —
@@ -365,6 +396,52 @@ class OperatorsSpec extends SparkSpec {
     // the corpus really exercises the transitive grouping
     assert(out.exists(_._4), "no duplicate rows found — corpus too easy")
     assert(sizes.values.max >= 3, "no component larger than a single pair")
+  }
+
+  test("MMR rerank equals an independent local greedy reference") {
+    // the operator's 5 greedy selections per query, re-derived on the
+    // driver from the raw vectors with the same left-to-right dot kernel
+    // order and the same literal arithmetic (0.7·rel − (1−0.7)·maxsim),
+    // so scores are bit-identical and the selection must match exactly
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.mmrRerank.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("mmr_rank")) ->
+        r.getAs[Long]("cand_id")).toMap
+    val vecsL = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val ord = Ordering.Double.TotalOrdering // NaN greatest — Spark's ordering
+    def better(a: (Long, Double), b: (Long, Double)): Boolean = {
+      val c = ord.compare(a._2, b._2)
+      if (c != 0) c > 0 else a._1 < b._1
+    }
+    for (q <- vecsL.keys.filter(_ < 20)) {
+      val pool = vecsL.keys.filter(_ != q).toSeq
+        .map(c => c -> cos(vecsL(q), vecsL(c)))
+        .sortWith(better).take(20)
+      var sel = List.empty[Long]
+      var maxsim = Map.empty[Long, Double].withDefaultValue(0.0)
+      for (step <- 1 to 5) {
+        val pick = pool.filterNot(p => sel.contains(p._1))
+          .map { case (id, rel) => (id, 0.7 * rel - (1 - 0.7) * maxsim(id)) }
+          .sortWith(better).head._1
+        assert(out((q, step.toLong)) == pick,
+          s"query $q step $step: spark ${out((q, step.toLong))} vs local $pick")
+        sel ::= pick
+        maxsim = maxsim ++ pool.collect {
+          case (id, _) if id != pick && !sel.contains(id) =>
+            val s2 = cos(vecsL(id), vecsL(pick))
+            id -> (if (ord.gt(s2, maxsim(id))) s2 else maxsim(id))
+        }
+      }
+    }
   }
 
   test("banded LSH ANN: shared-bucket candidates only, recall floor vs brute force") {
