@@ -236,5 +236,51 @@ object Bpe {
     },
     None)
 
-  val all: Seq[Q] = Seq(train, encode)
+  /** G. Tokenizer coverage / fertility report (r10) — the per-source
+    * accounting a tokenizer owner reads before committing a vocabulary:
+    * token fertility (BPE tokens per word — the compression the merge
+    * table actually buys on each feed), chars-per-token, and the
+    * in-vocab rate (fraction of word occurrences the vocabulary encodes
+    * as a SINGLE token — BPE's byte fallback means nothing is ever OOV,
+    * so "coverage" is single-token rate, the metric that moves when a
+    * domain's jargon is missing from the merge table). Per source so a
+    * mixture decision (q_mix_weights) can price each feed's token cost.
+    *
+    * Plan: the merge fold runs once per DISTINCT word (the persisted
+    * BPE vocabulary's own rows — the q_bpe_encode device), occurrences
+    * join the folded vocabulary (broadcast-class while it fits) and
+    * aggregate straight to the |sources|-sized report: one corpus-token
+    * explode, one map-side-combined groupBy, no per-doc intermediate.
+    * Ratios are IEEE divisions of exact longs. Rows-only (the trained
+    * merge table isn't SQL-expressible); the spec reconciles per-source
+    * token mass against q_bpe_encode's registered per-doc output.
+    */
+  val vocabCoverage: Q = Q(
+    "q_vocab_coverage",
+    (s, d) => {
+      val merges = trainMerges(s, d, defaultM)
+      val wtok = AnnIndex.bpeVocab(s, d)._1
+        .select(col("w"),
+          size(applyMerges(chars(col("w")), merges)).cast("long").as("n_toks"),
+          length(col("w")).cast("long").as("n_chars"))
+      val occ = T.documents(s, d)
+        .select(coalesce(col("source"), lit("")).as("source"),
+          explode(wordsOf(col("text"))).as("w"))
+      occ.join(wtok, "w")
+        .groupBy("source")
+        .agg(count(lit(1)).as("word_occurrences"),
+          sum("n_toks").as("bpe_tokens"),
+          sum("n_chars").as("word_chars"),
+          sum(when(col("n_toks") === 1L, 1L).otherwise(0L)).as("single_token_occ"))
+        .withColumn("fertility",
+          col("bpe_tokens").cast("double") / col("word_occurrences").cast("double"))
+        .withColumn("chars_per_token",
+          col("word_chars").cast("double") / col("bpe_tokens").cast("double"))
+        .withColumn("in_vocab_rate",
+          col("single_token_occ").cast("double") / col("word_occurrences").cast("double"))
+        .transform(Det.sortAll)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(train, encode, vocabCoverage)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Det, Q, T}
+import graft.{CacheBag, Det, Q, T}
 import graft.functions.Vectors
 
 /** Similarity search over the embedding column.
@@ -1170,6 +1170,69 @@ object Similarity {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Topic-cluster mixture report (r10) — the k-means corpus map a
+    * data-mixing decision reads: every vector assigned to its nearest
+    * centroid (the SAME persisted IVF codebook the ANN family serves —
+    * the fit/serve split is shared, so this query pays no Lloyd run when
+    * the index exists), then per cluster: size, corpus share, the
+    * dominant ground-truth label with its count and purity (the
+    * cluster↔label agreement a topic-balance audit checks), and a
+    * temperature-balanced sampling weight ∝ √size (T=2 — the standard
+    * softening between proportional and uniform that keeps small topics
+    * represented; DoReMi/SlimPajama-class mixture tuning starts from
+    * exactly this table).
+    *
+    * Plan: one narrow scan → codegen'd NearestCentroid assignment (plan-
+    * constant codebook, no join, no explode) → map-side-combined
+    * groupBy(c_id, label) — output is k·|labels| rows, then k rows.
+    * The √size normalizer folds on the DRIVER over the ≤1024 collected
+    * cluster sizes in c_id order (bounded — the codebook-collect class;
+    * a cross-row double `sum` would be partition-order-dependent and
+    * break the spec's bit-exact replication). Dominant label resolves
+    * via one struct-max (max count, ties → smallest label — the
+    * keep_newest device), window-free. Rows-only: centroids are Lloyd
+    * output, not SQL-expressible; the spec replays assignment through
+    * the kernel's own semantics and re-derives every report column
+    * exactly.
+    */
+  val clusterMix: Q = Q(
+    "q_cluster_mix",
+    (s, d) => {
+      val e = vecsRaw(s, d)
+      val cb = codebookRows(s, d, e)
+      val assigned = T.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          Vectors.toDouble(col("embedding")).as("v"))
+        .select(col("label"),
+          Vectors.nearestCentroid(col("v"), cb.map(_._1),
+            cb.flatMap(_._2), cb.map(_._3)).as("c_id"))
+      val byLabel = assigned.groupBy("c_id", "label")
+        .agg(count(lit(1)).as("cnt"))
+      val perCluster = CacheBag.track(byLabel.groupBy("c_id")
+        .agg(sum("cnt").as("size"),
+          max(struct(col("cnt").as("cnt"), (-col("label")).as("nl"),
+            col("label").as("label"))).as("m"))
+        .select(col("c_id"), col("size"),
+          col("m.label").as("dominant_label"),
+          col("m.cnt").as("dominant_cnt")))
+      // deterministic normalizer: left-to-right fold in c_id order over
+      // the ≤1024-row cluster table (bounded driver collect, codebook
+      // class); total n is exact integer
+      val sizes = perCluster.select(col("c_id"), col("size"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = sizes.map(_._2).sum
+      val z = sizes.foldLeft(0.0)((a, cs) => a + math.sqrt(cs._2.toDouble))
+      perCluster
+        .select(col("c_id"), col("size"), col("dominant_label"),
+          col("dominant_cnt"),
+          (col("dominant_cnt").cast("double") / col("size").cast("double"))
+            .as("purity"),
+          (col("size").cast("double") / lit(n.toDouble)).as("share"),
+          (sqrt(col("size").cast("double")) / lit(z)).as("mix_weight"))
+        .transform(Det.sortAll)
+    },
+    None)
+
   val all: Seq[Q] = Seq(dedupEmbed, dedupEmbedRep, semanticDedup, annTopK,
-    annLsh, annIvf, annPq, annIvfPq, rrfHybrid, mmrRerank)
+    annLsh, annIvf, annPq, annIvfPq, rrfHybrid, mmrRerank, clusterMix)
 }

@@ -1166,8 +1166,355 @@ object TextAnalysis {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Cross-source overlap matrix (r10) — the pairwise companion of
+    * q_domain_stats: for every pair of sources, the count of shared
+    * distinct 3-word shingles, each side's distinct-shingle count and
+    * the shingle Jaccard. This is the feed-level contamination surface a
+    * curation pipeline reads before mixing sources (a mirror site shows
+    * up as a near-1.0 pair; a benchmark leak as an unexpected eval↔crawl
+    * edge) — per-doc dedup says WHICH rows repeat, this says which FEEDS
+    * repeat each other. The unit is the dedup family's word shingle, not
+    * the whole text: feeds overlap through passages and boilerplate long
+    * before they share verbatim documents.
+    *
+    * Plan: one narrow scan → shingle explode → DISTINCT (source,
+    * shingle-hash) — the only corpus-sized shuffle, map-side combined,
+    * 16-byte keys; the self-join runs on the DISTINCT frame keyed by
+    * shingle, so a shingle present in k sources contributes C(k,2) ≤
+    * C(|sources|,2) rows — fan-out bounded by the SOURCE count, not
+    * corpus size or duplication (the mass-duplicate axis is already
+    * collapsed by the distinct, so no df cap is needed at this
+    * granularity); per-source totals broadcast back. Output is
+    * |sources|²-bounded. Null source normalizes to '' (the ccnet_bucket
+    * device); jaccard is one IEEE division of exact longs. Pairs sharing
+    * nothing are absent by construction (inner join).
+    */
+  val sourceOverlap: Q = Q(
+    "q_source_overlap",
+    (s, d) => {
+      val ws = split(trim(lower(col("text"))), " +")
+      val su = T.documents(s, d)
+        .select(coalesce(col("source"), lit("")).as("source"),
+          when(size(ws) >= 3,
+            transform(sequence(lit(0), size(ws) - 3),
+              i => md5(concat_ws(" ", slice(ws, i + 1, lit(3))))))
+            .otherwise(array().cast("array<string>")).as("shs"))
+        .select(col("source"), explode(col("shs")).as("sh"))
+        .distinct()
+      val counts = su.groupBy("source").agg(count(lit(1)).as("n"))
+      val shared = su.as("a")
+        .join(su.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(broadcast(counts.select(col("source").as("source_a"),
+          col("n").as("n_a"))), "source_a")
+        .join(broadcast(counts.select(col("source").as("source_b"),
+          col("n").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("shared"),
+          col("n_a"), col("n_b"),
+          (col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH wsx AS (
+            |  SELECT coalesce(source, '') AS source,
+            |         regexp_split_to_array(trim(lower(text)), ' +') AS ws
+            |  FROM documents
+            |), su AS (
+            |  SELECT DISTINCT source,
+            |         md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh
+            |  FROM wsx, UNNEST(range(0, len(ws) - 2)) AS t(i)
+            |), n AS (
+            |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM su GROUP BY 1
+            |), p AS (
+            |  SELECT a.source AS source_a, b.source AS source_b,
+            |         CAST(count(*) AS BIGINT) AS shared
+            |  FROM su a JOIN su b ON a.sh = b.sh AND a.source < b.source
+            |  GROUP BY 1, 2
+            |)
+            |SELECT p.source_a, p.source_b, p.shared, na.n AS n_a, nb.n AS n_b,
+            |       CAST(p.shared AS DOUBLE) /
+            |         CAST(na.n + nb.n - p.shared AS DOUBLE) AS jaccard
+            |FROM p
+            |JOIN n na ON p.source_a = na.source
+            |JOIN n nb ON p.source_b = nb.source
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. Gopher quality-rule battery (r10) — the published document-level
+    * filter set from Rae et al. 2021 (§A1.1, "Gopher rules"), the
+    * name-brand heuristic battery C4/RefinedWeb/FineWeb-class curation
+    * runs before any model-based scoring (q_quality_score is the generic
+    * signal version; this is the exact rule set with its published
+    * thresholds): word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio (#/ellipsis) < 0.1, < 90% of lines
+    * bullet-started, < 30% of lines ellipsis-ended, ≥ 80% of words
+    * containing an alphabetic char, and ≥ 2 distinct stop-list hits.
+    * The stop list is a parameter (Gopher publishes
+    * the/be/to/of/and/that/have/with); the registered default is the
+    * engine's [[stopwordsEn]] — same 8-word shape, but overlapping this
+    * corpus's vocabulary so the rule discriminates instead of failing
+    * every document. Output is the per-doc counter set + one boolean per
+    * rule + the AND verdict, so a funnel can attribute removals per
+    * rule.
+    *
+    * Determinism: every ratio threshold is compared by integer
+    * cross-multiplication (10·sym < words, 5·alpha ≥ 4·words, …) — no
+    * IEEE division anywhere, so the row hashes cannot depend on float
+    * formatting. Plan: one narrow scan, per-row codegen'd string
+    * expressions, zero shuffles before the contract sort — the same
+    * linear cost class as q_token_count at any scale.
+    */
+  private[graft] def gopherFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ws = split(trim(col("text")), " +")
+    val words = size(ws).cast("long")
+    val charsum = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+    val sym = regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val bullet = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellip = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val alpha = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stop = stopwordsEn
+      .map(w => array_contains(split(trim(lower(col("text"))), " +"), w)
+        .cast("long")).reduce(_ + _)
+    T.documents(s, d).select(
+      col("doc_id"), words.as("words"), charsum.as("word_chars"),
+      sym.as("sym_hits"), nLines.as("n_lines"),
+      bullet.as("bullet_lines"), ellip.as("ellipsis_lines"),
+      alpha.as("alpha_words"), stop.as("stop_hits"))
+      .withColumn("r_wordcount",
+        col("words") >= 50L && col("words") <= 100000L)
+      .withColumn("r_meanwordlen",
+        col("word_chars") >= lit(3L) * col("words") &&
+          col("word_chars") <= lit(10L) * col("words"))
+      .withColumn("r_symbol", lit(10L) * col("sym_hits") < col("words"))
+      .withColumn("r_bullet",
+        lit(10L) * col("bullet_lines") < lit(9L) * col("n_lines"))
+      .withColumn("r_ellipsis",
+        lit(10L) * col("ellipsis_lines") < lit(3L) * col("n_lines"))
+      .withColumn("r_alpha",
+        lit(5L) * col("alpha_words") >= lit(4L) * col("words"))
+      .withColumn("r_stopwords", col("stop_hits") >= 2L)
+      .withColumn("gopher_pass",
+        col("r_wordcount") && col("r_meanwordlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopwords"))
+  }
+
+  val gopherRules: Q = Q(
+    "q_gopher_rules",
+    (s, d) => gopherFrame(s, d).transform(Det.sortAll),
+    Some("""WITH f AS (
+            |  SELECT doc_id,
+            |         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS words,
+            |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+            |         CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS sym_hits,
+            |         CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+            |         CAST(len(list_filter(str_split(text, chr(10)),
+            |           l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
+            |         CAST(len(list_filter(str_split(text, chr(10)),
+            |           l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ellipsis_lines,
+            |         CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+            |           w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+            |         (SELECT CAST(count(*) AS BIGINT)
+            |          FROM (VALUES ('the'),('a'),('of'),('and'),('to'),('in'),('is'),('it')) sw(w)
+            |          WHERE list_contains(regexp_split_to_array(trim(lower(text)), ' +'), sw.w)) AS stop_hits
+            |  FROM documents
+            |)
+            |SELECT *,
+            |       (words >= 50 AND words <= 100000) AS r_wordcount,
+            |       (word_chars >= 3 * words AND word_chars <= 10 * words) AS r_meanwordlen,
+            |       (10 * sym_hits < words) AS r_symbol,
+            |       (10 * bullet_lines < 9 * n_lines) AS r_bullet,
+            |       (10 * ellipsis_lines < 3 * n_lines) AS r_ellipsis,
+            |       (5 * alpha_words >= 4 * words) AS r_alpha,
+            |       (stop_hits >= 2) AS r_stopwords,
+            |       (words >= 50 AND words <= 100000
+            |        AND word_chars >= 3 * words AND word_chars <= 10 * words
+            |        AND 10 * sym_hits < words
+            |        AND 10 * bullet_lines < 9 * n_lines
+            |        AND 10 * ellipsis_lines < 3 * n_lines
+            |        AND 5 * alpha_words >= 4 * words
+            |        AND stop_hits >= 2) AS gopher_pass
+            |FROM f ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. Winnowing fingerprints (r10) — Schleimer/Wilkerson/Aiken SIGMOD
+    * 2003 (the MOSS algorithm), the guarantee-carrying fingerprint
+    * selection q_fingerprint's plain rolling hash lacks: over the
+    * document's word 4-gram hash sequence, every window of w=4
+    * consecutive grams contributes its minimal hash (rightmost position
+    * on ties), and the fingerprint is the distinct selected (position,
+    * hash) set — any shared substring of ≥ w+k−1 tokens between two
+    * documents is GUARANTEED to share a fingerprint, which is the local
+    * copy-detection contract span/ngram dedup consumers want.
+    *
+    * Cross-engine determinism: the gram hash is the md5 hex string
+    * (binary-collating ASCII on both engines), and the
+    * min-hash-rightmost-position selection is encoded as ONE
+    * lexicographic `min` over the composite key `h || zero-padded
+    * (10^10−1−pos)` — minimal h first, maximal pos among equal h — so
+    * both engines resolve ties identically with a single window min.
+    * Docs with fewer than w grams keep their one whole-document window
+    * (pos 0), matching the paper's short-input convention.
+    *
+    * Plan: narrow scan → gram posexplode (corpus token count rows, the
+    * tfidf explode class) → ONE window min partitioned by doc ordered by
+    * pos with a w-row frame (per-doc partitions, bounded by document
+    * length — the sessionize class, never a corpus-global window) →
+    * distinct. Selection density is the paper's 2/(w+1) of gram count,
+    * so the output is a ~40% sample of the explode, and nothing shuffles
+    * except the per-doc repartition and the final distinct.
+    */
+  val winnow: Q = Q(
+    "q_winnow",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 4; val w = 4
+      val ws = split(trim(col("text")), " +")
+      val grams = T.documents(s, d)
+        .select(col("doc_id"),
+          // sequence(0, n) DESCENDS for n<0 — guard short docs (<k words
+          // → no grams, both engines) behind the conditional
+          when(size(ws) >= k,
+            transform(sequence(lit(0), size(ws) - k),
+              i => md5(concat_ws(" ", slice(ws, i + 1, lit(k))))))
+            .otherwise(array().cast("array<string>")).as("gs"))
+        .where(size(col("gs")) > 0)
+        .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "h")))
+      val sel = grams
+        .withColumn("sk", concat(col("h"),
+          lpad((lit(9999999999L) - col("pos")).cast("string"), 10, "0")))
+        .withColumn("wmin", min(col("sk")).over(
+          Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.currentRow, w - 1)))
+        .withColumn("gcnt", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .where(col("pos") <= greatest(col("gcnt") - w, lit(0)))
+      sel.select(col("doc_id"),
+          substring(col("wmin"), 1, 32).as("fp_hash"),
+          (lit(9999999999L) -
+            substring(col("wmin"), 33, 10).cast("long")).as("fp_pos"))
+        .distinct()
+        .transform(Det.sortAll)
+    },
+    Some("""WITH wsx AS (
+            |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents
+            |), g AS (
+            |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+            |         md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS h
+            |  FROM wsx, UNNEST(range(0, len(ws) - 3)) AS t(i)
+            |), keyed AS (
+            |  SELECT doc_id, pos,
+            |         h || lpad(CAST(9999999999 - pos AS VARCHAR), 10, '0') AS sk
+            |  FROM g
+            |), win AS (
+            |  SELECT doc_id, pos,
+            |         min(sk) OVER (PARTITION BY doc_id ORDER BY pos
+            |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+            |         count(*) OVER (PARTITION BY doc_id) AS gcnt
+            |  FROM keyed
+            |)
+            |SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp_hash,
+            |       9999999999 - CAST(substr(wmin, 33, 10) AS BIGINT) AS fp_pos
+            |FROM win WHERE pos <= greatest(gcnt - 4, 0)
+            |ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. Classifier-based quality filtering (r10) — the model-based stage
+    * layered over rule batteries in every modern curation stack (GPT-3's
+    * WebText LR filter, LLaMA's wiki-reference classifier, FineWeb-Edu's
+    * distilled scorer): a logistic regression over cheap per-doc
+    * statistics, trained IN-ENGINE by full-batch gradient descent, then
+    * scored corpus-wide. The registered instance distills
+    * [[gopherFrame]]'s rule verdict into a soft score (heuristic-label
+    * distillation — the fastText-classifier recipe), so the training
+    * label needs no external data and the spec can measure that the
+    * trainer genuinely learns (accuracy ≥ the majority class on its own
+    * objective).
+    *
+    * Determinism at any partitioning (the q_anomaly discipline, extended
+    * to learning): every cross-row sum is EXACT — feature moments and
+    * per-iteration gradient components quantize per row to integer
+    * micro/nano-units (Spark `round` = HALF_UP, mirrored bit-exactly by
+    * the spec's local reference) and sum as DECIMAL(38,0), so no result
+    * ever depends on float accumulation order; all IEEE work (ln, exp,
+    * standardization, the w·z fold) is PER-ROW with plan-constant
+    * weights, evaluated left-to-right. 15 GD iterations × one map-side-
+    * combined 6-column aggregate over the cached z-frame = the Lloyd
+    * cost shape: driver state is the 6-weight model, corpus touched once
+    * to build features.
+    */
+  val qualityClassifier: Q = Q(
+    "q_quality_classifier",
+    (s, d) => {
+      val dec = "decimal(38,0)"
+      val g = gopherFrame(s, d)
+      // quantized features (micro-units, exact longs): ln(1+words),
+      // stop ratio, symbol ratio, mean word length, alpha ratio
+      def q6(c: org.apache.spark.sql.Column) =
+        round(c * 1000000d, 0).cast("long")
+      val feats = g.select(
+        col("doc_id"),
+        col("gopher_pass").cast("long").as("y"),
+        q6(log(lit(1.0) + col("words").cast("double"))).as("q1"),
+        q6(col("stop_hits").cast("double") / col("words").cast("double")).as("q2"),
+        q6(col("sym_hits").cast("double") / col("words").cast("double")).as("q3"),
+        q6(col("word_chars").cast("double") / col("words").cast("double")).as("q4"),
+        q6(col("alpha_words").cast("double") / col("words").cast("double")).as("q5"))
+      // exact moments -> driver-side μ/σ (plan constants thereafter)
+      val mrow = feats.agg(
+        count(lit(1)).as("n"),
+        Seq(1, 2, 3, 4, 5).flatMap(j => Seq(
+          sum(col(s"q$j").cast(dec)).cast(dec).as(s"s$j"),
+          sum(col(s"q$j").cast(dec) * col(s"q$j").cast(dec)).cast(dec).as(s"ss$j"))): _*)
+        .head()
+      val n = mrow.getLong(0)
+      val muSig: Seq[(Double, Double)] = Seq(1, 2, 3, 4, 5).map { j =>
+        val sj = mrow.getDecimal(2 * j - 1).doubleValue()
+        val ssj = mrow.getDecimal(2 * j).doubleValue()
+        val mu = sj / n
+        val v = ssj / n - mu * mu
+        (mu, if (v > 0) math.sqrt(v) else 0.0)
+      }
+      val zf = CacheBag.track(feats.select(
+        col("doc_id") +: col("y") +:
+          Seq(1, 2, 3, 4, 5).map { j =>
+            val (mu, sg) = muSig(j - 1)
+            (if (sg == 0.0) lit(0.0)
+             else (col(s"q$j").cast("double") - lit(mu)) / lit(sg)).as(s"z$j")
+          }: _*))
+      val lr = 1.0; val iters = 15
+      var w = Array.fill(6)(0.0) // bias + 5
+      def marginOf(wts: Array[Double]) =
+        Seq(1, 2, 3, 4, 5).foldLeft(lit(wts(0)): org.apache.spark.sql.Column)(
+          (acc, j) => acc + col(s"z$j") * lit(wts(j)))
+      for (_ <- 1 to iters) {
+        val p = lit(1.0) / (lit(1.0) + exp(-marginOf(w)))
+        val err = p - col("y").cast("double")
+        // nano-unit exact gradient sums — order-independent
+        val grow = zf.agg(
+          sum(round(err * 1000000000d, 0).cast(dec)).cast(dec).as("g0"),
+          Seq(1, 2, 3, 4, 5).map(j =>
+            sum(round(err * col(s"z$j") * 1000000000d, 0).cast(dec))
+              .cast(dec).as(s"g$j")): _*)
+          .head()
+        w = w.indices.map(j =>
+          w(j) - lr * (grow.getDecimal(j).doubleValue() / 1e9) / n).toArray
+      }
+      val score = lit(1.0) / (lit(1.0) + exp(-marginOf(w)))
+      zf.select(col("doc_id"), col("y").as("label"),
+          score.as("score"), (score >= 0.5).as("pred"))
+        .transform(Det.sortAll)
+    },
+    None)
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
     tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi, domainStats,
-    datasetCard, langidEval)
+    datasetCard, langidEval, sourceOverlap, gopherRules, winnow,
+    qualityClassifier)
 }

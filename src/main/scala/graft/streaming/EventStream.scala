@@ -255,6 +255,35 @@ object EventStream {
         ()
       })
 
+  /** H. Continuous embed-pair-graph maintenance (r10) — the vector-ingest
+    * twin of [[clusterIndexSink]], closing the maintenance loop for the
+    * LAST persisted family: each embeddings micro-batch lands as a
+    * batch-scoped idempotent partition, then the persisted EP pair graph
+    * ([[graft.operators.AnnIndex.embedPairs]]) comes current — a pure
+    * append delta-encodes ONLY the batch's genuinely-novel vectors under
+    * the artifact's FROZEN fit-time geometry, probes them against the
+    * union's codes, exact-rescores, and rewrites the distinct-content-
+    * sized artifacts self-contained (no chain); duplicates of known
+    * vectors add zero rows, and drift past the refit threshold rebuilds.
+    * A batch q_dedup_embed / q_dedup_semantic run then serves the
+    * streamed graph with no corpus-pass work — near-dup pairs are
+    * current within a micro-batch of the crawl. Write-then-maintain
+    * ordering makes replays safe exactly as in lexIndexSink.
+    */
+  def embedPairsSink(s: SparkSession, corpusDir: String, vecs: DataFrame,
+      checkpoint: String): DataStreamWriter[Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Row], batchId: Long) => {
+        writeBatchIdempotent(batch.toDF(), batchId,
+          s"$corpusDir/embeddings.parquet")
+        // per-batch cache release — see lexIndexSink
+        try graft.operators.AnnIndex.embedPairs(s, corpusDir)
+        finally graft.CacheBag.release()
+        ()
+      })
+
   /** H. Streaming incremental ingest dedup — the streaming twin of
     * q_dedup_incremental (Dedup.incremental), i.e. the shape a crawl
     * ingest actually runs as: documents arrive continuously, each must be

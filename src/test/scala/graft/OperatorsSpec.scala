@@ -1918,4 +1918,195 @@ class OperatorsSpec extends SparkSpec {
     assert(out.where(col("n_bpe_tokens") < col("n_words")).count() == 0)
     assert(out.where(col("n_bpe_tokens") === 0 && col("n_words") > 0).count() == 0)
   }
+
+  test("gopher rules: each planted violation trips exactly its rule") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftgopher").toString
+    val healthy = (("the a of and " * 13) + "alpha beta gamma").trim // 55 words, mwl ~2.96? recompute below
+    // 60 well-formed words incl. >=2 stopwords, mean word length in [3,10]
+    val good = (Seq.fill(29)("the quick") :+ "a lantern").mkString(" ") + " word"
+    val docs = Seq(
+      (1L, good),                                        // passes all
+      (2L, "the a short doc"),                           // wordcount fail
+      (3L, Seq.fill(60)("a").mkString(" ")),             // mean word len + stopword fail
+      (4L, (Seq.fill(60)("the aaaa").mkString(" ")) + " " + Seq.fill(30)("#").mkString(" ")), // symbol fail
+      (5L, (0 until 10).map(i => "- the aaaa bullet line " + i).mkString("\n")), // bullet fail
+      (6L, (0 until 10).map(i => "the aaaa line " + i + " trails ...").mkString("\n")), // ellipsis fail
+      (7L, (Seq.fill(30)("the a").mkString(" ")) + " " + Seq.fill(60)("1234").mkString(" "))) // alpha fail
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.gopherRules.run(spark, tmp)
+      .select("doc_id", "r_wordcount", "r_meanwordlen", "r_symbol",
+        "r_bullet", "r_ellipsis", "r_alpha", "r_stopwords", "gopher_pass")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => r.getBoolean(i))).toMap
+    assert(got(1L) == Seq(true, true, true, true, true, true, true, true))
+    assert(!got(2L)(0) && !got(2L)(7))                   // too short => fails
+    assert(!got(3L)(1) && !got(3L)(6))                   // 1-char words, one stopword
+    assert(got(4L)(0) && !got(4L)(2))                    // symbol ratio >= 0.1
+    assert(!got(5L)(3))                                  // 100% bullet lines
+    assert(!got(6L)(4))                                  // 100% ellipsis-ended lines
+    assert(!got(7L)(5))                                  // 40% alpha words < 80%
+    for (d <- Seq(2L, 3L, 4L, 5L, 6L, 7L)) assert(!got(d)(7), s"doc $d must fail overall")
+  }
+
+  test("winnow: exact set equality with a local reference; shared runs share a fingerprint") {
+    // local MOSS winnowing: word 4-grams, md5-hex hash, window w=4,
+    // min hash rightmost-position tie rule
+    def refWinnow(text: String): Set[(String, Long)] = {
+      val ws = text.trim.split(" +").toSeq
+      if (ws.size < 4) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val grams = (0 to ws.size - 4).map { i =>
+        val g = ws.slice(i, i + 4).mkString(" ")
+        md.reset()
+        md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val starts = 0 to math.max(grams.size - 4, 0)
+      starts.map { s0 =>
+        val win = (s0 until math.min(s0 + 4, grams.size)).map(p => (grams(p), p))
+        val m = win.map(_._1).min
+        val pos = win.filter(_._1 == m).map(_._2).max
+        (m, pos.toLong)
+      }.toSet
+    }
+    val texts = T.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = texts.toSeq.flatMap { case (id, t) =>
+      refWinnow(t).map { case (h, p) => (id, h, p) } }.toSet
+    val got = TextAnalysis.winnow.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"winnow mismatch: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+    // the guarantee: two docs sharing an 8-word run share a fingerprint hash
+    val tmp = java.nio.file.Files.createTempDirectory("graftwinnow").toString
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, s"one two three $shared x y z"),
+        (2L, s"p q r s t $shared u v w"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fp = TextAnalysis.winnow.run(spark, tmp)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty,
+      "shared >= w+k-1 token run must share a selected fingerprint hash")
+  }
+
+  test("vocab coverage reconciles with q_bpe_encode and its own ratios") {
+    val cov = Bpe.vocabCoverage.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val enc = Bpe.encode.run(spark, sfDir)
+      .join(T.documents(spark, sfDir).select(col("doc_id"),
+        coalesce(col("source"), lit("")).as("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum("n_bpe_tokens").as("toks"), sum("n_words").as("occ"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cov.keySet == enc.keySet)
+    for ((src, row) <- cov) {
+      val (toks, occ) = enc(src)
+      assert(row.getAs[Long]("bpe_tokens") == toks, s"$src token mass")
+      assert(row.getAs[Long]("word_occurrences") == occ, s"$src occurrences")
+      val f = row.getAs[Double]("fertility")
+      assert(f == toks.toDouble / occ.toDouble, s"$src fertility")
+      val ivr = row.getAs[Double]("in_vocab_rate")
+      assert(ivr >= 0.0 && ivr <= 1.0 && f >= 1.0)
+      assert(row.getAs[Long]("single_token_occ") <= occ)
+    }
+  }
+
+  test("cluster mix: sizes partition the corpus; dominant labels and weights recompute") {
+    val out = Similarity.clusterMix.run(spark, sfDir).collect()
+    val n = T.embeddings(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("size")).sum == n, "cluster sizes must partition the corpus")
+    // weights: deterministic left-to-right fold in c_id order
+    val sizes = out.map(r => (r.getAs[Long]("c_id"), r.getAs[Long]("size"))).sortBy(_._1)
+    val z = sizes.foldLeft(0.0)((a, cs) => a + math.sqrt(cs._2.toDouble))
+    for (r <- out) {
+      val size = r.getAs[Long]("size"); val dom = r.getAs[Long]("dominant_cnt")
+      assert(dom >= 1L && dom <= size)
+      assert(r.getAs[Double]("purity") == dom.toDouble / size.toDouble)
+      assert(r.getAs[Double]("share") == size.toDouble / n.toDouble)
+      assert(r.getAs[Double]("mix_weight") == math.sqrt(size.toDouble) / z)
+    }
+    // dominant label: recompute per-cluster label counts through the same
+    // registered assignment and apply the max-count-min-label rule locally
+    val e = T.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+    val cb = Similarity.codebookRows(spark, sfDir,
+      e.select(col("vec_id"), col("v")).withColumn("nrm",
+        graft.functions.Vectors.norm(col("v"))))
+    val counts = e.select(col("label"),
+        graft.functions.Vectors.nearestCentroid(col("v"), cb.map(_._1),
+          cb.flatMap(_._2), cb.map(_._3)).as("c_id"))
+      .groupBy("c_id", "label").count().collect()
+      .groupBy(_.getAs[Long]("c_id"))
+    for (r <- out) {
+      val cl = counts(r.getAs[Long]("c_id"))
+        .map(x => (x.getAs[Long]("label"), x.getAs[Long]("count")))
+      val want = cl.maxBy { case (l, c) => (c, -l) }
+      assert((r.getAs[Long]("dominant_label"), r.getAs[Long]("dominant_cnt")) == want)
+    }
+  }
+
+  test("quality classifier: bit-exact vs a local GD reference; learns its own objective") {
+    val out = TextAnalysis.qualityClassifier.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getAs[Long]("label"), r.getAs[Double]("score"),
+        r.getAs[Boolean]("pred")))).toMap
+    // local reference — identical arithmetic: Spark round(double) =
+    // BigDecimal.valueOf(HALF_UP); exact BigInt sums; left-to-right folds
+    def rnd(x: Double): Long =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val raw = TextAnalysis.gopherFrame(spark, sfDir)
+      .select("doc_id", "gopher_pass", "words", "stop_hits", "sym_hits",
+        "word_chars", "alpha_words")
+      .collect().map { r =>
+        val w = r.getAs[Long]("words").toDouble
+        (r.getLong(0), if (r.getAs[Boolean]("gopher_pass")) 1L else 0L, Array(
+          rnd(java.lang.StrictMath.log(1.0 + w) * 1000000d),
+          rnd(r.getAs[Long]("stop_hits").toDouble / w * 1000000d),
+          rnd(r.getAs[Long]("sym_hits").toDouble / w * 1000000d),
+          rnd(r.getAs[Long]("word_chars").toDouble / w * 1000000d),
+          rnd(r.getAs[Long]("alpha_words").toDouble / w * 1000000d)))
+      }
+    val n = raw.length
+    val muSig = (0 until 5).map { j =>
+      val s = raw.map(d => BigInt(d._3(j))).sum
+      val ss = raw.map(d => BigInt(d._3(j)) * BigInt(d._3(j))).sum
+      val mu = BigDecimal(s).toDouble / n
+      val v = BigDecimal(ss).toDouble / n - mu * mu
+      (mu, if (v > 0) math.sqrt(v) else 0.0)
+    }
+    val zs = raw.map { case (id, y, q) =>
+      (id, y, (0 until 5).map { j =>
+        val (mu, sg) = muSig(j)
+        if (sg == 0.0) 0.0 else (q(j).toDouble - mu) / sg
+      }.toArray)
+    }
+    var w = Array.fill(6)(0.0)
+    def margin(z: Array[Double]) =
+      (1 to 5).foldLeft(w(0))((acc, j) => acc + z(j - 1) * w(j))
+    for (_ <- 1 to 15) {
+      val gs = Array.fill(6)(BigInt(0))
+      for ((_, y, z) <- zs) {
+        val p = 1.0 / (1.0 + java.lang.StrictMath.exp(-margin(z)))
+        val err = p - y.toDouble
+        gs(0) += BigInt(rnd(err * 1000000000d))
+        for (j <- 1 to 5) gs(j) += BigInt(rnd(err * z(j - 1) * 1000000000d))
+      }
+      w = w.indices.map(j =>
+        w(j) - 1.0 * (BigDecimal(gs(j)).toDouble / 1e9) / n).toArray
+    }
+    var correct = 0
+    for ((id, y, z) <- zs) {
+      val p = 1.0 / (1.0 + java.lang.StrictMath.exp(-margin(z)))
+      val (gy, gscore, gpred) = out(id)
+      assert(gy == y && gscore == p && gpred == (p >= 0.5),
+        s"doc $id: engine ($gscore) vs reference ($p)")
+      if ((p >= 0.5) == (y == 1L)) correct += 1
+    }
+    val majority = math.max(zs.count(_._2 == 1L), zs.count(_._2 == 0L))
+    assert(correct >= majority,
+      s"classifier must learn its own objective: $correct correct vs majority $majority")
+  }
 }

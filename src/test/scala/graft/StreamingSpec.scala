@@ -562,6 +562,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("continuous embed-pair maintenance: delta-only appends, drift refit, serve equals a fresh build") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, Similarity}
+    val corpus = java.nio.file.Files.createTempDirectory("graftepst").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftepstroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftepstroot2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graftepstckpt").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // orthogonal one-hot axes over 16 dims; eps on the next coordinate
+    // makes a near-dup (cosine ≈ 0.99995 ≥ τ), distinct axes stay ≈ 0
+    def v(axis: Int, eps: Double): Seq[Float] =
+      (0 until 16).map(j => (if (j == axis) 1.0
+        else if (j == (axis + 1) % 16) eps else 0.0).toFloat)
+    def pairKeys(): Set[(Long, Long)] =
+      Similarity.dedupEmbed.run(spark, corpus)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    try {
+      val mem = MemoryStream[Vec]
+      val (e0, a0) = (AnnIndex.epEncodes.get(), AnnIndex.epAppends.get())
+      val q = EventStream.embedPairsSink(spark, corpus, mem.toDF(), ckpt).start()
+      // batch 1: one near-dup pair (0,1) + four isolated axes
+      mem.addData(Vec(0L, v(0, 0)), Vec(1L, v(0, 0.01)), Vec(2L, v(1, 0)),
+        Vec(3L, v(2, 0)), Vec(4L, v(3, 0)), Vec(5L, v(4, 0)))
+      q.processAllAvailable()
+      assert(AnnIndex.epEncodes.get() == e0 + 1 &&
+        AnnIndex.epAppends.get() == a0, "batch 1 is the one full build")
+      // batch 2 (2 rows on a 6-row fit — inside refitFraction): a
+      // near-dup of batch-1's axis-1 vector + an exact dup of vector 0 —
+      // must delta-append, and the cross-batch pairs must appear
+      mem.addData(Vec(10L, v(1, 0.01)), Vec(11L, v(0, 0)))
+      q.processAllAvailable()
+      assert(AnnIndex.epEncodes.get() == e0 + 1 &&
+        AnnIndex.epAppends.get() == a0 + 1,
+        "batch 2 must delta-append, never re-encode the corpus")
+      val k2 = pairKeys()
+      assert(k2((2L, 10L)), s"cross-batch near-dup pair missing: $k2")
+      assert(k2((0L, 11L)) && k2((1L, 11L)),
+        s"exact-dup member pairs missing: $k2")
+      // batch 3: 8 new axes → (16−6)/16 > refitFraction — drift refit
+      mem.addData((0 until 8).map(i => Vec(20L + i, v(5 + i, 0))): _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(AnnIndex.epEncodes.get() == e0 + 2 &&
+        AnnIndex.epAppends.get() == a0 + 1,
+        "frozen-geometry rows past refitFraction must refit, not append")
+      // the streamed graph equals a from-scratch build of the landed table
+      val streamed = Similarity.dedupEmbed.run(spark, corpus).collect()
+        .map(_.toString).sorted.toSeq
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = Similarity.dedupEmbed.run(spark, corpus).collect()
+        .map(_.toString).sorted.toSeq
+      assert(streamed == fresh, "streamed pair graph diverges from fresh build")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      for (d <- Seq(corpus, idxRoot, freshRoot, ckpt)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("continuous clustering: micro-batches delta-append labels; serve equals a fresh build") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{AnnIndex, Dedup}
