@@ -38,6 +38,7 @@ object Bench {
         vocabEncodes.get + vocabAppends.get +
         ccEncodes.get + ccAppends.get +
         epEncodes.get + epAppends.get +
+        npEncodes.get + npAppends.get +
         graft.operators.Bpe.bpeTrains.get
     }
     def timeOne(q: Q): (Either[String, Double], Boolean) = {

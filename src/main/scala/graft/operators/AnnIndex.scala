@@ -99,6 +99,11 @@ object AnnIndex {
   private[graft] val ccAppends = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val epEncodes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val epAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val npEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val npAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val ecEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val tpEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val tpAppends = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Append-drift threshold: chain-append while rows encoded with frozen
     * codebooks are ≤ this fraction of the corpus; past it, refit.
@@ -244,7 +249,7 @@ object AnnIndex {
     */
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
     val keep = Seq("IVF", "PQ", "LSH", "IVFPQ", "LEX", "MH", "SH", "NG", "BPE",
-        "CC", "BIN", "EP")
+        "CC", "BIN", "EP", "WN", "NP", "EC", "MP", "SP")
       .flatMap(chainDirs(s, vd, _))
       .map(new org.apache.hadoop.fs.Path(_).getName).toSet + new org.apache.hadoop.fs.Path(vd).getName
     val p = new org.apache.hadoop.fs.Path(vd)
@@ -1050,6 +1055,368 @@ object AnnIndex {
     validate(vd, "EP", params.split(",")(3).toLong,
       s.read.schema(repSchema).parquet(s"$vd/ep_reps").count())
     s.read.schema(pairSchema).parquet(s"$vd/ep_pairs")
+  }
+
+  /** Persisted semantic component labels (family EC) — the propagation
+    * layer over [[embedPairs]]: q_dedup_semantic's connected components
+    * (pointer-jumping min-label propagation, O(log diameter) rounds) ran
+    * per session over the distinct-vector pair graph even once the pairs
+    * themselves were persisted — at sf0.1 the propagation IS that
+    * query's remaining cost. Labels are a pure function of the pair
+    * graph, so they version WITH the EP artifact: one `ec_labels` table
+    * (eh → ck, where ck = the component's min content key) per corpus
+    * version, ID-FREE like every text/vector artifact (vec ids are used
+    * only as transient numeric surrogates during the build — the
+    * propagation's labelSum convergence check needs numeric labels — and
+    * never stored). Serve re-derives the cheap id↔eh mapping, resolves
+    * each component's min member vec_id with ONE map-side-combined
+    * groupBy over the component key, and joins back — so the served
+    * cluster ids are exactly the direct propagation's min-member labels.
+    *
+    * No append path of its own: new EP pairs can merge old components,
+    * and an exact incremental CC is the text family's reduced-graph
+    * union-find — here the graph the propagation reads is already
+    * DISTINCT-CONTENT-sized (the corpus-scale asymmetry is absorbed by
+    * the EP collapse), so a per-version rebuild over `ep_pairs` is the
+    * priced trade (documented; the text CC family demonstrates the
+    * incremental device where the node set is corpus-sized).
+    */
+  private[graft] def ecLabels(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pairs = embedPairs(s, d) // EP current for this corpus version
+    val table = s"$d/embeddings.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    val labSchema = StructType(Seq(StructField("eh", StringType),
+      StructField("ck", StringType)))
+    if (!exists(s, s"$vd/_GRAFT_OK_EC")) {
+      ecEncodes.incrementAndGet()
+      val m = s.read.parquet(table)
+        .select(col("vec_id"),
+          ehCol(Vectors.toDouble(col("embedding"))).as("eh"))
+        .groupBy("eh").agg(min("vec_id").as("nid"))
+      val repSchema = StructType(Seq(StructField("eh", StringType),
+        StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType)))
+      val nodes = s.read.schema(repSchema).parquet(s"$vd/ep_reps")
+        .select("eh").join(m, "eh")
+      val edges = pairs
+        .join(m.select(col("eh").as("eh_a"), col("nid").as("a")), "eh_a")
+        .join(m.select(col("eh").as("eh_b"), col("nid").as("b")), "eh_b")
+        .select("a", "b")
+      val labeled = nodes.join(Dedup.connectedComponents(
+        nodes.select(col("nid").as("id")), edges), col("nid") === col("id"))
+      // component content key = min eh per label — map-side-combined
+      // groupBy + equi-join back, never a per-component collect
+      labeled
+        .join(labeled.groupBy("label").agg(min("eh").as("ck")), "label")
+        .select(col("eh"), col("ck"))
+        .write.mode("overwrite").parquet(s"$vd/ec_labels")
+      val n = s.read.schema(labSchema).parquet(s"$vd/ec_labels").count()
+      writeMeta(s, vd, "EC", None, cnt, n.toString)
+      touch(s, s"$vd/_GRAFT_OK_EC")
+    }
+    val (_, _, params) = readMeta(s, vd, "EC").get
+    validate(vd, "EC", params.toLong,
+      s.read.schema(labSchema).parquet(s"$vd/ec_labels").count())
+    s.read.schema(labSchema).parquet(s"$vd/ec_labels")
+  }
+
+  /** Persisted bucket-collision pair graphs (families MP = MinHash band
+    * collisions, SP = SimHash chunk collisions) — the NP device for the
+    * two banded approximate families, completing "every near-dup
+    * family's candidate stage is a persisted artifact": the signature
+    * encodes were saved late-r8 (textSigs), but each session still re-ran
+    * the capped bucket SELF-JOIN. Both families share one shape — bucket
+    * rows (th, k1, k2) from the persisted signatures, a ≤64
+    * distinct-texts-per-bucket cap, a bucket-collision self-join, and a
+    * family payload (band-match count / hamming) — so one builder
+    * persists either graph.
+    *
+    * Artifacts (distinct-content-sized, ID-FREE, th-keyed like NP):
+    * `{mp,sp}_pairs` (th_a, th_b, payload), `{mp,sp}_kept` (k1, k2 — the
+    * fit-time kept-bucket universe, the append exactness detector).
+    * Bucket membership counts DISTINCT texts and texts are only ever
+    * added, so bucket size is monotone: a bucket capped at fit stays
+    * capped, and the single hazard is a fit-kept bucket crossing 64 —
+    * detected against `_kept`, forcing a refit. With no crossing, old
+    * texts' kept bucket rows are untouched: old↔old pairs carry over
+    * verbatim and the delta work is (fresh×old)+(fresh×fresh) collision
+    * joins sized by the batch. Payload exactness: the callback sees ALL
+    * collision rows for a pair (a new pair's collisions all involve ≥1
+    * fresh row), so per-pair aggregates (bands_matching) and
+    * signature-derived values (hamming) are identical to a fresh build.
+    * Self-contained rewrite per version; loud truncation validation.
+    */
+  private def bucketPairGraph(s: SparkSession, d: String, fam: String,
+      payloadCols: Seq[org.apache.spark.sql.types.StructField],
+      bucketRows: () => DataFrame,
+      payload: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val table = s"$d/documents.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    val lc = fam.toLowerCase
+    val pairSchema = StructType(
+      Seq(StructField("th_a", StringType), StructField("th_b", StringType)) ++
+        payloadCols)
+    val keptSchema = StructType(Seq(StructField("k1", IntegerType),
+      StructField("k2", LongType)))
+    def keptOf(b: DataFrame): DataFrame =
+      b.groupBy("k1", "k2").agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= 64).select("k1", "k2")
+    def collide(a: DataFrame, b: DataFrame, ordered: Boolean): DataFrame =
+      if (ordered)
+        a.as("a").join(b.as("b"),
+          col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
+            col("a.th") < col("b.th"))
+          .select(col("a.th").as("th_a"), col("b.th").as("th_b"))
+      else
+        a.as("a").join(b.as("b"),
+          col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2"))
+          .select(least(col("a.th"), col("b.th")).as("th_a"),
+            greatest(col("a.th"), col("b.th")).as("th_b"))
+    def writeAll(pairs: DataFrame, kept: DataFrame,
+        cur: Seq[(String, Long, Long)]): Unit = {
+      pairs.write.mode("overwrite").parquet(s"$vd/${lc}_pairs")
+      kept.write.mode("overwrite").parquet(s"$vd/${lc}_kept")
+      val nP = s.read.schema(pairSchema).parquet(s"$vd/${lc}_pairs").count()
+      writeFileList(s, vd, cur)
+      writeMeta(s, vd, fam, None, cnt, nP.toString)
+      touch(s, s"$vd/_GRAFT_OK_$fam")
+      pruneSiblings(s, vd)
+    }
+    if (!exists(s, s"$vd/_GRAFT_OK_$fam")) {
+      val cur = physFiles(s, table)
+      val viaAppend = appendBase(s, vd, fam, cur) match {
+        case Some((base, delta, _, params)) if params.nonEmpty =>
+          val rows = bucketRows()
+          val keptNow = keptOf(rows)
+          val crossed = s.read.schema(keptSchema).parquet(s"$base/${lc}_kept")
+            .join(keptNow, Seq("k1", "k2"), "left_anti")
+            .limit(1).count() > 0
+          if (crossed) false
+          else {
+            tpAppends.incrementAndGet()
+            val capped = rows.join(keptNow, Seq("k1", "k2"), "left_semi")
+            val baseThs = readFileList(s, base).map(_.map(_._1)) match {
+              case Some(paths) => s.read.parquet(paths: _*)
+                .select(md5(col("text")).as("th")).distinct()
+              case None => s.createDataFrame(
+                s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(StructField("th", StringType))))
+            }
+            val freshTh = s.read.parquet(delta: _*)
+              .select(md5(col("text")).as("th")).distinct()
+              .join(baseThs, Seq("th"), "left_anti")
+            val fresh = capped.join(freshTh, Seq("th"), "left_semi")
+            val old = capped.join(freshTh, Seq("th"), "left_anti")
+            val newPairs = payload(
+              collide(fresh, old, ordered = false)
+                .unionByName(collide(fresh, fresh, ordered = true)))
+            writeAll(
+              s.read.schema(pairSchema).parquet(s"$base/${lc}_pairs")
+                .unionByName(newPairs),
+              keptNow, cur)
+            true
+          }
+        case _ => false
+      }
+      if (!viaAppend) {
+        tpEncodes.incrementAndGet()
+        val rows = bucketRows()
+        val kept = keptOf(rows)
+        val capped = rows.join(kept, Seq("k1", "k2"), "left_semi")
+        writeAll(payload(collide(capped, capped, ordered = true)), kept, cur)
+      }
+    }
+    val (_, _, params) = readMeta(s, vd, fam).get
+    validate(vd, fam, params.toLong,
+      s.read.schema(pairSchema).parquet(s"$vd/${lc}_pairs").count())
+    s.read.schema(pairSchema).parquet(s"$vd/${lc}_pairs")
+  }
+
+  /** MinHash band-collision pairs (family MP): payload = bands_matching. */
+  private[graft] def mhPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    bucketPairGraph(s, d, "MP",
+      Seq(StructField("bands_matching", LongType)),
+      bucketRows = () => textSigs(s, d, "MH", Dedup.mhEncode)
+        .select(col("th"), posexplode(array(
+          (0 until 4).map(b => xxhash64(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+            col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))): _*))
+          .as(Seq("k1", "k2"))),
+      payload = c => c.groupBy("th_a", "th_b")
+        .agg(count(lit(1)).as("bands_matching")))
+  }
+
+  /** SimHash chunk-collision pairs (family SP): payload = hamming. */
+  private[graft] def shPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def sigs = textSigs(s, d, "SH", Dedup.shEncode)
+    bucketPairGraph(s, d, "SP",
+      Seq(StructField("hamming", LongType)),
+      bucketRows = () => sigs
+        .select(col("th"), col("simhash"), posexplode(array(
+          (0 until 8).map(c => shiftright(col("simhash"), 8 * c)
+            .bitwiseAND(lit(0xFFL))): _*))
+          .as(Seq("k1", "k2")))
+        .select("th", "k1", "k2"),
+      payload = c => c.distinct()
+        .join(sigs.select(col("th").as("th_a"), col("simhash").as("sa")), "th_a")
+        .join(sigs.select(col("th").as("th_b"), col("simhash").as("sb")), "th_b")
+        .select(col("th_a"), col("th_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming")))
+  }
+
+  /** Persisted ngram near-dup PAIR graph (family NP) — the EP discipline
+    * extended to the TEXT leg, and the artifact behind the most expensive
+    * remaining per-session corpus pass: before this, every
+    * q_dedup_ngram / q_dedup_ngram_rep run (and every CC full build)
+    * re-ran the df-capped inverted-index SELF-JOIN over the persisted
+    * shingle rows — the candidate join is the whole cost; the shingle
+    * encode was already saved (family NG) but the pair graph was not.
+    *
+    * Artifacts (all DISTINCT-CONTENT-sized and ID-FREE — keyed by
+    * md5(text) `th`, the text twin of EP's eh: an append lowering a
+    * group's min doc_id changes nothing; serve re-derives the cheap
+    * doc↔th mapping per run):
+    *  - `np_pairs` (th_a, th_b, inter, uni): rep-level pairs surviving
+    *    the doc-weighted df≤128 cap and inter≥3 — the operator's whole
+    *    output structure, th_a < th_b.
+    *  - `np_cnt` (th, nsh): kept-shingle count per distinct text (the
+    *    within-group pair emitters and `uni` recompute need it).
+    *  - `np_kept` (hs, df): the fit-time kept-shingle universe with its
+    *    doc-weighted document frequency — the append path's EXACTNESS
+    *    detector.
+    *
+    * Unlike EP (whose divergence axis is candidate recall), the ngram
+    * operator is EXACT and hash-gated, so the append path must be exact
+    * or refuse. Exactness argument: df counts MEMBER DOCS (Σ group
+    * sizes), and group sizes only grow, so df is MONOTONE — a shingle
+    * dropped at fit (df>128) stays dropped forever, and a new shingle
+    * lives only in new texts. The single hazard is a fit-time KEPT
+    * shingle whose union df crosses 128: that invalidates old pairs and
+    * old nsh, so the append detects any `np_kept` row with current
+    * df>128 and REFITS (the CC df-cap-crossing posture). With no
+    * crossing, old texts' kept sets are untouched: old↔old pairs carry
+    * over verbatim, and the delta work is (fresh × all) + (fresh ×
+    * fresh) joins — both sized by the batch, not the corpus. Each
+    * version rewrites self-contained (the EP/vocab argument:
+    * distinct-content-sized tables rewrite cheaply; no chain).
+    * Validation: pair and cnt row counts vs the meta, failing loud.
+    *
+    * Returns (np_pairs reader, np_cnt reader).
+    */
+  private[graft] def ngPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val table = s"$d/documents.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    val pairSchema = StructType(Seq(StructField("th_a", StringType),
+      StructField("th_b", StringType), StructField("inter", LongType),
+      StructField("uni", LongType)))
+    val cntSchema = StructType(Seq(StructField("th", StringType),
+      StructField("nsh", LongType)))
+    val keptSchema = StructType(Seq(StructField("hs", LongType),
+      StructField("df", LongType)))
+    def thCounts(paths: Seq[String]): DataFrame =
+      s.read.parquet(paths: _*).select(md5(col("text")).as("th"))
+        .groupBy("th").agg(count(lit(1)).cast("long").as("gsz"))
+    // (kept shingle rows per text, kept universe) for a given (th, gsz)
+    // group table — the df cap is doc-weighted, groupBy + semi join back
+    // (the capBuckets device, never a window over hs)
+    def keptShingles(groups: DataFrame): (DataFrame, DataFrame) = {
+      val hs = groups.join(textSigs(s, d, "NG", Dedup.ngEncode), "th")
+        .select(col("th"), col("hs"), col("gsz"))
+      val dfT = hs.groupBy("hs").agg(sum("gsz").cast("long").as("df"))
+      val kept = dfT.where(col("df") <= 128L)
+      (hs.join(kept.select("hs"), Seq("hs"), "left_semi").select("th", "hs"),
+        kept)
+    }
+    def pairsOf(shA: DataFrame, shB: DataFrame, cnts: DataFrame,
+        ordered: Boolean): DataFrame = {
+      val joined =
+        if (ordered)
+          shA.as("a").join(shB.as("b"),
+            col("a.hs") === col("b.hs") && col("a.th") < col("b.th"))
+            .select(col("a.th").as("th_a"), col("b.th").as("th_b"))
+        else
+          shA.as("a").join(shB.as("b"), col("a.hs") === col("b.hs"))
+            .select(least(col("a.th"), col("b.th")).as("th_a"),
+              greatest(col("a.th"), col("b.th")).as("th_b"))
+      joined.groupBy("th_a", "th_b").agg(count(lit(1)).as("inter"))
+        .join(cnts.select(col("th").as("th_a"), col("nsh").as("na")), "th_a")
+        .join(cnts.select(col("th").as("th_b"), col("nsh").as("nb")), "th_b")
+        .select(col("th_a"), col("th_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"))
+        .where(col("inter") >= 3L)
+    }
+    def writeAll(pairs: DataFrame, cnts: DataFrame, kept: DataFrame,
+        cur: Seq[(String, Long, Long)]): Unit = {
+      pairs.write.mode("overwrite").parquet(s"$vd/np_pairs")
+      cnts.write.mode("overwrite").parquet(s"$vd/np_cnt")
+      kept.write.mode("overwrite").parquet(s"$vd/np_kept")
+      val nP = s.read.schema(pairSchema).parquet(s"$vd/np_pairs").count()
+      val nC = s.read.schema(cntSchema).parquet(s"$vd/np_cnt").count()
+      writeFileList(s, vd, cur)
+      writeMeta(s, vd, "NP", None, cnt, s"$nP,$nC")
+      touch(s, s"$vd/_GRAFT_OK_NP")
+      pruneSiblings(s, vd)
+    }
+    if (!exists(s, s"$vd/_GRAFT_OK_NP")) {
+      val cur = physFiles(s, table)
+      val viaAppend = appendBase(s, vd, "NP", cur) match {
+        case Some((base, delta, _, params)) if params.nonEmpty =>
+          val (shAll, keptNow) = keptShingles(thCounts(Seq(table)))
+          val crossed = s.read.schema(keptSchema).parquet(s"$base/np_kept")
+            .select("hs")
+            .join(keptNow, Seq("hs"), "left_anti")
+            .limit(1).count() > 0
+          if (crossed) false
+          else {
+            npAppends.incrementAndGet()
+            val baseThs = readFileList(s, base).map(_.map(_._1)) match {
+              case Some(paths) =>
+                s.read.parquet(paths: _*).select(md5(col("text")).as("th")).distinct()
+              case None => s.createDataFrame(
+                s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(StructField("th", StringType))))
+            }
+            val freshTh = s.read.parquet(delta: _*)
+              .select(md5(col("text")).as("th")).distinct()
+              .join(baseThs, Seq("th"), "left_anti")
+            val cntAll = shAll.groupBy("th").agg(count(lit(1)).cast("long").as("nsh"))
+            val shFresh = shAll.join(freshTh, Seq("th"), "left_semi")
+            val shOld = shAll.join(freshTh, Seq("th"), "left_anti")
+            val newPairs = pairsOf(shFresh, shOld, cntAll, ordered = false)
+              .unionByName(pairsOf(shFresh, shFresh, cntAll, ordered = true))
+            writeAll(
+              s.read.schema(pairSchema).parquet(s"$base/np_pairs")
+                .unionByName(newPairs),
+              cntAll, keptNow, cur)
+            true
+          }
+        case _ => false
+      }
+      if (!viaAppend) {
+        npEncodes.incrementAndGet()
+        val (sh, kept) = keptShingles(thCounts(Seq(table)))
+        val cnts = sh.groupBy("th").agg(count(lit(1)).cast("long").as("nsh"))
+        writeAll(pairsOf(sh, sh, cnts, ordered = true), cnts, kept,
+          physFiles(s, table))
+      }
+    }
+    val (_, _, params) = readMeta(s, vd, "NP").get
+    val Array(nP, nC) = params.split(",").map(_.toLong)
+    validate(vd, "NP", nP,
+      s.read.schema(pairSchema).parquet(s"$vd/np_pairs").count())
+    validate(vd, "NP2", nC,
+      s.read.schema(cntSchema).parquet(s"$vd/np_cnt").count())
+    (s.read.schema(pairSchema).parquet(s"$vd/np_pairs"),
+      s.read.schema(cntSchema).parquet(s"$vd/np_cnt"))
   }
 
   /** Collapse a LEX append chain into one self-contained version — the

@@ -380,13 +380,29 @@ object Similarity {
   val semanticDedup: Q = Q(
     "q_dedup_semantic",
     (s, d) => {
-      val EmbedGraph(members, reps, repPairs) = embedGraph(s, d)
-      val repLabels = Dedup.connectedComponents(
-        reps.select(col("vec_id").as("id")),
-        repPairs.select(col("rep_a").as("a"), col("rep_b").as("b")))
+      // r10: the component labels serve from the persisted EC artifact
+      // (one ec_labels table per EP version — see AnnIndex.ecLabels; the
+      // propagation was this query's whole remaining per-session cost
+      // once the pair graph persisted). The serve resolves each
+      // component's min member vec_id with one map-side-combined groupBy
+      // over the content key, which equals the direct propagation's
+      // min-label output because every rep is its group's min vec_id.
+      val tagged = vecsRaw(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("eh", AnnIndex.ehCol(col("v")))
+      val groups = tagged.groupBy("eh", "v")
+        .agg(min("vec_id").as("rep"), count(lit(1)).as("gsz"))
+      val members = tagged.select("vec_id", "eh", "v")
+        .join(groups.select("eh", "v", "rep"), Seq("eh", "v"))
+        .select(col("rep"), col("vec_id"), col("eh"))
+      val repLab = groups.select(col("eh"), col("rep"))
+        .join(AnnIndex.ecLabels(s, d), "eh")
+      val compMin = repLab.groupBy("ck").agg(min("rep").as("cluster_id"))
+      val repCluster = repLab.join(compMin, "ck")
+        .select(col("rep").as("id"), col("cluster_id"))
       members
-        .join(repLabels, members("rep") === repLabels("id"))
-        .select(col("vec_id"), col("label").as("cluster_id"))
+        .join(repCluster, members("rep") === repCluster("id"))
+        .select(col("vec_id"), col("cluster_id"))
         .transform(Dedup.withClusterSize)
         .withColumn("is_dup", col("vec_id") =!= col("cluster_id"))
         .transform(Det.sortAll)

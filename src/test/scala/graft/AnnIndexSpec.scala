@@ -632,6 +632,154 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("NP pair graph: ngram dedup serves persisted pairs; appends are delta-only; df-cap crossing refits") {
+    import graft.operators.{AnnIndex, Dedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graftnp").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftnproot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftnproot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    val t = (1 to 16).map(i => f"tk$i%02d")
+    val X1 = t.slice(0, 12).mkString(" ")   // base template
+    val X3 = t.slice(1, 13).mkString(" ")   // near-dup of X1 (9 shared shingles)
+    val base = Seq(10L -> X1, 11L -> X1) ++ (12L to 18L).map(i =>
+      i -> s"filler doc unique$i with words alpha$i beta$i gamma$i")
+    try {
+      ccDocsDf(base).repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val (e0, a0) = (AnnIndex.npEncodes.get(), AnnIndex.npAppends.get())
+      val out1 = Dedup.ngramJaccard.run(spark, tmp).collect()
+      assert(AnnIndex.npEncodes.get() == e0 + 1)
+      assert(out1.exists(r => r.getAs[Long]("doc_a") == 10L &&
+        r.getAs[Long]("doc_b") == 11L), "exact-dup within-group pair missing")
+      Dedup.ngramJaccard.run(spark, tmp).collect()
+      assert(AnnIndex.npEncodes.get() == e0 + 1 &&
+        AnnIndex.npAppends.get() == a0, "second run must serve, not re-join")
+      // ingest batch: a near-dup of the base template (the cross-boundary
+      // pair the append path must find), an exact dup of a filler (zero
+      // new np rows — distinct content unchanged), a novel singleton
+      val delta = Seq(2L -> X3, 3L -> base(2)._2,
+        4L -> "totally novel appended text nothing shared here at all")
+      ccDocsDf(delta).repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      val out2 = Dedup.ngramJaccard.run(spark, tmp).collect()
+      assert(AnnIndex.npAppends.get() == a0 + 1 &&
+        AnnIndex.npEncodes.get() == e0 + 1,
+        "a monotone append must take the delta path, never re-join the corpus")
+      assert(out2.exists(r => r.getAs[Long]("doc_a") == 2L &&
+        r.getAs[Long]("doc_b") == 10L), s"cross-boundary near-dup pair missing")
+      assert(out2.exists(r => r.getAs[Long]("doc_a") == 3L &&
+        r.getAs[Long]("doc_b") == base(2)._1),
+        "appended exact dup lost its within-group pair")
+      // the served graph IS the from-scratch graph
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = Dedup.ngramJaccard.run(spark, tmp).collect()
+      assert(AnnIndex.npEncodes.get() == e0 + 2)
+      assert(out2.map(_.toString).sorted.toSeq ==
+        fresh.map(_.toString).sorted.toSeq,
+        "append-path pair graph diverges from a fresh build")
+      // df-cap crossing: 126 docs share a trigram (df=126 <= 128);
+      // 5 appended sharers push df to 131 — old texts' kept-shingle sets
+      // change, the append is not structure-monotone, must refit
+      spark.conf.set("graft.ann.indexRoot", idxRoot)
+      val tmpx = java.nio.file.Files.createTempDirectory("graftnpx").toString
+      def doc(i: Long) = i -> s"cshare1 cshare2 cshare3 tail${i}a tail${i}b tail${i}c"
+      try {
+        ccDocsDf((0L until 126L).map(doc)).repartition(1).write.mode("overwrite")
+          .parquet(s"$tmpx/documents.parquet")
+        val e1 = AnnIndex.npEncodes.get()
+        Dedup.ngramJaccard.run(spark, tmpx).collect()
+        assert(AnnIndex.npEncodes.get() == e1 + 1)
+        ccDocsDf((200L until 205L).map(doc)).repartition(1).write.mode("append")
+          .parquet(s"$tmpx/documents.parquet")
+        val outx = Dedup.ngramJaccard.run(spark, tmpx).collect()
+        assert(AnnIndex.npEncodes.get() == e1 + 2 &&
+          AnnIndex.npAppends.get() == a0 + 1,
+          "a df-cap crossing must refit, not append")
+        spark.conf.set("graft.ann.indexRoot", freshRoot)
+        val freshx = Dedup.ngramJaccard.run(spark, tmpx).collect()
+        assert(outx.map(_.toString).sorted.toSeq ==
+          freshx.map(_.toString).sorted.toSeq)
+      } finally rmTree(tmpx)
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
+  test("MP/SP pair graphs: band and chunk collision joins serve persisted pairs; appends delta-only; cap crossing refits") {
+    import graft.operators.{AnnIndex, Dedup}
+    val tmp = java.nio.file.Files.createTempDirectory("grafttp").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("grafttproot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("grafttproot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    val t = (1 to 16).map(i => f"tk$i%02d")
+    val X1 = t.slice(0, 12).mkString(" ")
+    // a PERMUTATION of X1: distinct text, IDENTICAL simhash (the vote is
+    // order-invariant) — chunk collision and hamming 0 by construction
+    val X3 = t.slice(0, 12).reverse.mkString(" ")
+    val base = Seq(10L -> X1, 11L -> X1) ++ (12L to 18L).map(i =>
+      i -> s"filler doc unique$i with words alpha$i beta$i gamma$i")
+    try {
+      ccDocsDf(base).repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val (e0, a0) = (AnnIndex.tpEncodes.get(), AnnIndex.tpAppends.get())
+      Dedup.minhashLsh.run(spark, tmp).collect()
+      Dedup.simhash.run(spark, tmp).collect()
+      assert(AnnIndex.tpEncodes.get() == e0 + 2, "one MP + one SP build")
+      Dedup.minhashLsh.run(spark, tmp).collect()
+      Dedup.simhash.run(spark, tmp).collect()
+      assert(AnnIndex.tpEncodes.get() == e0 + 2 &&
+        AnnIndex.tpAppends.get() == a0, "second runs must serve, not re-join")
+      val delta = Seq(2L -> X3,
+        4L -> "totally novel appended text nothing shared here at all")
+      ccDocsDf(delta).repartition(1).write.mode("append")
+        .parquet(s"$tmp/documents.parquet")
+      val mh2 = Dedup.minhashLsh.run(spark, tmp).collect()
+      val sh2 = Dedup.simhash.run(spark, tmp).collect()
+      assert(AnnIndex.tpAppends.get() == a0 + 2 &&
+        AnnIndex.tpEncodes.get() == e0 + 2,
+        "a monotone append must take the delta path on both families")
+      assert(sh2.exists(r => r.getAs[Long]("doc_a") == 2L &&
+        r.getAs[Long]("doc_b") == 10L && r.getAs[Long]("hamming") <= 12L),
+        s"cross-boundary simhash near-dup pair missing")
+      // served graphs equal fresh builds
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val mhF = Dedup.minhashLsh.run(spark, tmp).collect()
+      val shF = Dedup.simhash.run(spark, tmp).collect()
+      assert(mh2.map(_.toString).sorted.toSeq == mhF.map(_.toString).sorted.toSeq,
+        "MP append-path graph diverges from a fresh build")
+      assert(sh2.map(_.toString).sorted.toSeq == shF.map(_.toString).sorted.toSeq,
+        "SP append-path graph diverges from a fresh build")
+      // cap crossing: simhash is ORDER-INVARIANT (distinct-token vote),
+      // so 64 permutations of one token set are 64 DISTINCT texts with
+      // IDENTICAL signatures — every chunk bucket holds exactly 64
+      // members (the cap); a 65th permutation crosses it — refit
+      spark.conf.set("graft.ann.indexRoot", idxRoot)
+      val tmpx = java.nio.file.Files.createTempDirectory("grafttpx").toString
+      val perms = t.permutations.take(65).map(_.mkString(" ")).toSeq
+      try {
+        ccDocsDf((0 until 64).map(i => i.toLong -> perms(i)))
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$tmpx/documents.parquet")
+        val e1 = AnnIndex.tpEncodes.get()
+        Dedup.simhash.run(spark, tmpx).collect()
+        assert(AnnIndex.tpEncodes.get() == e1 + 1)
+        ccDocsDf(Seq(200L -> perms(64))).repartition(1).write.mode("append")
+          .parquet(s"$tmpx/documents.parquet")
+        val outx = Dedup.simhash.run(spark, tmpx).collect()
+        assert(AnnIndex.tpEncodes.get() == e1 + 2,
+          "a bucket-cap crossing must refit, not append")
+        spark.conf.set("graft.ann.indexRoot", freshRoot)
+        val freshx = Dedup.simhash.run(spark, tmpx).collect()
+        assert(outx.map(_.toString).sorted.toSeq ==
+          freshx.map(_.toString).sorted.toSeq)
+      } finally rmTree(tmpx)
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
   test("BPE vocabulary: tokenize once, delta-only exact append; merges match a fresh build; truncation refuses") {
     import graft.operators.Bpe
     val tmp = java.nio.file.Files.createTempDirectory("graftbpe").toString
