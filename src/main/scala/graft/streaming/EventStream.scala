@@ -225,6 +225,37 @@ object EventStream {
         ()
       })
 
+  /** H. Continuous text-pair-graph maintenance (r10) — the document-
+    * ingest twin of [[embedPairsSink]], keeping the THREE persisted
+    * text candidate graphs current per micro-batch: each documents
+    * batch lands as a batch-scoped idempotent partition, then the NP
+    * (ngram inverted-index pairs), MP (minhash band collisions) and SP
+    * (simhash chunk collisions) artifacts come current through their
+    * exact-or-refuse append paths (delta-sized joins when no cap
+    * crossing; refit otherwise — see AnnIndex.ngPairs /
+    * bucketPairGraph). A batch q_dedup_ngram / q_dedup_minhash /
+    * q_dedup_simhash run then serves the streamed graphs with no
+    * corpus-pass work — text near-dup pairs current within a
+    * micro-batch of the crawl. Write-then-maintain ordering makes
+    * replays safe exactly as in lexIndexSink.
+    */
+  def textPairsSink(s: SparkSession, corpusDir: String, docs: DataFrame,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Row], batchId: Long) => {
+        writeBatchIdempotent(batch.toDF(), batchId,
+          s"$corpusDir/documents.parquet")
+        // per-batch cache release — see lexIndexSink
+        try {
+          graft.operators.AnnIndex.ngPairs(s, corpusDir)
+          graft.operators.AnnIndex.mhPairs(s, corpusDir)
+          graft.operators.AnnIndex.shPairs(s, corpusDir)
+        } finally graft.CacheBag.release()
+        ()
+      })
+
   /** H. Continuous ANN index maintenance — the vector-ingest twin of
     * [[lexIndexSink]], closing the loop that [[annServeLshSink]] reads
     * from: each embeddings micro-batch lands as a batch-scoped

@@ -624,6 +624,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("continuous text-pair maintenance: NP/MP/SP delta-append per micro-batch; serve equals fresh builds") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, Dedup}
+    val corpus = java.nio.file.Files.createTempDirectory("grafttps").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("grafttpsroot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("grafttpsroot2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("grafttpsckpt").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    val t = (1 to 12).map(i => f"tk$i%02d")
+    val X1 = t.mkString(" ")
+    val X2 = t.reverse.mkString(" ")          // permutation: simhash-identical
+    val X3 = t.slice(1, 12).mkString(" ") + " tk13"  // ngram near-dup of X1
+    try {
+      val mem = MemoryStream[Doc]
+      val (ne0, na0) = (AnnIndex.npEncodes.get(), AnnIndex.npAppends.get())
+      val (te0, ta0) = (AnnIndex.tpEncodes.get(), AnnIndex.tpAppends.get())
+      val q = EventStream.textPairsSink(spark, corpus, mem.toDF(), ckpt).start()
+      mem.addData(Doc(10L, X1), Doc(11L, X1),
+        Doc(12L, "totally different content nothing shared here at all"))
+      q.processAllAvailable()
+      assert(AnnIndex.npEncodes.get() == ne0 + 1 &&
+        AnnIndex.tpEncodes.get() == te0 + 2,
+        "batch 1 builds all three pair graphs once")
+      // batch 2: a simhash-identical permutation + an ngram near-dup —
+      // both cross-batch pairs must appear through the append paths
+      mem.addData(Doc(2L, X2), Doc(3L, X3))
+      q.processAllAvailable()
+      q.stop()
+      assert(AnnIndex.npEncodes.get() == ne0 + 1 &&
+        AnnIndex.npAppends.get() == na0 + 1 &&
+        AnnIndex.tpEncodes.get() == te0 + 2 &&
+        AnnIndex.tpAppends.get() == ta0 + 2,
+        "batch 2 must delta-append on all three graphs, never re-join")
+      val ng = Dedup.ngramJaccard.run(spark, corpus).collect()
+      assert(ng.exists(r => r.getAs[Long]("doc_a") == 3L &&
+        r.getAs[Long]("doc_b") == 10L), "cross-batch ngram pair missing")
+      val sh = Dedup.simhash.run(spark, corpus).collect()
+      assert(sh.exists(r => r.getAs[Long]("doc_a") == 2L &&
+        r.getAs[Long]("doc_b") == 10L && r.getAs[Long]("hamming") == 0L),
+        "cross-batch simhash permutation pair missing")
+      val mh = Dedup.minhashLsh.run(spark, corpus).collect().map(_.toString).sorted.toSeq
+      // streamed graphs equal from-scratch builds of the landed table
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      assert(Dedup.ngramJaccard.run(spark, corpus).collect().map(_.toString)
+        .sorted.toSeq == ng.map(_.toString).sorted.toSeq)
+      assert(Dedup.simhash.run(spark, corpus).collect().map(_.toString)
+        .sorted.toSeq == sh.map(_.toString).sorted.toSeq)
+      assert(Dedup.minhashLsh.run(spark, corpus).collect().map(_.toString)
+        .sorted.toSeq == mh)
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      for (d <- Seq(corpus, idxRoot, freshRoot, ckpt)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("continuous clustering: micro-batches delta-append labels; serve equals a fresh build") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{AnnIndex, Dedup}
