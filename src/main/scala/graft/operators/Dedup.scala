@@ -528,6 +528,83 @@ object Dedup {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Asymmetric CONTAINMENT near-dup pairs (Broder 1997's containment
+    * measure, vs the resemblance the rest of the ngram family
+    * thresholds): pairs where the SMALLER document's kept-shingle set is
+    * ≥80% inside the larger one's — the wire-copy / quote-inclusion /
+    * prefix-truncation shape resemblance dedup structurally misses (a
+    * 50-shingle notice embedded verbatim in a 5000-shingle page has
+    * Jaccard ≈ 0.01 and never crosses any resemblance threshold, but
+    * containment 1.0). Same candidate universe as q_dedup_ngram — the
+    * persisted NP pair graph (df≤128 cap, inter≥3), so the corpus-pass
+    * cost is already paid and this query is joins over distinct-content-
+    * sized artifacts. The 0.8 threshold compares by integer
+    * cross-multiplication (5·inter ≥ 4·n_small — no IEEE division in
+    * the predicate); containment and jaccard emit as one IEEE division
+    * of exact ints each ([[graft.Num]] rules). Payload columns are kept
+    * SYMMETRIC (inter, n_small, n_big) so [[expandPairs]]'s least/
+    * greatest doc-id swap cannot mis-side them. Hash-matched vs a
+    * from-scratch DuckDB oracle; the planted-pair spec proves the
+    * asymmetric-discovery property (found here, invisible at any
+    * resemblance threshold ≥ 0.5).
+    */
+  val containment: Q = Q(
+    "q_dedup_contain",
+    (s, d) => {
+      val (repPairs, members, cnt, _) = ngramRepPairs(s, d)
+      val cross = repPairs
+        .join(cnt.select(col("doc_id").as("rep_a"), col("nsh").as("na")), "rep_a")
+        .join(cnt.select(col("doc_id").as("rep_b"), col("nsh").as("nb")), "rep_b")
+        .select(col("rep_a"), col("rep_b"), col("inter"),
+          least(col("na"), col("nb")).as("n_small"),
+          greatest(col("na"), col("nb")).as("n_big"))
+        .where(col("inter") * lit(5L) >= col("n_small") * lit(4L))
+      // identical-text pairs: full containment by construction (shared
+      // kept-shingle set), same ≥3-kept-shingles floor as the oracle's
+      // final inter≥3 predicate
+      val within = members.as("x")
+        .join(members.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .join(cnt.where(col("nsh") >= 3L).as("c"), col("x.rep") === col("c.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("c.nsh").as("inter"), col("c.nsh").as("n_small"),
+          col("c.nsh").as("n_big"))
+      expandPairs(cross, members, Seq("inter", "n_small", "n_big"))
+        .union(within)
+        .withColumn("containment",
+          col("inter").cast("double") / col("n_small").cast("double"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_small") + col("n_big") - col("inter")).cast("double"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH w AS (
+            |  SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
+            |), sh0 AS (
+            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+            |), sh AS (
+            |  SELECT doc_id, s FROM (
+            |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0
+            |  ) WHERE df <= 128
+            |), cnt AS (
+            |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+            |), pairs AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2
+            |)
+            |SELECT p.doc_a, p.doc_b, p.inter,
+            |       LEAST(ca.nsh, cb.nsh) AS n_small,
+            |       GREATEST(ca.nsh, cb.nsh) AS n_big,
+            |       CAST(p.inter AS DOUBLE) / CAST(LEAST(ca.nsh, cb.nsh) AS DOUBLE) AS containment,
+            |       CAST(p.inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - p.inter AS DOUBLE) AS jaccard
+            |FROM pairs p
+            |JOIN cnt ca ON p.doc_a = ca.doc_id
+            |JOIN cnt cb ON p.doc_b = cb.doc_id
+            |WHERE p.inter >= 3 AND 5*p.inter >= 4*LEAST(ca.nsh, cb.nsh)
+            |ORDER BY ALL""".stripMargin)
+  )
+
   /** G. The members manifest — the doc↔representative mapping that turns
     * rep-level verdicts ([[simhashRep]], [[ngramRep]]) back into
     * doc-level ones: one row per document with its group's
@@ -1529,7 +1606,7 @@ object Dedup {
             |ORDER BY ALL""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, ngramRep, minhashLsh, minhashRep,
-    simhash, simhashRep, membersManifest, clusters, decontaminate, spanDedup,
-    paragraphDedup, incremental, bloomDedup, splitAssign)
+  val all: Seq[Q] = Seq(exact, ngramJaccard, ngramRep, containment, minhashLsh,
+    minhashRep, simhash, simhashRep, membersManifest, clusters, decontaminate,
+    spanDedup, paragraphDedup, incremental, bloomDedup, splitAssign)
 }

@@ -101,6 +101,34 @@ class OperatorsSpec extends SparkSpec {
       s"expected only the planted pair, got ${pairs.size} pairs")
   }
 
+  test("containment dedup surfaces an asymmetric inclusion pair invisible to resemblance") {
+    // Broder's containment vs resemblance: a short notice embedded
+    // verbatim in a much longer page. Containment of the small side is
+    // 1.0 while Jaccard ~ 0.09 — no resemblance threshold >= 0.5 can
+    // ever surface the pair, which is exactly the measure's point.
+    val xw = (1 to 20).map(i => s"cx$i").mkString(" ")
+    val extra = (1 to 180).map(i => s"cy$i").mkString(" ")
+    val docs = Seq(
+      (1L, xw),            // the contained notice
+      (2L, s"$xw $extra"), // the containing page
+      (3L, (1 to 50).map(i => s"cz$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftcont").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.containment.run(spark, tmp)
+      .select("doc_a", "doc_b", "containment", "jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the planted inclusion pair, got ${rows.toSeq}")
+    assert(rows.head._3 == 1.0,
+      s"contained side must be fully inside: ${rows.head._3}")
+    assert(rows.head._4 < 0.5,
+      s"pair must sit below every resemblance threshold: ${rows.head._4}")
+    val resemblance = Dedup.ngramJaccard.run(spark, tmp)
+      .where(col("jaccard") >= 0.5).count()
+    assert(resemblance == 0, "resemblance dedup should miss the inclusion pair")
+  }
+
   test("minhash LSH surfaces a planted near-duplicate pair") {
     // Two docs sharing almost all shingles must collide in >=1 band.
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
