@@ -27,7 +27,11 @@ object Bench {
     // text signatures, BPE vocabulary + merge-table training, and CC
     // component labels — BENCH_r08's cold map was empty while
     // q_split_assign p1 paid a 7.6 s CC fit and q_bpe_train p1 a 4.1 s
-    // vocabulary build, exactly the blind spot this closes.
+    // vocabulary build, exactly the blind spot this closes. r10: the
+    // pair-graph families (EP embed pairs, NP ngram pairs, MP/SP bucket
+    // collisions, EC semantic labels) joined the sum — the first r10
+    // 100× run left q_dedup_simhash's 48 s SP-fit pass unflagged
+    // because the tp/ec counters were missing from the old sum.
     def fitCount(): Long = {
       import graft.operators.AnnIndex._
       ivfFits.get + pqFits.get + lshEncodes.get +
@@ -39,6 +43,7 @@ object Bench {
         ccEncodes.get + ccAppends.get +
         epEncodes.get + epAppends.get +
         npEncodes.get + npAppends.get +
+        ecEncodes.get + tpEncodes.get + tpAppends.get +
         graft.operators.Bpe.bpeTrains.get
     }
     def timeOne(q: Q): (Either[String, Double], Boolean) = {

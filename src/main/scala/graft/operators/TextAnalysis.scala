@@ -1534,9 +1534,130 @@ object TextAnalysis {
     },
     None)
 
+  /** DSIR hashed-bigram encode over DISTINCT texts: (th, text) →
+    * (th, b, cnt) — per-text occurrence counts over 4096 md5-hashed
+    * word-bigram buckets. md5 (not xxhash64) so the DuckDB oracle
+    * computes the identical bucket ids; counts are exact longs, so every
+    * downstream aggregate is order-independent. Pure function of text ⇒
+    * persisted once per distinct content by [[AnnIndex.textSigs]]
+    * (family DS): duplicates add zero rows, appends encode only novel
+    * texts, and the per-run work becomes distinct-content-sized joins.
+    */
+  private[operators] def dsEncode(texts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ws = split(trim(col("text")), " +")
+    texts
+      .select(col("th"), ws.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("th"), explode(
+        transform(sequence(lit(0), size(col("w")) - 2),
+          i => conv(substring(
+              md5(concat_ws(" ", slice(col("w"), i + 1, lit(2)))), 1, 8),
+            16, 10).cast("long") % lit(4096L))).as("b"))
+      .groupBy("th", "b").agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** G. DSIR data selection (Xie et al., NeurIPS 2023) — importance
+    * resampling toward a target distribution, the third leg of the
+    * selection triad (q_gopher_rules = heuristic battery,
+    * q_quality_classifier = discriminative model, this = distribution
+    * matching): per document, the hashed-n-gram importance log-weight
+    * ln p_target(doc) − ln p_raw(doc) under bag-of-bigrams multinomials
+    * estimated from exact bucket counts (target = the corpus's `en`
+    * slice, raw = everything; +1/(N+B) Laplace smoothing as published),
+    * plus the Gumbel-perturbed resampling key (top-k by
+    * `sample_key_micro` IS sampling ∝ exp(lw) — the Gumbel-max trick —
+    * with the noise seeded from md5(doc_id) so both engines derive the
+    * identical key).
+    *
+    * Exactness discipline (q_anomaly class): bucket counts and every
+    * cross-row sum are exact longs (order-independent under any
+    * partitioning); the ONLY IEEE work is per-BUCKET λ derivation (two
+    * ln of exact-int ratios, rounded HALF_UP to micro-units — 4096
+    * values, not per-row) and the per-DOC Gumbel transform of an
+    * exactly-representable dyadic uniform. Per-doc weights are then
+    * integer sums of cnt·λ_micro — reproducible bit-for-bit and
+    * hash-gated against a from-scratch DuckDB oracle.
+    *
+    * Scale shape: the bigram encode is the corpus-pass cost and persists
+    * per DISTINCT text (family DS via [[AnnIndex.textSigs]]); a run
+    * re-derives the narrow (doc_id, lang, th) mapping, folds counts at
+    * (th, lang) grain (distinct-content-sized), broadcasts the 4096-row
+    * λ table, and scores per distinct text before one members join —
+    * every shuffle is th- or bucket-keyed and distinct-content-sized.
+    */
+  val dsirSelect: Q = Q(
+    "q_dsir_select",
+    (s, d) => {
+      val B = 4096L
+      val members = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("th"))
+      val sigs = AnnIndex.textSigs(s, d, "DS", dsEncode)
+      val thLang = members.groupBy("th", "lang")
+        .agg(count(lit(1)).cast("long").as("mult"))
+      // member-weighted exact bucket counts: ≤4096 rows, map-side combined
+      val cnts = CacheBag.track(sigs.join(thLang, "th")
+        .groupBy("b").agg(
+          sum(col("cnt") * col("mult")).cast("long").as("r"),
+          sum(when(col("lang") === "en", col("cnt") * col("mult"))
+            .otherwise(0L)).cast("long").as("t")))
+      val tot = cnts.agg(sum("r"), sum("t")).head()
+      val (rTot, tTot) = (tot.getLong(0), tot.getLong(1))
+      val lam = cnts.select(col("b"),
+        round((log((col("t") + lit(1L)).cast("double") / lit((tTot + B).toDouble)) -
+            log((col("r") + lit(1L)).cast("double") / lit((rTot + B).toDouble))) * 1e6, 0)
+          .cast("long").as("lam"))
+      val perTh = sigs.join(broadcast(lam), "b")
+        .groupBy("th").agg(
+          sum(col("cnt") * col("lam")).cast("long").as("lw_micro"),
+          sum(col("cnt")).cast("long").as("n_bigrams"))
+      // seeded dyadic uniform in (0,1): 52 md5 bits + one half-step, so
+      // u, ln(u) inputs and the whole Gumbel key agree across engines
+      val u = (conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":dsir"))), 1, 13),
+        16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+      val lw = coalesce(col("lw_micro"), lit(0L))
+      members.join(perTh, Seq("th"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          lw.as("lw_micro"),
+          (lw > 0L).as("is_targetlike"),
+          (lw + round(-log(-log(u)) * 1e6, 0).cast("long"))
+            .as("sample_key_micro"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH wsx AS (
+            |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS ws FROM documents
+            |), bg AS (
+            |  SELECT doc_id, lang,
+            |         CAST(concat('0x', substr(md5(ws[i+1] || ' ' || ws[i+2]), 1, 8)) AS BIGINT) % 4096 AS b
+            |  FROM wsx, UNNEST(range(0, len(ws) - 1)) AS t(i)
+            |  WHERE len(ws) >= 2
+            |), cnt AS (
+            |  SELECT b, COUNT(*) AS r,
+            |         COUNT(*) FILTER (WHERE lang = 'en') AS t
+            |  FROM bg GROUP BY b
+            |), tot AS (
+            |  SELECT SUM(r) AS rt, SUM(t) AS tt FROM cnt
+            |), lam AS (
+            |  SELECT b, CAST(ROUND((ln((t + 1.0) / (tt + 4096)) - ln((r + 1.0) / (rt + 4096))) * 1e6, 0) AS BIGINT) AS lam
+            |  FROM cnt, tot
+            |), score AS (
+            |  SELECT g.doc_id, SUM(l.lam) AS lw_micro, COUNT(*) AS n_bigrams
+            |  FROM bg g JOIN lam l USING (b) GROUP BY g.doc_id
+            |)
+            |SELECT d.doc_id,
+            |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+            |       COALESCE(s.lw_micro, 0) AS lw_micro,
+            |       COALESCE(s.lw_micro, 0) > 0 AS is_targetlike,
+            |       COALESCE(s.lw_micro, 0) + CAST(ROUND(-ln(-ln((CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0)) * 1e6, 0) AS BIGINT) AS sample_key_micro
+            |FROM documents d LEFT JOIN score s USING (doc_id)
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
     tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi, domainStats,
     datasetCard, langidEval, sourceOverlap, gopherRules, winnow,
-    qualityClassifier)
+    qualityClassifier, dsirSelect)
 }

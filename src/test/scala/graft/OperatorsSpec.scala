@@ -101,6 +101,40 @@ class OperatorsSpec extends SparkSpec {
       s"expected only the planted pair, got ${pairs.size} pairs")
   }
 
+  test("dsir selection: integer weights discriminate target-like content; encode persists once") {
+    // en docs share a bigram pool; zh docs use disjoint vocab. Target =
+    // the en slice, so en-pool buckets carry positive log-ratios and
+    // zh-only buckets negative ones.
+    val tgt = (1 to 8).map(i => s"en$i").mkString(" ")
+    val docs = ((1 to 6).map(i => (i.toLong, s"$tgt en${i}x extra$i", "en")) ++
+      (7 to 12).map(i =>
+        (i.toLong, (1 to 10).map(j => s"zh${i}w$j").mkString(" "), "zh")) ++
+      Seq((13L, "single", "fr"))).toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("graftdsir").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (e0, a0) = (AnnIndex.sigEncodes.get(), AnnIndex.sigAppends.get())
+    val out = TextAnalysis.dsirSelect.run(spark, tmp)
+      .select("doc_id", "n_bigrams", "lw_micro", "is_targetlike")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(AnnIndex.sigEncodes.get() == e0 + 1, "first run must encode once")
+    assert((1 to 6).forall(i => out(i - 1)._4),
+      s"target-pool docs must score target-like: ${out.toSeq}")
+    assert((7 to 12).forall(i => !out(i - 1)._4),
+      s"disjoint-vocab docs must not: ${out.toSeq}")
+    assert(out(12) == ((13L, 0L, 0L, false)), "no-bigram doc scores zero")
+    // mass reconciliation: per-doc counts sum to the corpus bigram total
+    val totalBigrams = docs.collect().map(_.getString(1).trim.split(" +"))
+      .map(w => math.max(w.length - 1, 0)).sum
+    assert(out.map(_._2).sum == totalBigrams)
+    // second run serves the persisted DS signatures, identically
+    val again = TextAnalysis.dsirSelect.run(spark, tmp)
+      .select("doc_id", "n_bigrams", "lw_micro", "is_targetlike")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(AnnIndex.sigEncodes.get() == e0 + 1 &&
+      AnnIndex.sigAppends.get() == a0, "second run must serve, not re-encode")
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("containment dedup surfaces an asymmetric inclusion pair invisible to resemblance") {
     // Broder's containment vs resemblance: a short notice embedded
     // verbatim in a much longer page. Containment of the small side is
