@@ -246,19 +246,25 @@ object AnnIndex {
 
   /** Delete sibling versions of `vd` not reachable from any family's
     * chain — a full refit collapses the chain, an append keeps its bases.
+    * The family set is derived from the `_GRAFT_OK_*` completion markers
+    * actually on disk (never a hard-coded list): a newly added family's
+    * chain bases are anchored the moment its first marker lands, so a
+    * prune triggered by ANY family can't orphan another's chain.
     */
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
-    val keep = Seq("IVF", "PQ", "LSH", "IVFPQ", "LEX", "MH", "SH", "NG", "BPE",
-        "CC", "BIN", "EP", "WN", "NP", "EC", "MP", "SP")
-      .flatMap(chainDirs(s, vd, _))
-      .map(new org.apache.hadoop.fs.Path(_).getName).toSet + new org.apache.hadoop.fs.Path(vd).getName
     val p = new org.apache.hadoop.fs.Path(vd)
     val parent = p.getParent
     val f = fs(s, vd)
-    if (f.exists(parent))
-      f.listStatus(parent).foreach { st =>
-        if (!keep(st.getPath.getName)) f.delete(st.getPath, true)
-      }
+    if (!f.exists(parent)) return
+    val sibs = f.listStatus(parent).toSeq.filter(_.isDirectory)
+    val fams = sibs.flatMap(st => f.listStatus(st.getPath).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("_GRAFT_OK_"))
+        .map(_.stripPrefix("_GRAFT_OK_"))).distinct
+    val keep = fams.flatMap(chainDirs(s, vd, _))
+      .map(new org.apache.hadoop.fs.Path(_).getName).toSet + p.getName
+    f.listStatus(parent).foreach { st =>
+      if (!keep(st.getPath.getName)) f.delete(st.getPath, true)
+    }
   }
 
   /** The delta rows, read from ONLY the appended files, projected exactly

@@ -133,6 +133,25 @@ class OperatorsSpec extends SparkSpec {
     assert(AnnIndex.sigEncodes.get() == e0 + 1 &&
       AnnIndex.sigAppends.get() == a0, "second run must serve, not re-encode")
     assert(again.toSeq == out.toSeq)
+    // ingest: a novel doc + an exact duplicate of doc 1 — DS must
+    // delta-append (novel content only), and the chained serve must
+    // equal a from-scratch build on the appended corpus (λ shifts with
+    // the new counts; the th-keyed artifact is count-free by design)
+    Seq((14L, s"$tgt novel tail", "en"), (15L, s"$tgt en1x extra1", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(s"$tmp/documents.parquet")
+    val chained = TextAnalysis.dsirSelect.run(spark, tmp).collect()
+      .map(_.toString).sorted.toSeq
+    assert(AnnIndex.sigEncodes.get() == e0 + 1 &&
+      AnnIndex.sigAppends.get() == a0 + 1,
+      "appended corpus must delta-append, never re-encode")
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftdsirroot").toString
+    try {
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = TextAnalysis.dsirSelect.run(spark, tmp).collect()
+        .map(_.toString).sorted.toSeq
+      assert(chained == fresh, "chained DS serve diverges from a fresh build")
+    } finally spark.conf.unset("graft.ann.indexRoot")
   }
 
   test("containment dedup surfaces an asymmetric inclusion pair invisible to resemblance") {
