@@ -44,7 +44,8 @@ object Bench {
         epEncodes.get + epAppends.get +
         npEncodes.get + npAppends.get +
         ecEncodes.get + tpEncodes.get + tpAppends.get +
-        graft.operators.Bpe.bpeTrains.get
+        graft.operators.Bpe.bpeTrains.get +
+        graft.operators.Unigram.unigramTrains.get
     }
     def timeOne(q: Q): (Either[String, Double], Boolean) = {
       val t0 = System.nanoTime()

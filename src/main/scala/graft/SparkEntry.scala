@@ -11,7 +11,7 @@ object SparkEntry {
     Marts.all ++ QualityTests.all ++ Analyses.all ++ EltOps.all ++
       Relational.all ++ AsOf.all ++ EventOps.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ Assembly.all ++
-      Bpe.all
+      Bpe.all ++ Unigram.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

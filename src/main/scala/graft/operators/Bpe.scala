@@ -55,7 +55,7 @@ object Bpe {
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
   /** Corpus words, the token family's split (lowercased whitespace split). */
-  private def wordsOf(text: Column): Column =
+  private[operators] def wordsOf(text: Column): Column =
     filter(split(trim(lower(text)), " +"), w => w =!= "")
 
   /** A word as its single-character symbol array. Java split(limit=-1)

@@ -2000,6 +2000,127 @@ class OperatorsSpec extends SparkSpec {
     assert(out.where(col("n_bpe_tokens") === 0 && col("n_words") > 0).count() == 0)
   }
 
+  // ---- unigram LM tokenizer: independent local reference (mirrors the
+  // engine's arithmetic exactly: same seed, same Viterbi-EM rounds, same
+  // integer micro-log-probs, same smallest-split-point tie rule) ----
+  private val ugMaxLen = 6
+  private def ugLp(c: Long, t: Long, v: Int): Long =
+    BigDecimal(1e6 * (StrictMath.log((c + 1).toDouble) -
+        StrictMath.log((t + v).toDouble)))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def refViterbi(w: String, lp: Map[String, Long]): Seq[String] = {
+    val unk = -25000000L; val neg = -(1L << 50)
+    val n = w.length
+    val best = Array.fill(n + 1)(0L); val bp = Array.fill(n + 1)(-1)
+    for (i <- 1 to n) {
+      var bs = neg * 2; var bj = -1
+      for (j <- math.max(0, i - ugMaxLen) until i) {
+        val s = best(j) + lp.getOrElse(w.substring(j, i),
+          if (i - j == 1) unk else neg)
+        if (s > bs) { bs = s; bj = j }
+      }
+      best(i) = bs; bp(i) = bj
+    }
+    var pos = n; val out = scala.collection.mutable.ListBuffer.empty[String]
+    while (pos > 0) { val j = bp(pos); w.substring(j, pos) +=: out; pos = j }
+    out.toList
+  }
+
+  private def refUnigramTrain(freq: Map[String, Long])
+      : Seq[(String, Long, Long)] = {
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freq; i <- 0 until w.length;
+         l <- 1 to math.min(ugMaxLen, w.length - i)) {
+      val p = w.substring(i, i + l); cnt(p) = cnt.getOrElse(p, 0L) + f
+    }
+    val charRows = cnt.toSeq.filter(_._1.length == 1)
+    val multiRows = cnt.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }.take(48)
+    def withLp(rows: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val t = rows.map(_._2).sum
+      rows.map { case (p, c) => (p, c, ugLp(c, t, rows.length)) }
+    }
+    var model = withLp(charRows ++ multiRows)
+    for (k <- Seq(32, 24, 16)) {
+      val lp = model.map(p => p._1 -> p._3).toMap
+      val used = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- freq; p <- refViterbi(w, lp))
+        used(p) = used.getOrElse(p, 0L) + f
+      val chars = charRows.map { case (c, _) => c -> used.getOrElse(c, 0L) }
+      val multi = model.iterator.filter(_._1.length > 1)
+        .map(p => p._1 -> used.getOrElse(p._1, 0L))
+        .filter(_._2 > 0L).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(k)
+      model = withLp(chars ++ multi)
+    }
+    model
+  }
+
+  test("unigram train: bit-exact vs the local reference on the real corpus") {
+    val freq = Bpe.wordFreq(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refUnigramTrain(freq)
+      .map { case (p, c, l) => (p, c, l) }.sortBy(_._1)
+    val got = Unigram.train.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == expect, "EM piece table diverges from the reference")
+    assert(expect.exists(_._1.length > 1), "degenerate: no multi-char piece")
+  }
+
+  test("unigram train: a dominant repeated word becomes one piece") {
+    val freq = Seq(("spark", 500L), ("table", 3L), ("row", 2L)).toDF("w", "freq")
+    val pieces = Unigram.trainFromFreq(freq)
+    assert(pieces.exists(_.piece == "spark"),
+      "the dominant word must survive pruning as a whole piece")
+    val lp = pieces.map(p => p.piece -> p.lpMicro).toMap
+    val seg = Seq("spark").toDF("w")
+      .select(Unigram.segment(col("w"), lp)).head().getSeq[String](0)
+    assert(seg == Seq("spark"), s"Viterbi must pick the whole piece, got $seg")
+    assert(seg == refViterbi("spark", lp))
+  }
+
+  test("unigram encode: pieces reconstruct every corpus word; NLL reconciles") {
+    val pieces = Unigram.trainPieces(spark, sfDir)
+    val lp = pieces.map(p => p.piece -> p.lpMicro).toMap
+    val words = Bpe.wordFreq(spark, sfDir).select("w")
+    val bad = words
+      .withColumn("toks", Unigram.segment(col("w"), lp))
+      .where(concat_ws("", col("toks")) =!= col("w") ||
+        size(col("toks")) > length(col("w")) || size(col("toks")) < 1)
+      .count()
+    assert(bad == 0, "a segmentation lost/reordered characters or over-split")
+    // engine Viterbi score == reference score, word by word
+    val scores = words.withColumn("sc", Unigram.segScore(col("w"), lp))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((w, sc) <- scores) {
+      val ref = refViterbi(w, lp).foldLeft((0L, 0)) { case ((s, pos), p) =>
+        (s + lp.getOrElse(p, -25000000L), pos + p.length)
+      }._1
+      assert(sc == ref, s"score of '$w': engine $sc vs reference $ref")
+    }
+    // registered per-doc output reconciles exactly against the per-word
+    // reference: token totals and the exact-integer NLL
+    val tokOf = scores.keys.map(w => w -> refViterbi(w, lp).length).toMap
+    val out = Unigram.encode.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = T.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+    for (r <- docs) {
+      val ws = r.getString(1).trim.toLowerCase.split(" +").filter(_.nonEmpty)
+      val expToks = ws.map(w => tokOf(w).toLong).sum
+      val expNll = -ws.map(w => refViterbi(w, lp)
+        .map(p => lp.getOrElse(p, -25000000L)).sum).sum
+      val (gotToks, gotNll) = out(r.getLong(0))
+      assert(gotToks == expToks && gotNll == expNll,
+        s"doc ${r.getLong(0)}: ($gotToks,$gotNll) vs ($expToks,$expNll)")
+    }
+    // memo: a second run serves the cached model, no retrain
+    val t0 = Unigram.unigramTrains.get()
+    Unigram.encode.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+    assert(Unigram.unigramTrains.get() == t0, "second run must serve the memo")
+  }
+
   test("gopher rules: each planted violation trips exactly its rule") {
     val tmp = java.nio.file.Files.createTempDirectory("graftgopher").toString
     val healthy = (("the a of and " * 13) + "alpha beta gamma").trim // 55 words, mwl ~2.96? recompute below
