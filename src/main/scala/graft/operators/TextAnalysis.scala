@@ -1655,9 +1655,108 @@ object TextAnalysis {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Positional postings encode — (th, pos, term) per distinct text,
+    * 0-based positions over the family's lowercased whitespace words (a
+    * pure function of TEXT, so it persists through the shared signature
+    * index as family LP: duplicates add zero rows, appends encode only
+    * novel content — the textSigs discipline).
+    */
+  private[graft] def lpEncode(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("th"), posexplode(Bpe.wordsOf(col("text"))))
+      .select(col("th"), col("pos").cast("long").as("pos"),
+        col("col").as("term"))
+
+  /** Exact phrase matching for a parameterized phrase set: every start
+    * position where the phrase's words occur consecutively, counted per
+    * document (overlapping starts each count — "x x x" holds TWO "x x"
+    * occurrences). The classic positional-postings device: the k-word
+    * phrase is k−1 equi-joins on (text-hash, aligned position) over
+    * TERM-FILTERED posting slices — never a scan of the unfiltered
+    * postings per phrase, and never a regex pass over the corpus.
+    */
+  private[graft] def phraseFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // cache only the phrase-term SLICE of the postings, never the whole
+    // table (the LP artifact is corpus-token-sized for distinct content;
+    // the IN filter reaches the parquet scan, so the one read is pruned
+    // to the query's own terms — the per-phrase filters then hit the
+    // in-memory slice)
+    val terms = phrases.flatMap(_.split(" ")).distinct
+    val sigs = CacheBag.track(AnnIndex.textSigs(s, d, "LP", lpEncode)
+      .where(col("term").isin(terms: _*)))
+    val hits = phrases.map { ph =>
+      val ts = ph.split(" ").toSeq
+      val base = sigs.where(col("term") === ts.head)
+        .select(col("th"), col("pos"))
+      val matched = ts.zipWithIndex.drop(1).foldLeft(base) {
+        case (acc, (t, i)) =>
+          acc.join(sigs.where(col("term") === t)
+              .select(col("th"), (col("pos") - i).as("pos")),
+            Seq("th", "pos"))
+      }
+      matched.groupBy("th").agg(count(lit(1)).as("n_hits"))
+        .withColumn("phrase", lit(ph))
+    }.reduce(_ unionByName _)
+    T.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .join(hits, "th")
+      .select(col("phrase"), col("doc_id"), col("n_hits"))
+  }
+
+  /** DuckDB oracle for one phrase as a join block (the engine's exact
+    * device replayed over per-doc positions — positions are a pure
+    * function of text, so per-doc ≡ per-distinct-text + member join).
+    */
+  private def phraseBlock(ph: String): String = {
+    val ts = ph.split(" ")
+    val joins = ts.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '$t'"
+    }.mkString(" ")
+    s"SELECT '$ph' AS phrase, p0.doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
+      s"FROM pos p0 $joins WHERE p0.term = '${ts.head}' GROUP BY 1, 2"
+  }
+
+  private val defaultPhrases =
+    Seq("table scan", "sort merge join", "batch batch batch", "window window")
+
+  /** G. Exact phrase search (r10) — the retrieval capability q_bm25's
+    * bag-of-words ranking structurally lacks: "these words, in this
+    * order, adjacent" (quoted-query semantics — every production search
+    * stack pairs ranked retrieval with positional phrase matching; n-gram
+    * features can't answer it for unanticipated phrases without indexing
+    * every n). Positional postings (th, pos, term) persist per DISTINCT
+    * text through the shared signature index (family LP — the th-keyed
+    * textSigs discipline: the corpus-pass posexplode is paid once per
+    * corpus version, duplicates add zero rows, appends encode only novel
+    * content), and a k-word phrase resolves as k−1 equi-joins on
+    * (th, aligned pos) over term-filtered slices — selectivity comes
+    * from the rarest word's postings, the classic IR positional-join
+    * shape (a stopword-only phrase degrades to that family's documented
+    * cost, exactly as in Lucene). Per-doc hit counts ride the doc↔th
+    * member join, so a 10⁵-duplicated page costs ONE candidate
+    * evaluation. Hash-gated end to end: the DuckDB oracle replays the
+    * same aligned-position joins over per-doc positions.
+    */
+  val phraseSearch: Q = Q(
+    "q_phrase_search",
+    (s, d) => phraseFrame(s, d, defaultPhrases).transform(Det.sortAll),
+    Some(s"""WITH wsx AS (
+            |  SELECT doc_id, list_filter(
+            |    regexp_split_to_array(trim(lower(text)), ' +'),
+            |    w -> w <> '') AS ws
+            |  FROM documents
+            |), pos AS (
+            |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i + 1] AS term
+            |  FROM wsx, UNNEST(range(0, len(ws))) AS t(i)
+            |)
+            |${defaultPhrases.map(phraseBlock).mkString("", " UNION ALL ", "")}
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
     tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi, domainStats,
     datasetCard, langidEval, sourceOverlap, gopherRules, winnow,
-    qualityClassifier, dsirSelect)
+    qualityClassifier, dsirSelect, phraseSearch)
 }

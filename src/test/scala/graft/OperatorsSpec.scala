@@ -2000,6 +2000,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.where(col("n_bpe_tokens") === 0 && col("n_words") > 0).count() == 0)
   }
 
+  test("phrase search: overlaps count per start, order is enforced, dups ride the member join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftphrase").toString
+    Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),   // "alpha beta" twice
+      (2L, "x x x", "en"),                          // "x x" at starts 0 and 1
+      (3L, "beta alpha gamma", "en"),               // reversed order: no hit
+      (4L, "alpha gamma beta", "en"),               // both words, not adjacent
+      (5L, "alpha beta gamma alpha beta", "en"))    // exact dup of doc 1
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.phraseFrame(spark, tmp, Seq("alpha beta", "x x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("alpha beta", 1L) -> 2L, ("alpha beta", 5L) -> 2L,
+      ("x x", 2L) -> 2L), s"got $out")
+    // the LP artifact is distinct-content-sized: the exact-dup doc 5
+    // contributed no posting rows of its own
+    val sigs = AnnIndex.textSigs(spark, tmp, "LP", TextAnalysis.lpEncode)
+    assert(sigs.select("th").distinct().count() == 4)
+  }
+
   // ---- unigram LM tokenizer: independent local reference (mirrors the
   // engine's arithmetic exactly: same seed, same Viterbi-EM rounds, same
   // integer micro-log-probs, same smallest-split-point tie rule) ----
