@@ -2019,6 +2019,45 @@ class OperatorsSpec extends SparkSpec {
     // contributed no posting rows of its own
     val sigs = AnnIndex.textSigs(spark, tmp, "LP", TextAnalysis.lpEncode)
     assert(sigs.select("th").distinct().count() == 4)
+    // append a novel doc carrying the phrase + another exact dup: the LP
+    // family must delta-append (novel content only) and the chained
+    // serve must equal a from-scratch build on the appended corpus
+    val (e0, a0) = (AnnIndex.sigEncodes.get(), AnnIndex.sigAppends.get())
+    Seq((6L, "zeta alpha beta", "en"), (7L, "x x x", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(s"$tmp/documents.parquet")
+    val chained = TextAnalysis.phraseFrame(spark, tmp, Seq("alpha beta", "x x"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(AnnIndex.sigEncodes.get() == e0 &&
+      AnnIndex.sigAppends.get() == a0 + 1,
+      "appended corpus must delta-append, never re-encode")
+    assert(chained.exists(_.contains("alpha beta,6,1")),
+      "the appended doc's phrase hit must surface through the chain")
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftlproot").toString
+    try {
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = TextAnalysis.phraseFrame(spark, tmp, Seq("alpha beta", "x x"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(chained == fresh, "chained LP serve diverges from a fresh build")
+    } finally spark.conf.unset("graft.ann.indexRoot")
+  }
+
+  test("unigram viterbi: fuzzed bit-exactness vs the reference") {
+    val pieces = Unigram.trainPieces(spark, sfDir)
+    val lp = pieces.map(p => p.piece -> p.lpMicro).toMap
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // random words over a skewed alphabet (repeats make multi-char piece
+    // hits likely), lengths 1..14 — beyond the corpus's own length range
+    val words = Seq.fill(300)(
+      (1 to (1 + rnd.nextInt(14))).map(_ => alpha(rnd.nextInt(8))).mkString)
+    val got = words.toDF("w")
+      .select(col("w"), Unigram.segment(col("w"), lp).as("seg"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    for (w <- words) {
+      assert(got(w) == refViterbi(w, lp), s"segmentation of '$w' diverges")
+      assert(got(w).mkString("") == w, s"'$w' not reconstructed")
+    }
   }
 
   // ---- unigram LM tokenizer: independent local reference (mirrors the
