@@ -394,11 +394,34 @@ object EltOps {
             |ORDER BY ALL""".stripMargin)
   )
 
-  /** Per-item provenance: one row per order with found / found_on_try /
-    * search_type_id(+name). Shared by q_found_on_try and the two stats
-    * queries.
+  /** Session-lifetime memo of the provenance frame, keyed by
+    * (session, dataset dir). The reference lands find_track's output
+    * ONCE as the spotify_log table and the statistics queries read that
+    * table (spotify_elt.py:213–316; found_by_statistics.sql /
+    * found_on_try_statistics.sql) — the search loop never re-runs per
+    * consumer. Mirroring that: the three registered consumers
+    * (q_found_on_try and the two stats regroups) share one persisted
+    * materialization instead of re-running the per-row 6-variant search
+    * map, which the r10 bench measured as the single largest avoidable
+    * cost at 100× (three full corpus passes for one result). NOT
+    * CacheBag-tracked — CacheBag releases per query and the point is
+    * cross-query reuse; the frame is 5 narrow columns × |orders|,
+    * MEMORY_AND_DISK so a tight executor spills instead of OOMing.
     */
+  private val fotMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
   private def foundOnTryBase(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    fotMemo.computeIfAbsent(s"${System.identityHashCode(s)}#$d", _ =>
+      buildFoundOnTry(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Per-item provenance: one row per order with found / found_on_try /
+    * search_type_id(+name). Built once per (session, dataset) via
+    * [[foundOnTryBase]].
+    */
+  private def buildFoundOnTry(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     // the test corpus lands as one parquet split; spread it so the heavy
     // per-row variant array runs on every core (a real cluster's scan is

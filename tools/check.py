@@ -4,6 +4,15 @@ shipped library): run graft.Verify at a given SF, execute each oracle SQL in
 DuckDB over the same parquet tables, and compare result sets exactly.
 
 Usage: python3 tools/check.py [sfdir] [--no-verify] [query ...]
+
+CAVEAT — DuckDB-version sensitivity (the r10 q_dsir_select lesson): this
+gate runs whatever duckdb is installed locally; the driver runs its own
+build, possibly against a different libm. A hash gate is only portable if
+the gated columns are EXACT (integer/decimal arithmetic, IEEE division of
+exact ints, string ops). `round()` composed over a transcendental
+(ln/exp/pow) puts a value within an ulp of a .5 grid boundary on some
+platforms and NOT others — it can pass here and fail the driver. The lint
+below fails the gate on that pattern before the driver ever sees it.
 """
 import argparse, json, sys, subprocess, glob, os
 
@@ -52,6 +61,32 @@ for p in glob.glob(f'{SF}/*.parquet'):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f'{OUT}/oracle_sql.json'))
+
+# Lint: an oracle that rounds a transcendental onto a grid is
+# environment-dependent (libm last-bit differences flip HALF_UP at .5
+# boundaries) — ban it outright (graft.Num discipline). sqrt is exempt:
+# IEEE 754 requires it correctly rounded, so it IS portable.
+import re
+def _round_over_transcendental(sql):
+    s, hits = sql.lower(), []
+    for m in re.finditer(r'\bround\s*\(', s):
+        depth, i = 1, m.end()
+        while i < len(s) and depth:
+            depth += {'(': 1, ')': -1}.get(s[i], 0)
+            i += 1
+        arg = s[m.end():i]
+        if re.search(r'\b(ln|log|log2|log10|exp|pow|power|sin|cos|tan|atan2?)\s*\(', arg):
+            hits.append(arg[:80].replace('\n', ' '))
+    return hits
+
+lint_fails = []
+for name, sql in sorted(oracle.items()):
+    if ONLY and name not in ONLY:
+        continue
+    for h in _round_over_transcendental(sql):
+        print(f'LINT {name}: round() over a transcendental in the oracle '
+              f'(non-portable hash): round({h}…')
+        lint_fails.append(name)
 # a requested name must be a real query: oracle-checked, or at least a
 # rows-only query with a spark dump — otherwise the filter silently
 # checks nothing and the gate lies green
@@ -102,5 +137,6 @@ for name, sql in sorted(oracle.items()):
 
 # the summary reports what was actually CHECKED, not the oracle count —
 # a filtered run must not print a registry-wide green
+fails += [n for n in lint_fails if n not in fails]
 print(f'\n{checked - len(fails)}/{checked} matched' + (f'; FAILURES: {fails}' if fails else ''))
 sys.exit(1 if fails else 0)
