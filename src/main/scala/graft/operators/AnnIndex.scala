@@ -247,9 +247,17 @@ object AnnIndex {
   /** Delete sibling versions of `vd` not reachable from any family's
     * chain — a full refit collapses the chain, an append keeps its bases.
     * The family set is derived from the `_GRAFT_OK_*` completion markers
-    * actually on disk (never a hard-coded list): a newly added family's
-    * chain bases are anchored the moment its first marker lands, so a
-    * prune triggered by ANY family can't orphan another's chain.
+    * actually on disk (never a hard-coded list). For a family COMPLETE
+    * in `vd` the live set is its chain from `vd`; for a family NOT YET
+    * rebuilt/appended into `vd` (r11, the ADVICE orphaning fix: EP — a
+    * chainless family — completing first after a corpus append used to
+    * anchor only {vd}, and the prune deleted the prior version still
+    * holding IVF/PQ/LSH's chain segments, silently forcing full Lloyd
+    * refits) every sibling where the family IS complete is kept, plus
+    * each such sibling's own chain — so a prune triggered by ANY family
+    * can't orphan another's, in any completion order. Those stale
+    * siblings die on the family's next full refit into a new version
+    * (chain = {new vd}), which is when pruning them becomes safe.
     */
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(vd)
@@ -257,11 +265,21 @@ object AnnIndex {
     val f = fs(s, vd)
     if (!f.exists(parent)) return
     val sibs = f.listStatus(parent).toSeq.filter(_.isDirectory)
-    val fams = sibs.flatMap(st => f.listStatus(st.getPath).toSeq
-        .map(_.getPath.getName).filter(_.startsWith("_GRAFT_OK_"))
+      .map(_.getPath.toUri.getPath)
+    // retired layouts (markers a PREVIOUS release wrote, no longer
+    // served): without the exemption the keep-forever rule for
+    // not-yet-rebuilt families would preserve their corpus-sized
+    // artifacts indefinitely
+    val retired = Set("LEX") // r8 doc-keyed postings, superseded by LXT
+    val fams = sibs.flatMap(b => f.listStatus(new org.apache.hadoop.fs.Path(b))
+        .toSeq.map(_.getPath.getName).filter(_.startsWith("_GRAFT_OK_"))
         .map(_.stripPrefix("_GRAFT_OK_"))).distinct
-    val keep = fams.flatMap(chainDirs(s, vd, _))
-      .map(new org.apache.hadoop.fs.Path(_).getName).toSet + p.getName
+      .filterNot(retired)
+    val keep = fams.flatMap { fam =>
+      if (exists(s, s"$vd/_GRAFT_OK_$fam")) chainDirs(s, vd, fam)
+      else sibs.filter(b => exists(s, s"$b/_GRAFT_OK_$fam"))
+        .flatMap(b => chainDirs(s, b, fam))
+    }.map(new org.apache.hadoop.fs.Path(_).getName).toSet + p.getName
     f.listStatus(parent).foreach { st =>
       if (!keep(st.getPath.getName)) f.delete(st.getPath, true)
     }
@@ -608,69 +626,85 @@ object AnnIndex {
     */
   private[graft] val lexSlots = 64L
 
-  private def lexTf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  /** th-keyed postings over DISTINCT texts (r11 layout): tf is a pure
+    * function of TEXT, so the postings grow with distinct content, not
+    * corpus size (the textSigs asymmetry applied to retrieval — a
+    * 10⁵-duplicated page holds ONE posting row per term). Input rows are
+    * (th, text).
+    */
+  private def lexTf(texts: DataFrame): DataFrame =
+    texts.select(col("th"),
         explode(split(trim(col("text")), " +")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy("th", "term").agg(count(lit(1)).cast("long").as("tf"))
       .withColumn("tslot", pmod(xxhash64(col("term")), lit(lexSlots)))
 
+  private def lexDistinct(df: DataFrame): DataFrame =
+    df.select(md5(col("text")).as("th"), col("text"))
+      .groupBy("th").agg(min("text").as("text"))
+
   /** Ensure the lexical (BM25) inverted index for `d`'s documents table
-    * is persisted, and return (tf postings reader, dl reader, df reader,
-    * nDocs, totToks). Artifacts: `lex_tf` — (doc_id, term, tf) postings
-    * hive-partitioned by the term-hash slot; `lex_dl` — per-doc lengths;
-    * `lex_df` — vocabulary-sized document frequencies (always fully
-    * merged at the chain tip); meta params carry the exact corpus token
-    * total. A new session LOADS instead of re-tokenizing the corpus —
-    * for BM25 the per-session saved pass is the full text scan +
-    * tokenize + tf shuffle, the operator's entire corpus-sized cost.
+    * is persisted, and return (tf postings reader, dl reader, nDocs).
+    * Artifacts (family LXT — renamed from the r8 doc-keyed LEX so stale
+    * old-layout versions on shared roots are inert, never mis-served):
+    * `lex_tf` — (th, term, tf) postings over DISTINCT texts,
+    * hive-partitioned by the term-hash slot; `lex_dl` — per-distinct-text
+    * lengths; meta params carry the exact DISTINCT-content token total.
+    * Document frequencies and the corpus token total are member-weighted
+    * quantities (they change when a duplicate of KNOWN content arrives,
+    * which adds no artifact rows), so they are derived at serve from the
+    * cheap per-run doc↔th mapping — distinct-content-sized joins, the
+    * textSigs discipline. A new session LOADS instead of re-tokenizing —
+    * the per-session saved pass is the full text scan + tokenize + tf
+    * shuffle, the operator's entire corpus-sized cost, and since r11 that
+    * pass itself is paid once per DISTINCT text, not per document.
     *
-    * Append discipline differs from the ANN families in kind: counts are
-    * EXACTLY mergeable, so a pure file append writes only the delta
-    * files' tf/dl partitions, sums df and the token total, and the
-    * chained index is bit-identical to a fresh build (spec-proven; Lucene
-    * segment merging re-expressed over parquet). No frozen-codebook
-    * approximation ⇒ no drift threshold, appends compound forever.
+    * Append discipline: novel-content rows are DISJOINT from the chain's
+    * (anti-joined on th), so a pure file append writes only genuinely-new
+    * texts' tf/dl partitions and the chained index is row-identical to a
+    * fresh build (spec-proven; Lucene segment merging re-expressed over
+    * parquet, with the th key making the merge a plain union). No
+    * frozen-codebook approximation ⇒ no drift threshold, appends
+    * compound forever (compactLex bounds the segment count).
     */
   private[graft] def lex(s: SparkSession,
-      d: String): (DataFrame, DataFrame, DataFrame, Long, Long) = {
+      d: String): (DataFrame, DataFrame, Long) = {
     val table = s"$d/documents.parquet"
     val cnt = s.read.parquet(table).count()
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
-    def dfOf(tf: DataFrame): DataFrame =
-      tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
     def dlOf(tf: DataFrame): DataFrame =
-      tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
-    if (!exists(s, s"$vd/_GRAFT_OK_LEX")) {
+      tf.groupBy("th").agg(sum("tf").cast("long").as("dl"))
+    if (!exists(s, s"$vd/_GRAFT_OK_LXT")) {
       val cur = physFiles(s, table)
-      appendBase(s, vd, "LEX", cur) match {
+      appendBase(s, vd, "LXT", cur) match {
         case Some((base, delta, _, params)) if params.nonEmpty =>
           lexAppends.incrementAndGet()
-          val dtf = lexTf(s.read.parquet(delta: _*).select("doc_id", "text"))
+          val known = chainDirs(s, base, "LXT")
+            .map(c => s.read.parquet(s"$c/lex_dl").select("th"))
+            .reduce(_ unionByName _)
+          val fresh = lexDistinct(s.read.parquet(delta: _*).select("text"))
+            .join(known, Seq("th"), "left_anti")
+          val dtf = lexTf(fresh)
           dtf.write.partitionBy("tslot").mode("overwrite").parquet(s"$vd/lex_tf")
           dlOf(dtf).write.mode("overwrite").parquet(s"$vd/lex_dl")
-          s.read.parquet(s"$base/lex_df").unionByName(dfOf(dtf))
-            .groupBy("term").agg(sum("df").cast("long").as("df"))
-            .write.mode("overwrite").parquet(s"$vd/lex_df")
           val deltaToks = s.read.parquet(s"$vd/lex_dl")
             .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "LEX",
+          writeMeta(s, vd, "LXT",
             Some(new org.apache.hadoop.fs.Path(base).getName), cnt,
             (params.toLong + deltaToks).toString)
-          touch(s, s"$vd/_GRAFT_OK_LEX")
+          touch(s, s"$vd/_GRAFT_OK_LXT")
           pruneSiblings(s, vd)
         case _ =>
           lexEncodes.incrementAndGet()
-          val tf = lexTf(s.read.parquet(table).select("doc_id", "text"))
+          val tf = lexTf(lexDistinct(s.read.parquet(table).select("text")))
           tf.write.partitionBy("tslot").mode("overwrite").parquet(s"$vd/lex_tf")
           dlOf(tf).write.mode("overwrite").parquet(s"$vd/lex_dl")
-          dfOf(tf).write.mode("overwrite").parquet(s"$vd/lex_df")
           val toks = s.read.parquet(s"$vd/lex_dl")
             .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "LEX", None, cnt, toks.toString)
-          touch(s, s"$vd/_GRAFT_OK_LEX")
+          writeMeta(s, vd, "LXT", None, cnt, toks.toString)
+          touch(s, s"$vd/_GRAFT_OK_LXT")
           pruneSiblings(s, vd)
       }
     }
@@ -679,22 +713,21 @@ object AnnIndex {
     // wraps the attribute in a cast and blocks partition pruning)
     import org.apache.spark.sql.types._
     val tfSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("term", StringType),
+      StructField("th", StringType), StructField("term", StringType),
       StructField("tf", LongType), StructField("tslot", LongType)))
-    val chain = chainDirs(s, vd, "LEX")
+    val chain = chainDirs(s, vd, "LXT")
     val tf = chain.map(c => s.read.schema(tfSchema).parquet(s"$c/lex_tf"))
       .reduce(_ unionByName _)
     val dl = chain.map(c => s.read.parquet(s"$c/lex_dl"))
       .reduce(_ unionByName _)
-    val df = s.read.parquet(s"$vd/lex_df")
-    val (_, _, params) = readMeta(s, vd, "LEX").get
+    val (_, _, params) = readMeta(s, vd, "LXT").get
     val tot = params.toLong
     // truncation guard: the postings' exact token mass must equal the
     // meta total (a /tmp cleaner eating a slot partition is otherwise a
     // silent ranking corruption, not an error)
-    validate(vd, "LEX", tot,
+    validate(vd, "LXT", tot,
       tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0))
-    (tf, dl, df, cnt, tot)
+    (tf, dl, cnt)
   }
 
   /** Persisted text-signature tables — the fit/serve split extended to
@@ -1063,6 +1096,32 @@ object AnnIndex {
     s.read.schema(pairSchema).parquet(s"$vd/ep_pairs")
   }
 
+  /** Read-only peek at the EP distinct-vector table: Some(ep_reps —
+    * (eh, v, nrm)) iff the EP artifact is already COMPLETE for the
+    * current corpus version; never builds. For consumers whose direct
+    * plan is cheaper on a cold corpus than an EP fit (q_ann_topk's
+    * zero-shuffle broadcast brute scan): they serve rep-level only when
+    * the dedup family has already paid the encode — the realistic
+    * production state, and pass 2 of every bench — and fall back to the
+    * direct plan otherwise, bit-identical either way.
+    */
+  private[graft] def epRepsIfReady(s: SparkSession, d: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val table = s"$d/embeddings.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    if (!exists(s, s"$vd/_GRAFT_OK_EP")) None
+    else {
+      val repSchema = StructType(Seq(StructField("eh", StringType),
+        StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType)))
+      val reps = s.read.schema(repSchema).parquet(s"$vd/ep_reps")
+      val (_, _, params) = readMeta(s, vd, "EP").get
+      validate(vd, "EP", params.split(",")(3).toLong, reps.count())
+      Some(reps)
+    }
+  }
+
   /** Persisted semantic component labels (family EC) — the propagation
     * layer over [[embedPairs]]: q_dedup_semantic's connected components
     * (pointer-jumping min-label propagation, O(log diameter) rounds) ran
@@ -1147,8 +1206,11 @@ object AnnIndex {
     * capped, and the single hazard is a fit-kept bucket crossing 64 —
     * detected against `_kept`, forcing a refit. With no crossing, old
     * texts' kept bucket rows are untouched: old↔old pairs carry over
-    * verbatim and the delta work is (fresh×old)+(fresh×fresh) collision
-    * joins sized by the batch. Payload exactness: the callback sees ALL
+    * verbatim and the delta PAIR output is (fresh×old)+(fresh×fresh)
+    * collision joins sized by the batch — honest cost note (r11,
+    * ADVICE): the crossing detector re-derives bucket sizes from the
+    * full persisted signature table, a DISTINCT-CONTENT-sized pass per
+    * append, not batch-sized. Payload exactness: the callback sees ALL
     * collision rows for a pair (a new pair's collisions all involve ≥1
     * fresh row), so per-pair aggregates (bands_matching) and
     * signature-derived values (hamming) are identical to a fresh build.
@@ -1307,8 +1369,13 @@ object AnnIndex {
     * old nsh, so the append detects any `np_kept` row with current
     * df>128 and REFITS (the CC df-cap-crossing posture). With no
     * crossing, old texts' kept sets are untouched: old↔old pairs carry
-    * over verbatim, and the delta work is (fresh × all) + (fresh ×
-    * fresh) joins — both sized by the batch, not the corpus. Each
+    * over verbatim, and the delta PAIR work is (fresh × all) + (fresh ×
+    * fresh) joins whose output is sized by the batch. Honest cost note
+    * (r11, ADVICE): the crossing detector and the member-weighted
+    * df/count refresh re-derive gsz from the corpus's doc↔th mapping and
+    * re-join the full NG signature table — a distinct-content-sized pass
+    * plus the same md5 member scan EVERY serve of a th-keyed family pays
+    * by design (the id-free artifact contract), NOT batch-sized. Each
     * version rewrites self-contained (the EP/vocab argument:
     * distinct-content-sized tables rewrite cheaply; no chain).
     * Validation: pair and cnt row counts vs the meta, failing loud.
@@ -1454,20 +1521,24 @@ object AnnIndex {
     val cnt = s.read.parquet(table).count()
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
-    if (!exists(s, s"$vd/_GRAFT_OK_LEX")) lex(s, d) // ensure the tip exists
-    val chain = chainDirs(s, vd, "LEX")
+    if (!exists(s, s"$vd/_GRAFT_OK_LXT")) lex(s, d) // ensure the tip exists
+    val chain = chainDirs(s, vd, "LXT")
     if (chain.size <= 1) return false
     import org.apache.spark.sql.types._
     val tfSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("term", StringType),
+      StructField("th", StringType), StructField("term", StringType),
       StructField("tf", LongType), StructField("tslot", LongType)))
+    // segments hold DISJOINT th sets (appends anti-join on th), so the
+    // merge is a plain union; the groupBy is defense in depth against a
+    // hand-edited segment, not a summing requirement as in the r8
+    // doc-keyed layout
     val tf = chain.map(c => s.read.schema(tfSchema).parquet(s"$c/lex_tf"))
       .reduce(_ unionByName _)
-      .groupBy("doc_id", "term", "tslot").agg(sum("tf").cast("long").as("tf"))
-      .select("doc_id", "term", "tf", "tslot")
+      .groupBy("th", "term", "tslot").agg(sum("tf").cast("long").as("tf"))
+      .select("th", "term", "tf", "tslot")
     val dl = chain.map(c => s.read.parquet(s"$c/lex_dl"))
       .reduce(_ unionByName _)
-      .groupBy("doc_id").agg(sum("dl").cast("long").as("dl"))
+      .groupBy("th").agg(sum("dl").cast("long").as("dl"))
     tf.write.partitionBy("tslot").mode("overwrite").parquet(s"$vd/lex_tf_c")
     dl.write.mode("overwrite").parquet(s"$vd/lex_dl_c")
     val f = fs(s, vd)
@@ -1478,10 +1549,10 @@ object AnnIndex {
         throw new IllegalStateException(s"compactLex: rename of $name failed")
     }
     swap("lex_tf"); swap("lex_dl")
-    val (_, nFit, params) = readMeta(s, vd, "LEX").get
-    writeMeta(s, vd, "LEX", None, nFit, params) // self-contained: no base
+    val (_, nFit, params) = readMeta(s, vd, "LXT").get
+    writeMeta(s, vd, "LXT", None, nFit, params) // self-contained: no base
     pruneSiblings(s, vd)
-    validatedVersions.remove(s"$vd#LEX") // next serve re-proves token mass
+    validatedVersions.remove(s"$vd#LXT") // next serve re-proves token mass
     true
   }
 }

@@ -109,6 +109,41 @@ object Bpe {
   private[graft] def wordFreq(s: SparkSession, d: String): DataFrame =
     wordFreqOf(T.documents(s, d).select("text"))
 
+  /** Per-distinct-text word-count encode (family WC, r11): the encode/
+    * apply queries' per-DOC explode was the last occurrence-multiplied
+    * cost in the tokenizer family — the fold already ran once per
+    * distinct WORD, but the occurrence→vocabulary join and the doc-keyed
+    * sum re-exploded every duplicated document. Word counts are a pure
+    * function of TEXT, so they persist per distinct content under the
+    * [[AnnIndex.textSigs]] discipline: (th, w, cnt) rows plus ONE
+    * head-row per th (w NULL, `head` = the first 5 words in order) so
+    * the first-tokens column needs no positional corpus pass. A serve is
+    * then distinct-content-sized joins + one members join — duplicates
+    * cost one narrow row each, never a re-tokenize.
+    */
+  private[graft] def wcEncode(df: DataFrame): DataFrame = {
+    val ws = wordsOf(col("text"))
+    val counts = df.select(col("th"), explode(ws).as("w"))
+      .groupBy("th", "w").agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("head", lit(null).cast("array<string>"))
+    val heads = df.select(col("th"), lit(null).cast("string").as("w"),
+      lit(null).cast("long").as("cnt"), slice(ws, 1, 5).as("head"))
+    counts.unionByName(heads)
+  }
+
+  /** The persisted WC rows split back into (word counts, head rows). */
+  private[graft] def wcSigs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sigs = AnnIndex.textSigs(s, d, "WC", wcEncode)
+    (sigs.where(col("w").isNotNull).select("th", "w", "cnt"),
+      sigs.where(col("w").isNull).select("th", "head"))
+  }
+
+  /** The cheap per-run doc↔distinct-text mapping every th-keyed serve
+    * re-derives (the textSigs discipline).
+    */
+  private[graft] def thMembers(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"), md5(col("text")).as("th"))
+
   /** In-session model memo: (dataset, m) → (content fingerprint, merges).
     * The fingerprint VALIDATES the entry rather than keying it (the IVF
     * memo discipline: an in-place rewrite of the corpus retrains instead
@@ -202,34 +237,34 @@ object Bpe {
     "q_bpe_encode",
     (s, d) => {
       val merges = trainMerges(s, d, defaultM)
-      // Scale shape — the collapseExact asymmetry applied to the encode:
-      // token count is a pure function of the WORD and corpus words are
-      // Zipf-distributed, so the merge fold runs once per DISTINCT word
-      // (the persisted vocabulary's own rows), and per-doc totals come
-      // from an occurrence→vocabulary join + doc-keyed sum (the tf
-      // shape, map-side combined; the vocabulary side broadcasts while
-      // it fits, AQE-shuffles past that). Measured: the fold-per-
-      // occurrence narrow map read 35.9 s at sf0.1 — CPU-bound on the
-      // quadratic array-append inside `aggregate`, not scan-bound;
-      // distinct-word folding removes the occurrence multiplier.
-      // Output is row-identical (sum of per-word counts = size of the
-      // concatenated encoding; every word emits ≥1 token, so the
-      // first-5-words fold covers the first 5 tokens).
+      // Scale shape — the collapseExact asymmetry applied TWICE: the
+      // merge fold runs once per DISTINCT word (the persisted
+      // vocabulary's own rows — Zipf collapses the occurrence
+      // multiplier), and since r11 the occurrence→vocabulary join and
+      // the totals fold run once per DISTINCT TEXT over the persisted WC
+      // word-count rows ([[wcSigs]]) — a 10⁵-duplicated page prices ONE
+      // count fold plus 10⁵ narrow member-join rows, where the per-doc
+      // explode re-paid the tokenize per copy (the r10 100× bench's
+      // 25.4 s residual). Output is row-identical: Σ cnt·n_toks over a
+      // text's distinct words = the per-occurrence sum, and the
+      // persisted 5-word head replays the same first-tokens fold.
       val wtok = AnnIndex.bpeVocab(s, d)._1
         .select(col("w"),
           size(applyMerges(chars(col("w")), merges)).cast("long").as("n_toks"))
-      val docs = T.documents(s, d)
-        .select(col("doc_id"), wordsOf(col("text")).as("ws"))
-      val counts = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-        .join(wtok, "w")
-        .groupBy("doc_id").agg(sum("n_toks").as("n_bpe_tokens"))
-      val headToks = flatten(transform(slice(col("ws"), lit(1), lit(5)),
+      val (wc, heads) = wcSigs(s, d)
+      val perTh = wc.join(wtok, "w")
+        .groupBy("th").agg(
+          sum(col("cnt") * col("n_toks")).as("n_bpe_tokens"),
+          sum("cnt").cast("long").as("n_words"))
+      val headToks = flatten(transform(col("head"),
         w => applyMerges(chars(w), merges)))
-      docs
-        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
-          concat_ws(" ", slice(headToks, lit(1), lit(5))).as("first_tokens"))
-        .join(counts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"),
+      val headTh = heads.select(col("th"),
+        concat_ws(" ", slice(headToks, lit(1), lit(5))).as("first_tokens"))
+      thMembers(s, d)
+        .join(headTh, "th") // every distinct text has exactly one head row
+        .join(perTh, Seq("th"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
           coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
           col("first_tokens"))
         .transform(Det.sortAll)
@@ -247,13 +282,15 @@ object Bpe {
     * mixture decision (q_mix_weights) can price each feed's token cost.
     *
     * Plan: the merge fold runs once per DISTINCT word (the persisted
-    * BPE vocabulary's own rows — the q_bpe_encode device), occurrences
-    * join the folded vocabulary (broadcast-class while it fits) and
-    * aggregate straight to the |sources|-sized report: one corpus-token
-    * explode, one map-side-combined groupBy, no per-doc intermediate.
-    * Ratios are IEEE divisions of exact longs. Rows-only (the trained
-    * merge table isn't SQL-expressible); the spec reconciles per-source
-    * token mass against q_bpe_encode's registered per-doc output.
+    * BPE vocabulary's own rows — the q_bpe_encode device) and, since
+    * r11, the occurrence join folds once per DISTINCT TEXT over the
+    * persisted WC counts ([[wcSigs]]): per-th partial sums are
+    * distinct-content-sized, and the one corpus-sized stage is the
+    * narrow (doc, source, th)⋈partials member join straight into the
+    * |sources|-sized aggregate. Ratios are IEEE divisions of exact
+    * longs. Rows-only (the trained merge table isn't SQL-expressible);
+    * the spec reconciles per-source token mass against q_bpe_encode's
+    * registered per-doc output.
     */
   val vocabCoverage: Q = Q(
     "q_vocab_coverage",
@@ -263,15 +300,22 @@ object Bpe {
         .select(col("w"),
           size(applyMerges(chars(col("w")), merges)).cast("long").as("n_toks"),
           length(col("w")).cast("long").as("n_chars"))
-      val occ = T.documents(s, d)
+      val (wc, _) = wcSigs(s, d)
+      val perTh = wc.join(wtok, "w")
+        .groupBy("th").agg(
+          sum("cnt").as("occ_th"),
+          sum(col("cnt") * col("n_toks")).as("toks_th"),
+          sum(col("cnt") * col("n_chars")).as("chars_th"),
+          sum(when(col("n_toks") === 1L, col("cnt")).otherwise(0L)).as("single_th"))
+      T.documents(s, d)
         .select(coalesce(col("source"), lit("")).as("source"),
-          explode(wordsOf(col("text"))).as("w"))
-      occ.join(wtok, "w")
+          md5(col("text")).as("th"))
+        .join(perTh, "th")
         .groupBy("source")
-        .agg(count(lit(1)).as("word_occurrences"),
-          sum("n_toks").as("bpe_tokens"),
-          sum("n_chars").as("word_chars"),
-          sum(when(col("n_toks") === 1L, 1L).otherwise(0L)).as("single_token_occ"))
+        .agg(sum("occ_th").as("word_occurrences"),
+          sum("toks_th").as("bpe_tokens"),
+          sum("chars_th").as("word_chars"),
+          sum("single_th").as("single_token_occ"))
         .withColumn("fertility",
           col("bpe_tokens").cast("double") / col("word_occurrences").cast("double"))
         .withColumn("chars_per_token",

@@ -46,6 +46,12 @@ object Similarity {
 
   private[graft] val dedupTau = 0.35
 
+  /** Count of q_ann_topk serves that took the rep-level (ep_reps) path —
+    * spec observability for the guarded two-path serve.
+    */
+  private[graft] val annTopKRepServes =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Per-band collision probability under hamming-≤radius multi-probe:
     * P(the two band codes differ in at most `radius` of `bits` planes)
     * = Σ_{j=0..radius} C(bits,j) · p^(bits−j) · (1−p)^j, where p is the
@@ -438,17 +444,64 @@ object Similarity {
     None
   )
 
-  /** G. Brute-force cosine top-5 for the first 20 vectors as queries. */
+  /** G. Brute-force cosine top-5 for the first 20 vectors as queries.
+    *
+    * Two serve paths, bit-identical output (r11): on a COLD corpus the
+    * zero-shuffle broadcast scan (20 dots per corpus row — cheaper than
+    * any dedup shuffle when every vector is distinct); once the EP
+    * artifact exists for this corpus version
+    * ([[AnnIndex.epRepsIfReady]] — the state every bench pass 2 and any
+    * production corpus with the dedup family live is in), the exact
+    * dot products run once per DISTINCT vector against the persisted
+    * `ep_reps`, a rep-level trim bounds the candidates (a rep whose
+    * strictly-better cumulative MEMBER mass already fills k can never
+    * reach the top-k for any tie order), and only survivors expand
+    * through the per-run id↔eh members scan into the final exact
+    * window. A 100×-duplicated corpus prices 1/100 of the dot products;
+    * cosines are the same bits (ep_reps stores the content-identical
+    * vector, and the trim is sound for ties because the query's own
+    * group mass is self-excluded before counting).
+    */
   val annTopK: Q = Q(
     "q_ann_topk",
     (s, d) => {
-      val e = vecs(s, d)
-      val queries = e.where(col("vec_id") < 20)
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      broadcast(queries).as("a")
-        .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-          cos.as("cosine"))
+      val out = AnnIndex.epRepsIfReady(s, d) match {
+        case Some(reps) =>
+          annTopKRepServes.incrementAndGet()
+          val members = CacheBag.track(vecsRaw(s, d)
+            .select(col("vec_id"), AnnIndex.ehCol(col("v")).as("eh")))
+          val cnts = members.groupBy("eh").agg(count(lit(1)).as("cnt"))
+          val qv = members.where(col("vec_id") < 20)
+            .join(reps, "eh")
+            .select(col("vec_id").as("query_id"), col("eh").as("eh_q"),
+              col("v").as("qv"), col("nrm").as("qnrm"))
+          val scored = reps.crossJoin(broadcast(qv))
+            .select(col("query_id"), col("eh_q"), col("eh"),
+              (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+                .as("cosine"))
+            .join(cnts, "eh")
+            .withColumn("cnt_adj",
+              when(col("eh") === col("eh_q"), col("cnt") - 1).otherwise(col("cnt")))
+          val wRange = Window.partitionBy("query_id").orderBy(col("cosine").desc)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+          val wPeers = Window.partitionBy("query_id", "cosine")
+          val kept = scored
+            .withColumn("strict_better",
+              sum("cnt_adj").over(wRange) - sum("cnt_adj").over(wPeers))
+            .where(col("strict_better") < 5)
+          kept.join(members, "eh")
+            .where(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        case None =>
+          val e = vecs(s, d)
+          val queries = e.where(col("vec_id") < 20)
+          broadcast(queries).as("a")
+            .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+            .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+              cos.as("cosine"))
+      }
+      out
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 5)
         .transform(Det.sortAll)

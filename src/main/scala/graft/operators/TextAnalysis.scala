@@ -636,37 +636,75 @@ object TextAnalysis {
   val bm25: Q = Q(
     "q_bm25",
     (s, d) => {
-      // r8: tf/dl/df serve from the PERSISTED lexical index
-      // (AnnIndex.lex) — the per-session corpus tokenize + tf shuffle
-      // (the operator's whole corpus-sized cost) happens once per table
-      // content, like the ANN families' encode. The postings read is
-      // statically partition-pruned to the query terms' hash slots (the
-      // IVF probed-cells device: slot set = a bounded driver collect,
-      // ≤64 longs), so a serve touches ~|q-slots|/64 of the postings.
-      val (tfP, dl, df, nDocs, totToks) = AnnIndex.lex(s, d)
-      // one IEEE division of exact ints on both engines
+      // r8: tf/dl serve from the PERSISTED lexical index (AnnIndex.lex)
+      // — the corpus tokenize + tf shuffle (the operator's whole
+      // corpus-sized cost) happens once per table content. r11: the
+      // index is th-keyed (one posting row per DISTINCT text), scoring
+      // runs per (query, distinct text), and only trim survivors expand
+      // through the per-run doc↔th mapping — a 100×-duplicated corpus
+      // prices the term joins once per distinct page. df and the corpus
+      // token total are member-weighted, derived per run from the cheap
+      // (doc_id, th) scan: distinct-content-sized joins, exact longs.
+      // The postings read stays statically partition-pruned to the query
+      // terms' hash slots (the IVF probed-cells device: slot set = a
+      // bounded driver collect, ≤64 longs).
+      val (tfP, dlTh, nDocs) = AnnIndex.lex(s, d)
+      val members = CacheBag.track(T.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("th")))
+      val mult = CacheBag.track(
+        members.groupBy("th").agg(count(lit(1)).as("mult")))
+      // corpus token total Σ mult·dl_th = the per-doc sum, exact longs;
+      // avgdl = one IEEE division of exact ints on both engines
+      val totToks = dlTh.join(mult, "th")
+        .agg(coalesce(sum(col("dl") * col("mult")), lit(0L))).head().getLong(0)
       val avgdl = totToks.toDouble / nDocs.toDouble
-      val qtSlotted = tfP.where(col("doc_id") < 5)
-      val qterms = qtSlotted
-        .select(col("doc_id").as("query_id"), col("term"))
-      val slots = qtSlotted.select("tslot").distinct()
+      // the ≤5 query texts are driver-known (the probed-cells device)
+      val qths = members.where(col("doc_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val qThSet = qths.map(_._2).distinct.toSeq
+      val qtf = CacheBag.track(tfP.where(col("th").isin(qThSet: _*)))
+      val slots = qtf.select("tslot").distinct()
         .collect().map(_.getLong(0)).toSeq
       val tf = tfP.where(col("tslot").isin(slots: _*)).drop("tslot")
+      import s.implicits._
+      val qterms = qths.toSeq.toDF("query_id", "qth")
+        .join(qtf.select(col("th").as("qth"), col("term")), "qth")
+        .select("query_id", "qth", "term")
+      // member-weighted df for the scored terms, from the pruned slots
+      val dfT = tf.join(qterms.select("term").distinct(), "term")
+        .select("term", "th").join(mult, "th")
+        .groupBy("term").agg(sum("mult").cast("long").as("df"))
       val idf = (lit(nDocs) - col("df")).cast("double") + lit(0.5)
       val ts = (idf / (col("df").cast("double") + lit(0.5))) *
         ((col("tf").cast("double") * lit(2.25)) /
           (col("tf").cast("double") +
             lit(1.25) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
       val scored = tf.join(broadcast(qterms), "term")
-        .where(col("doc_id") =!= col("query_id"))
-        .join(dl, "doc_id")
-        .join(broadcast(df), "term")
-        .select(col("query_id"), col("doc_id"), col("term"), ts.as("ts"))
-      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-      scored.groupBy("query_id", "doc_id").agg(
+        .join(dlTh, "th")
+        .join(broadcast(dfT), "term")
+        .select(col("query_id"), col("qth"), col("th"), col("term"), ts.as("ts"))
+      // per-(query, distinct text) score: same term set ⇒ same
+      // term-sorted fold ⇒ the same double every member doc used to get
+      val perTh = scored.groupBy("query_id", "qth", "th").agg(
           count(lit(1)).cast("long").as("n_terms"),
           expr("aggregate(transform(array_sort(collect_list(struct(term, ts))), " +
             "x -> x.ts), cast(0.0 as double), (s, x) -> s + x)").as("score"))
+      // rep-level trim (the q_ann_topk device): a text whose
+      // strictly-better cumulative MEMBER mass already fills the top-10
+      // can never rank, for any tie order; the query's own members count
+      // minus itself
+      val wRange = Window.partitionBy("query_id").orderBy(col("score").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPeers = Window.partitionBy("query_id", "score")
+      val kept = perTh.join(mult, "th")
+        .withColumn("cnt_adj",
+          when(col("th") === col("qth"), col("mult") - 1).otherwise(col("mult")))
+        .withColumn("strict_better",
+          sum("cnt_adj").over(wRange) - sum("cnt_adj").over(wPeers))
+        .where(col("strict_better") < 10)
+      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+      kept.join(members, "th")
+        .where(col("doc_id") =!= col("query_id"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 10)
         .select("query_id", "doc_id", "n_terms", "score", "rn")
@@ -1479,6 +1517,11 @@ object TextAnalysis {
       // stop ratio, symbol ratio, mean word length, alpha ratio
       def q6(c: org.apache.spark.sql.Column) =
         round(c * 1000000d, 0).cast("long")
+      // r11 (ADVICE): a null-text document yields null label/features and
+      // cannot train — filter BEFORE the moments so n counts exactly the
+      // rows contributing to the sums (sum() silently drops nulls, but n
+      // used to count them, biasing μ/σ and the gradient step) and only
+      // scored rows are emitted.
       val feats = g.select(
         col("doc_id"),
         col("gopher_pass").cast("long").as("y"),
@@ -1487,6 +1530,7 @@ object TextAnalysis {
         q6(col("sym_hits").cast("double") / col("words").cast("double")).as("q3"),
         q6(col("word_chars").cast("double") / col("words").cast("double")).as("q4"),
         q6(col("alpha_words").cast("double") / col("words").cast("double")).as("q5"))
+        .where(col("y").isNotNull)
       // exact moments -> driver-side μ/σ (plan constants thereafter)
       val mrow = feats.agg(
         count(lit(1)).as("n"),
@@ -1557,73 +1601,82 @@ object TextAnalysis {
       .groupBy("th", "b").agg(count(lit(1)).cast("long").as("cnt"))
   }
 
-  /** G. DSIR data selection (Xie et al., NeurIPS 2023) — importance
-    * resampling toward a target distribution, the third leg of the
-    * selection triad (q_gopher_rules = heuristic battery,
+  /** Shared DSIR estimation base: member-weighted exact per-bucket
+    * counts over the persisted DS signatures. Returns the (doc_id, lang,
+    * th) mapping, the signature rows, the ≤4096-row (b, r, t) count
+    * table (CacheBag-tracked) and the exact corpus totals (R, T).
+    */
+  private def dsirCounts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, Long, Long) = {
+    val members = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("th"))
+    val sigs = AnnIndex.textSigs(s, d, "DS", dsEncode)
+    val thLang = members.groupBy("th", "lang")
+      .agg(count(lit(1)).cast("long").as("mult"))
+    // member-weighted exact bucket counts: ≤4096 rows, map-side combined
+    val cnts = CacheBag.track(sigs.join(thLang, "th")
+      .groupBy("b").agg(
+        sum(col("cnt") * col("mult")).cast("long").as("r"),
+        sum(when(col("lang") === "en", col("cnt") * col("mult"))
+          .otherwise(0L)).cast("long").as("t")))
+    val tot = cnts.agg(sum("r"), sum("t")).head()
+    (members, sigs, cnts, tot.getLong(0), tot.getLong(1))
+  }
+
+  /** G. DSIR data selection (Xie et al., NeurIPS 2023) — the third leg
+    * of the selection triad (q_gopher_rules = heuristic battery,
     * q_quality_classifier = discriminative model, this = distribution
-    * matching): per document, the hashed-n-gram importance log-weight
-    * ln p_target(doc) − ln p_raw(doc) under bag-of-bigrams multinomials
-    * estimated from exact bucket counts (target = the corpus's `en`
-    * slice, raw = everything; +1/(N+B) Laplace smoothing as published),
-    * plus the Gumbel-perturbed resampling key (top-k by
-    * `sample_key_micro` IS sampling ∝ exp(lw) — the Gumbel-max trick —
-    * with the noise seeded from md5(doc_id) so both engines derive the
-    * identical key).
+    * matching): per document, which hashed-bigram buckets pull it toward
+    * the target distribution (the corpus's `en` slice) vs the raw one.
     *
-    * Exactness discipline (q_anomaly class): bucket counts and every
-    * cross-row sum are exact longs (order-independent under any
-    * partitioning); the ONLY IEEE work is per-BUCKET λ derivation (two
-    * ln of exact-int ratios, rounded HALF_UP to micro-units — 4096
-    * values, not per-row) and the per-DOC Gumbel transform of an
-    * exactly-representable dyadic uniform. Per-doc weights are then
-    * integer sums of cnt·λ_micro — reproducible bit-for-bit and
-    * hash-gated against a from-scratch DuckDB oracle.
+    * Exactness discipline (the `graft.Num` rule, hardened r11 after the
+    * r10 driver-gate failure): this hash-gated query carries NO IEEE
+    * transcendental anywhere. The per-bucket verdict sign(λ_b) =
+    * sign(ln((t+1)/(T+B)) − ln((r+1)/(R+B))) needs no ln at all — ln is
+    * monotone, so it is the integer cross-multiplication
+    * (t+1)·(R+B) vs (r+1)·(T+B), computed in decimal(38,0) (HUGEINT on
+    * the oracle side) so it stays exact at 100 TB counts. Per document
+    * the gated output is the exact bigram MASS in target-leaning vs
+    * raw-leaning buckets and the majority-mass verdict — longs and a
+    * boolean, reproducible bit-for-bit under any libm. The full
+    * real-valued importance weights and the Gumbel resampling keys —
+    * inherently only as portable as ln's last bit — live in
+    * [[dsirWeights]] (rows-only + bit-exact local-reference spec, the
+    * q_quality_classifier posture).
     *
     * Scale shape: the bigram encode is the corpus-pass cost and persists
     * per DISTINCT text (family DS via [[AnnIndex.textSigs]]); a run
     * re-derives the narrow (doc_id, lang, th) mapping, folds counts at
     * (th, lang) grain (distinct-content-sized), broadcasts the 4096-row
-    * λ table, and scores per distinct text before one members join —
+    * sign table, and scores per distinct text before one members join —
     * every shuffle is th- or bucket-keyed and distinct-content-sized.
     */
   val dsirSelect: Q = Q(
     "q_dsir_select",
     (s, d) => {
       val B = 4096L
-      val members = T.documents(s, d)
-        .select(col("doc_id"), col("lang"), md5(col("text")).as("th"))
-      val sigs = AnnIndex.textSigs(s, d, "DS", dsEncode)
-      val thLang = members.groupBy("th", "lang")
-        .agg(count(lit(1)).cast("long").as("mult"))
-      // member-weighted exact bucket counts: ≤4096 rows, map-side combined
-      val cnts = CacheBag.track(sigs.join(thLang, "th")
-        .groupBy("b").agg(
-          sum(col("cnt") * col("mult")).cast("long").as("r"),
-          sum(when(col("lang") === "en", col("cnt") * col("mult"))
-            .otherwise(0L)).cast("long").as("t")))
-      val tot = cnts.agg(sum("r"), sum("t")).head()
-      val (rTot, tTot) = (tot.getLong(0), tot.getLong(1))
-      val lam = cnts.select(col("b"),
-        round((log((col("t") + lit(1L)).cast("double") / lit((tTot + B).toDouble)) -
-            log((col("r") + lit(1L)).cast("double") / lit((rTot + B).toDouble))) * 1e6, 0)
-          .cast("long").as("lam"))
-      val perTh = sigs.join(broadcast(lam), "b")
+      val (members, sigs, cnts, rTot, tTot) = dsirCounts(s, d)
+      val dec = "decimal(38,0)"
+      val lhs = (col("t") + lit(1L)).cast(dec) * lit(rTot + B).cast(dec)
+      val rhs = (col("r") + lit(1L)).cast(dec) * lit(tTot + B).cast(dec)
+      val sgn = cnts.select(col("b"),
+        when(lhs > rhs, lit(1)).when(lhs < rhs, lit(-1))
+          .otherwise(lit(0)).as("sgn"))
+      val perTh = sigs.join(broadcast(sgn), "b")
         .groupBy("th").agg(
-          sum(col("cnt") * col("lam")).cast("long").as("lw_micro"),
+          sum(when(col("sgn") > 0, col("cnt")).otherwise(0L))
+            .cast("long").as("pos_mass"),
+          sum(when(col("sgn") < 0, col("cnt")).otherwise(0L))
+            .cast("long").as("neg_mass"),
           sum(col("cnt")).cast("long").as("n_bigrams"))
-      // seeded dyadic uniform in (0,1): 52 md5 bits + one half-step, so
-      // u, ln(u) inputs and the whole Gumbel key agree across engines
-      val u = (conv(substring(
-          md5(concat(col("doc_id").cast("string"), lit(":dsir"))), 1, 13),
-        16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
-      val lw = coalesce(col("lw_micro"), lit(0L))
       members.join(perTh, Seq("th"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          lw.as("lw_micro"),
-          (lw > 0L).as("is_targetlike"),
-          (lw + round(-log(-log(u)) * 1e6, 0).cast("long"))
-            .as("sample_key_micro"))
+          coalesce(col("pos_mass"), lit(0L)).as("pos_mass"),
+          coalesce(col("neg_mass"), lit(0L)).as("neg_mass"),
+          (coalesce(col("pos_mass"), lit(0L)) >
+            coalesce(col("neg_mass"), lit(0L))).as("is_targetlike"))
         .transform(Det.sortAll)
     },
     Some("""WITH wsx AS (
@@ -1639,20 +1692,73 @@ object TextAnalysis {
             |  FROM bg GROUP BY b
             |), tot AS (
             |  SELECT SUM(r) AS rt, SUM(t) AS tt FROM cnt
-            |), lam AS (
-            |  SELECT b, CAST(ROUND((ln((t + 1.0) / (tt + 4096)) - ln((r + 1.0) / (rt + 4096))) * 1e6, 0) AS BIGINT) AS lam
+            |), sgn AS (
+            |  SELECT b, CASE WHEN CAST(t + 1 AS HUGEINT) * CAST(rt + 4096 AS HUGEINT)
+            |                    > CAST(r + 1 AS HUGEINT) * CAST(tt + 4096 AS HUGEINT) THEN 1
+            |                 WHEN CAST(t + 1 AS HUGEINT) * CAST(rt + 4096 AS HUGEINT)
+            |                    < CAST(r + 1 AS HUGEINT) * CAST(tt + 4096 AS HUGEINT) THEN -1
+            |                 ELSE 0 END AS sgn
             |  FROM cnt, tot
             |), score AS (
-            |  SELECT g.doc_id, SUM(l.lam) AS lw_micro, COUNT(*) AS n_bigrams
-            |  FROM bg g JOIN lam l USING (b) GROUP BY g.doc_id
+            |  SELECT g.doc_id,
+            |         CAST(SUM(CASE WHEN s.sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_mass,
+            |         CAST(SUM(CASE WHEN s.sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_mass,
+            |         COUNT(*) AS n_bigrams
+            |  FROM bg g JOIN sgn s USING (b) GROUP BY g.doc_id
             |)
             |SELECT d.doc_id,
-            |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
-            |       COALESCE(s.lw_micro, 0) AS lw_micro,
-            |       COALESCE(s.lw_micro, 0) > 0 AS is_targetlike,
-            |       COALESCE(s.lw_micro, 0) + CAST(ROUND(-ln(-ln((CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0)) * 1e6, 0) AS BIGINT) AS sample_key_micro
+            |       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+            |       CAST(COALESCE(s.pos_mass, 0) AS BIGINT) AS pos_mass,
+            |       CAST(COALESCE(s.neg_mass, 0) AS BIGINT) AS neg_mass,
+            |       COALESCE(s.pos_mass, 0) > COALESCE(s.neg_mass, 0) AS is_targetlike
             |FROM documents d LEFT JOIN score s USING (doc_id)
             |ORDER BY ALL""".stripMargin)
+  )
+
+  /** G. DSIR importance weights + Gumbel resampling keys (r11) — the
+    * real-valued half of the estimator split out of [[dsirSelect]]: the
+    * per-doc log-weight ln p_target(doc) − ln p_raw(doc) under
+    * bag-of-bigrams multinomials (+1/(N+B) Laplace smoothing as
+    * published) and the Gumbel-perturbed key whose top-k IS sampling
+    * ∝ exp(lw) (the Gumbel-max trick; noise seeded from md5(doc_id) so
+    * reruns agree). λ derivation rounds IEEE ln onto a 1e-6 grid — a
+    * value within an ulp of a .5 micro boundary rounds differently
+    * under a different libm, so this output is deliberately NOT
+    * oracle-hash-gated (the r10 driver-gate lesson): correctness is
+    * pinned by a bit-exact local-reference replay in OperatorsSpec (the
+    * q_quality_classifier posture) over the same exact bucket counts.
+    * Per-doc weights are integer sums of cnt·λ_micro, so given the 4096
+    * λ values the fold itself is exact and order-independent.
+    */
+  val dsirWeights: Q = Q(
+    "q_dsir_weights",
+    (s, d) => {
+      val B = 4096L
+      val (members, sigs, cnts, rTot, tTot) = dsirCounts(s, d)
+      val lam = cnts.select(col("b"),
+        round((log((col("t") + lit(1L)).cast("double") / lit((tTot + B).toDouble)) -
+            log((col("r") + lit(1L)).cast("double") / lit((rTot + B).toDouble))) * 1e6, 0)
+          .cast("long").as("lam"))
+      val perTh = sigs.join(broadcast(lam), "b")
+        .groupBy("th").agg(
+          sum(col("cnt") * col("lam")).cast("long").as("lw_micro"),
+          sum(col("cnt")).cast("long").as("n_bigrams"))
+      // seeded dyadic uniform in (0,1): 52 md5 bits + one half-step, so
+      // u and the whole Gumbel transform are exactly reproducible per doc
+      val u = (conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":dsir"))), 1, 13),
+        16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+      val lw = coalesce(col("lw_micro"), lit(0L))
+      members.join(perTh, Seq("th"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          lw.as("lw_micro"),
+          (lw > 0L).as("is_targetlike"),
+          (lw + round(-log(-log(u)) * 1e6, 0).cast("long"))
+            .as("sample_key_micro"))
+        .transform(Det.sortAll)
+    },
+    None
   )
 
   /** G. Positional postings encode — (th, pos, term) per distinct text,
@@ -1758,5 +1864,5 @@ object TextAnalysis {
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
     tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi, domainStats,
     datasetCard, langidEval, sourceOverlap, gopherRules, winnow,
-    qualityClassifier, dsirSelect, phraseSearch)
+    qualityClassifier, dsirSelect, dsirWeights, phraseSearch)
 }

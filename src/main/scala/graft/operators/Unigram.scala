@@ -260,9 +260,12 @@ object Unigram {
     *
     * Scale shape = q_bpe_encode's: the DP folds once per DISTINCT word
     * (the persisted vocabulary's own rows — Zipf collapses the
-    * occurrence multiplier), per-doc totals come from the occurrence→
-    * vocabulary join (broadcast-class while the vocabulary fits) +
-    * doc-keyed exact-long sums.
+    * occurrence multiplier) and, since r11, the occurrence join and the
+    * per-text totals fold once per DISTINCT TEXT over the persisted WC
+    * word-count rows ([[Bpe.wcSigs]]) — duplicated documents price one
+    * narrow member-join row each, never a re-tokenize (the q_bpe_encode
+    * device; Σ cnt·n_toks and −Σ cnt·sc are the same exact longs the
+    * per-occurrence sums produced).
     */
   val encode: Q = Q(
     "q_unigram_encode",
@@ -273,19 +276,20 @@ object Unigram {
         .select(col("w"),
           size(segment(col("w"), lp)).cast("long").as("n_toks"),
           segScore(col("w"), lp).as("sc"))
-      val docs = T.documents(s, d)
-        .select(col("doc_id"), Bpe.wordsOf(col("text")).as("ws"))
-      val counts = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-        .join(wtok, "w")
-        .groupBy("doc_id").agg(sum("n_toks").as("n_unigram_tokens"),
-          (-sum("sc")).as("nll_micro"))
-      val headToks = flatten(transform(slice(col("ws"), lit(1), lit(5)),
-        w => segment(w, lp)))
-      docs
-        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
-          concat_ws(" ", slice(headToks, lit(1), lit(5))).as("first_pieces"))
-        .join(counts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"),
+      val (wc, heads) = Bpe.wcSigs(s, d)
+      val perTh = wc.join(wtok, "w")
+        .groupBy("th").agg(
+          sum(col("cnt") * col("n_toks")).as("n_unigram_tokens"),
+          (-sum(col("cnt") * col("sc"))).as("nll_micro"),
+          sum("cnt").cast("long").as("n_words"))
+      val headToks = flatten(transform(col("head"), w => segment(w, lp)))
+      val headTh = heads.select(col("th"),
+        concat_ws(" ", slice(headToks, lit(1), lit(5))).as("first_pieces"))
+      Bpe.thMembers(s, d)
+        .join(headTh, "th")
+        .join(perTh, Seq("th"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
           coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"),
           coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
           col("first_pieces"))

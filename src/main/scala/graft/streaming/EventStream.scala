@@ -252,6 +252,16 @@ object EventStream {
           graft.operators.AnnIndex.ngPairs(s, corpusDir)
           graft.operators.AnnIndex.mhPairs(s, corpusDir)
           graft.operators.AnnIndex.shPairs(s, corpusDir)
+          // r11: the token-level signature families ride the same
+          // maintenance tick — positional postings (LP, q_phrase_search's
+          // aligned-join index) and per-text word counts (WC, the
+          // tokenizer-encode serve) delta-append only the batch's novel
+          // texts, so a batch phrase/encode run right after the tick
+          // serves with zero corpus-pass work
+          graft.operators.AnnIndex.textSigs(s, corpusDir, "LP",
+            graft.operators.TextAnalysis.lpEncode)
+          graft.operators.AnnIndex.textSigs(s, corpusDir, "WC",
+            graft.operators.Bpe.wcEncode)
         } finally graft.CacheBag.release()
         ()
       })

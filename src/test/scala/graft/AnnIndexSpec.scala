@@ -257,7 +257,7 @@ class AnnIndexSpec extends SparkSpec {
       val vers = tableDir.listFiles().filter(_.isDirectory)
       assert(vers.length == 1, s"bases not pruned: ${vers.mkString(", ")}")
       val meta = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(vers.head, "_GRAFT_META_LEX").toPath), "UTF-8")
+        new java.io.File(vers.head, "_GRAFT_META_LXT").toPath), "UTF-8")
       assert(meta.contains("base=-"), s"base pointer survives compaction: $meta")
       // serve through the compacted index: identical rows, still no encode
       val out2 = graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
@@ -404,6 +404,143 @@ class AnnIndexSpec extends SparkSpec {
     } finally {
       spark.conf.unset("graft.ann.indexRoot")
       rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
+  test("EP append across a cap-crossing bucket: containment holds — no false pairs, no recall lost vs fresh") {
+    // the ADVICE r11 scenario: positive scalings of ONE direction share
+    // every hyperplane sign (sign(dot) is scale-invariant), so all
+    // vectors land in a single (band, code) bucket per band. Base 240 ≤
+    // the 256 bucket cap → all-pairs found; a 60-vector delta pushes the
+    // union bucket past the cap, which a FRESH build would DROP
+    // (capBuckets skips overlarge buckets — the family's documented
+    // recall axis). The append must (a) carry every base pair verbatim,
+    // (b) emit only exact-cosine-verified pairs, (c) never have LESS
+    // candidate recall than the fresh build — divergence is one-sided.
+    val tmp = java.nio.file.Files.createTempDirectory("graftepcap").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftepcaproot").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftepcaproot2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def wv(ids: Range, mode: String): Unit = ids.map(i => (i.toLong,
+      Array.fill(8)((i + 1).toFloat))) // (i+1)·u — distinct, same signs
+      .toDF("vec_id", "embedding").repartition(1).write.mode(mode)
+      .parquet(s"$tmp/embeddings.parquet")
+    try {
+      wv(0 until 240, "overwrite")
+      val (e0, a0) = (AnnIndex.epEncodes.get(), AnnIndex.epAppends.get())
+      val base = Similarity.dedupEmbed.run(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      assert(AnnIndex.epEncodes.get() == e0 + 1)
+      assert(base.size == 240 * 239 / 2,
+        s"base bucket under the cap must find all pairs, got ${base.size}")
+      wv(240 until 300, "append") // 60/300 = 0.2 < refitFraction
+      val appended = Similarity.dedupEmbed.run(spark, tmp).collect()
+      assert(AnnIndex.epAppends.get() == a0 + 1 &&
+        AnnIndex.epEncodes.get() == e0 + 1, "must append, not refit")
+      val appKeys = appended
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      assert(base.subsetOf(appKeys), "append lost base pairs")
+      // every served pair is a true pair: exact cosine ≥ τ, recomputed
+      // locally from the raw vectors
+      val vecsById = (0 until 300).map(i =>
+        i.toLong -> Array.fill(8)((i + 1).toDouble)).toMap
+      def cosine(a: Long, b: Long): Double = {
+        val (x, y) = (vecsById(a), vecsById(b))
+        val dot = (0 until 8).map(k => x(k) * y(k)).sum
+        dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+      }
+      assert(appKeys.forall { case (a, b) => cosine(a, b) >= Similarity.dedupTau },
+        "append emitted a false pair — exact-rescore contract broken")
+      // fresh build on the appended corpus: the 300-vector bucket is
+      // dropped in every band, so candidate recall collapses — the
+      // append's divergence is strictly ADDED recall, never lost
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = Similarity.dedupEmbed.run(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      assert(fresh.subsetOf(appKeys),
+        "fresh build found pairs the append lost — containment broken")
+      assert(fresh.isEmpty,
+        "scenario no longer exercises the cap (fresh build kept the bucket)")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
+  test("prune safety: an EP append completing first must not orphan the IVF chain base") {
+    // the r11 ADVICE scenario: after a corpus append, EP (chainless,
+    // base=None) is the first family to complete in the NEW version dir
+    // — exactly what embedPairsSink does every micro-batch. Its prune
+    // must keep the PRIOR version dir that still holds the IVF chain
+    // base; pre-fix, chainDirs anchored only {new vd} for families with
+    // no meta there and the prune silently forced a full Lloyd refit.
+    val tmp = java.nio.file.Files.createTempDirectory("graftprune").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftpruneroot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // all-distinct vectors (7 invertible mod 1031, ids < 1031) so the EP
+    // append has genuinely novel content to delta-encode
+    def wv(ids: Range, mode: String): Unit = ids.map(i => (i.toLong,
+      Array.tabulate(8)(j => (((i * 7 + j * 13) % 1031) - 515).toFloat)))
+      .toDF("vec_id", "embedding").repartition(1).write.mode(mode)
+      .parquet(s"$tmp/embeddings.parquet")
+    try {
+      wv(0 until 256, "overwrite")
+      val (ivf0, ivfA0) = (AnnIndex.ivfFits.get(), AnnIndex.ivfAppends.get())
+      Similarity.annIvf.run(spark, tmp).collect()
+      Similarity.dedupEmbed.run(spark, tmp).collect()
+      assert(AnnIndex.ivfFits.get() == ivf0 + 1)
+      // ingest 32 novel vectors (0.11 < drift), then let EP complete
+      // FIRST in the new version dir — its prune runs before IVF has any
+      // presence there
+      wv(256 until 288, "append")
+      Similarity.clearMemos()
+      Similarity.dedupEmbed.run(spark, tmp).collect()
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      assert(tableDir.listFiles().exists(v =>
+        new java.io.File(v, "_GRAFT_OK_IVF").exists()),
+        "EP's prune deleted every version holding the IVF artifact")
+      // the surviving base must make the next IVF serve an APPEND
+      // (frozen codebooks), never a forced full refit
+      Similarity.annIvf.run(spark, tmp).collect()
+      assert(AnnIndex.ivfFits.get() == ivf0 + 1,
+        "EP's prune orphaned the IVF base: full Lloyd refit forced")
+      assert(AnnIndex.ivfAppends.get() == ivfA0 + 1,
+        "IVF must take the append path after the corpus append")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
+  test("ann_topk: rep-level serve over ep_reps is bit-identical to the cold direct scan") {
+    // heavily duplicated corpus (13 distinct vectors × ~8 members): the
+    // rep path must trim on member mass (a query's own 7-member group
+    // fills the top-5 for most queries), expand survivors through the id
+    // mapping, and reproduce the cold broadcast scan row for row —
+    // including the cross-group cosine ties the trim must never cut.
+    val tmp = java.nio.file.Files.createTempDirectory("graftanntopk").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftanntopkroot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    try {
+      (0 until 100).map(i => (i.toLong,
+        Array.tabulate(8)(j => ((((i % 13) * 7 + j * 13) % 29) - 14).toFloat)))
+        .toDF("vec_id", "embedding").repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/embeddings.parquet")
+      val (e0, r0) = (AnnIndex.epEncodes.get(), Similarity.annTopKRepServes.get())
+      val cold = Similarity.annTopK.run(spark, tmp).collect().map(_.toString).toSeq
+      assert(AnnIndex.epEncodes.get() == e0 &&
+        Similarity.annTopKRepServes.get() == r0,
+        "cold ann_topk must not pay an EP fit — the direct scan is its cold path")
+      Similarity.dedupEmbed.run(spark, tmp).collect() // the dedup family pays the fit
+      assert(AnnIndex.epEncodes.get() == e0 + 1)
+      val warm = Similarity.annTopK.run(spark, tmp).collect().map(_.toString).toSeq
+      assert(Similarity.annTopKRepServes.get() == r0 + 1,
+        "with EP complete, ann_topk must serve the persisted rep table")
+      assert(warm == cold,
+        "rep-level ann_topk diverges from the direct scan")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
     }
   }
 

@@ -114,22 +114,24 @@ class OperatorsSpec extends SparkSpec {
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val (e0, a0) = (AnnIndex.sigEncodes.get(), AnnIndex.sigAppends.get())
     val out = TextAnalysis.dsirSelect.run(spark, tmp)
-      .select("doc_id", "n_bigrams", "lw_micro", "is_targetlike")
-      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      .select("doc_id", "n_bigrams", "pos_mass", "neg_mass", "is_targetlike")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
     assert(AnnIndex.sigEncodes.get() == e0 + 1, "first run must encode once")
-    assert((1 to 6).forall(i => out(i - 1)._4),
+    assert((1 to 6).forall(i => out(i - 1)._5),
       s"target-pool docs must score target-like: ${out.toSeq}")
-    assert((7 to 12).forall(i => !out(i - 1)._4),
+    assert((7 to 12).forall(i => !out(i - 1)._5),
       s"disjoint-vocab docs must not: ${out.toSeq}")
-    assert(out(12) == ((13L, 0L, 0L, false)), "no-bigram doc scores zero")
-    // mass reconciliation: per-doc counts sum to the corpus bigram total
+    assert(out(12) == ((13L, 0L, 0L, 0L, false)), "no-bigram doc scores zero")
+    // mass reconciliation: per-doc counts sum to the corpus bigram total,
+    // and signed masses partition the count (no zero-sign bucket planted)
     val totalBigrams = docs.collect().map(_.getString(1).trim.split(" +"))
       .map(w => math.max(w.length - 1, 0)).sum
     assert(out.map(_._2).sum == totalBigrams)
+    assert(out.forall(r => r._3 + r._4 <= r._2))
     // second run serves the persisted DS signatures, identically
     val again = TextAnalysis.dsirSelect.run(spark, tmp)
-      .select("doc_id", "n_bigrams", "lw_micro", "is_targetlike")
-      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      .select("doc_id", "n_bigrams", "pos_mass", "neg_mass", "is_targetlike")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
     assert(AnnIndex.sigEncodes.get() == e0 + 1 &&
       AnnIndex.sigAppends.get() == a0, "second run must serve, not re-encode")
     assert(again.toSeq == out.toSeq)
@@ -152,6 +154,56 @@ class OperatorsSpec extends SparkSpec {
         .map(_.toString).sorted.toSeq
       assert(chained == fresh, "chained DS serve diverges from a fresh build")
     } finally spark.conf.unset("graft.ann.indexRoot")
+  }
+
+  test("dsir weights replay bit-exact against a local reference (the un-gated ln half)") {
+    // q_dsir_weights deliberately carries the IEEE-ln work (λ and the
+    // Gumbel key) that the hash-gated q_dsir_select excludes; its pin is
+    // this local replay: same exact bucket counts, same Math.log, same
+    // HALF_UP micro rounding, compared bit-for-bit per doc.
+    val tgt = (1 to 8).map(i => s"en$i").mkString(" ")
+    val rows = ((1 to 6).map(i => (i.toLong, s"$tgt en${i}x extra$i", "en")) ++
+      (7 to 12).map(i =>
+        (i.toLong, (1 to 10).map(j => s"zh${i}w$j").mkString(" "), "zh")) ++
+      Seq((13L, "single", "fr")))
+    val tmp = java.nio.file.Files.createTempDirectory("graftdsirw").toString
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.dsirWeights.run(spark, tmp)
+      .select("doc_id", "n_bigrams", "lw_micro", "is_targetlike", "sample_key_micro")
+      .as[(Long, Long, Long, Boolean, Long)].collect().sortBy(_._1)
+
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def halfUpMicro(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val B = 4096L
+    val perDoc = rows.map { case (id, text, lang) =>
+      val ws = text.trim.split(" +")
+      val bs =
+        if (ws.length < 2) Seq.empty[Long]
+        else ws.sliding(2).map(p => java.lang.Long.parseLong(
+          md5hex(p.mkString(" ")).substring(0, 8), 16) % B).toSeq
+      (id, lang, bs)
+    }
+    val r = perDoc.flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val t = perDoc.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val (rTot, tTot) = (r.values.sum, t.values.sum)
+    val lam = r.keys.map { b =>
+      b -> halfUpMicro(math.log((t.getOrElse(b, 0L) + 1L).toDouble / (tTot + B).toDouble) -
+        math.log((r(b) + 1L).toDouble / (rTot + B).toDouble))
+    }.toMap
+    val expected = perDoc.map { case (id, _, bs) =>
+      val lw = bs.map(lam).sum
+      val u = (java.lang.Long.parseLong(
+        md5hex(s"$id:dsir").substring(0, 13), 16).toDouble + 0.5) / 4503599627370496.0
+      (id, bs.size.toLong, lw, lw > 0L,
+        lw + halfUpMicro(-math.log(-math.log(u))))
+    }.sortBy(_._1)
+    assert(got.toSeq == expected, "engine weights diverge from the local reference")
   }
 
   test("containment dedup surfaces an asymmetric inclusion pair invisible to resemblance") {
@@ -2370,5 +2422,26 @@ class OperatorsSpec extends SparkSpec {
     val majority = math.max(zs.count(_._2 == 1L), zs.count(_._2 == 0L))
     assert(correct >= majority,
       s"classifier must learn its own objective: $correct correct vs majority $majority")
+  }
+
+  test("quality classifier: a null-text document neither trains nor biases the fit") {
+    // r11 (ADVICE): null text → null label/features. sum() dropped those
+    // rows from the gradients/moments silently while n still counted
+    // them, biasing μ/σ and the step size. Post-fix the null doc is
+    // excluded BEFORE n, so every scored row must be bit-identical to a
+    // run on the same corpus without the null doc.
+    val texts = (1 to 8).map(i => (i.toLong,
+      Option((1 to (30 + i * 7)).map(j => s"w$j the of and to in").mkString(" "))))
+    val clean = java.nio.file.Files.createTempDirectory("graftqcclean").toString
+    val dirty = java.nio.file.Files.createTempDirectory("graftqcdirty").toString
+    texts.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$clean/documents.parquet")
+    (texts :+ (99L -> Option.empty[String])).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirty/documents.parquet")
+    val a = TextAnalysis.qualityClassifier.run(spark, clean).collect()
+      .map(_.toString).sorted.toSeq
+    val b = TextAnalysis.qualityClassifier.run(spark, dirty).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b, "a null-text doc changed the fit or leaked into the output")
   }
 }

@@ -640,6 +640,7 @@ class StreamingSpec extends SparkSpec {
       val mem = MemoryStream[Doc]
       val (ne0, na0) = (AnnIndex.npEncodes.get(), AnnIndex.npAppends.get())
       val (te0, ta0) = (AnnIndex.tpEncodes.get(), AnnIndex.tpAppends.get())
+      val (se0, sa0) = (AnnIndex.sigEncodes.get(), AnnIndex.sigAppends.get())
       val q = EventStream.textPairsSink(spark, corpus, mem.toDF(), ckpt).start()
       mem.addData(Doc(10L, X1), Doc(11L, X1),
         Doc(12L, "totally different content nothing shared here at all"))
@@ -647,6 +648,11 @@ class StreamingSpec extends SparkSpec {
       assert(AnnIndex.npEncodes.get() == ne0 + 1 &&
         AnnIndex.tpEncodes.get() == te0 + 2,
         "batch 1 builds all three pair graphs once")
+      // r11: the five signature families the sink maintains (NG via
+      // ngPairs, MH/SH via the bucket graphs, LP, WC) each encode once
+      assert(AnnIndex.sigEncodes.get() == se0 + 5 &&
+        AnnIndex.sigAppends.get() == sa0,
+        "batch 1 must encode each signature family exactly once")
       // batch 2: a simhash-identical permutation + an ngram near-dup —
       // both cross-batch pairs must appear through the append paths
       mem.addData(Doc(2L, X2), Doc(3L, X3))
@@ -657,6 +663,23 @@ class StreamingSpec extends SparkSpec {
         AnnIndex.tpEncodes.get() == te0 + 2 &&
         AnnIndex.tpAppends.get() == ta0 + 2,
         "batch 2 must delta-append on all three graphs, never re-join")
+      assert(AnnIndex.sigEncodes.get() == se0 + 5 &&
+        AnnIndex.sigAppends.get() == sa0 + 5,
+        "batch 2 must delta-append each signature family exactly once")
+      // LP is current from the stream: an exact phrase serve right after
+      // the tick must not encode or append, and the aligned-position
+      // joins see both batches ("tk01 tk02" is adjacent only in X1)
+      val hits = graft.operators.TextAnalysis
+        .phraseFrame(spark, corpus, Seq("tk01 tk02")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"))).toSet
+      assert(hits == Set((10L, 1L), (11L, 1L)),
+        s"streamed LP postings mis-serve the phrase join: $hits")
+      // WC is current too: a tokenizer-encode serve pays no sig encode
+      val enc = graft.operators.Bpe.encode.run(spark, corpus).collect()
+      assert(enc.length == 5, s"bpe encode over the landed corpus: ${enc.length} rows")
+      assert(AnnIndex.sigEncodes.get() == se0 + 5 &&
+        AnnIndex.sigAppends.get() == sa0 + 5,
+        "LP/WC serves after the stream must be pure loads — the sink already maintained them")
       val ng = Dedup.ngramJaccard.run(spark, corpus).collect()
       assert(ng.exists(r => r.getAs[Long]("doc_a") == 3L &&
         r.getAs[Long]("doc_b") == 10L), "cross-batch ngram pair missing")
