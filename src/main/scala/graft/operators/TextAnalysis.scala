@@ -654,10 +654,12 @@ object TextAnalysis {
       val mult = CacheBag.track(
         members.groupBy("th").agg(count(lit(1)).as("mult")))
       // corpus token total Σ mult·dl_th = the per-doc sum, exact longs;
-      // avgdl = one IEEE division of exact ints on both engines
-      val totToks = dlTh.join(mult, "th")
-        .agg(coalesce(sum(col("dl") * col("mult")), lit(0L))).head().getLong(0)
-      val avgdl = totToks.toDouble / nDocs.toDouble
+      // avgdl = one IEEE division of exact ints on both engines — it
+      // rides the plan as a broadcast 1-row scalar (no driver action:
+      // at dev scale the serve's latency is action-count-bound)
+      val avgdlF = dlTh.join(mult, "th")
+        .agg((coalesce(sum(col("dl") * col("mult")), lit(0L)).cast("double") /
+          lit(nDocs.toDouble)).as("avgdl"))
       // the ≤5 query texts are driver-known (the probed-cells device)
       val qths = members.where(col("doc_id") < 5)
         .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -678,10 +680,11 @@ object TextAnalysis {
       val ts = (idf / (col("df").cast("double") + lit(0.5))) *
         ((col("tf").cast("double") * lit(2.25)) /
           (col("tf").cast("double") +
-            lit(1.25) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
+            lit(1.25) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
       val scored = tf.join(broadcast(qterms), "term")
         .join(dlTh, "th")
         .join(broadcast(dfT), "term")
+        .crossJoin(broadcast(avgdlF))
         .select(col("query_id"), col("qth"), col("th"), col("term"), ts.as("ts"))
       // per-(query, distinct text) score: same term set ⇒ same
       // term-sorted fold ⇒ the same double every member doc used to get
