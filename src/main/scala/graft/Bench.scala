@@ -45,7 +45,9 @@ object Bench {
         npEncodes.get + npAppends.get +
         ecEncodes.get + tpEncodes.get + tpAppends.get +
         graft.operators.Bpe.bpeTrains.get +
-        graft.operators.Unigram.unigramTrains.get
+        graft.operators.Unigram.unigramTrains.get +
+        graft.operators.EltOps.fotBuilds.get // r11: the session-lifetime
+      // provenance-frame build (the found family's one-time cost)
     }
     def timeOne(q: Q): (Either[String, Double], Boolean) = {
       val t0 = System.nanoTime()

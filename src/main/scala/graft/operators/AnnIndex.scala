@@ -270,7 +270,9 @@ object AnnIndex {
     // served): without the exemption the keep-forever rule for
     // not-yet-rebuilt families would preserve their corpus-sized
     // artifacts indefinitely
-    val retired = Set("LEX") // r8 doc-keyed postings, superseded by LXT
+    val retired = Set(
+      "LEX", // r8 doc-keyed postings, superseded by LXT
+      "NP")  // r10 kept-only shingle-df layout, superseded by NP2
     val fams = sibs.flatMap(b => f.listStatus(new org.apache.hadoop.fs.Path(b))
         .toSeq.map(_.getPath.getName).filter(_.startsWith("_GRAFT_OK_"))
         .map(_.stripPrefix("_GRAFT_OK_"))).distinct
@@ -1355,9 +1357,14 @@ object AnnIndex {
     *    output structure, th_a < th_b.
     *  - `np_cnt` (th, nsh): kept-shingle count per distinct text (the
     *    within-group pair emitters and `uni` recompute need it).
-    *  - `np_kept` (hs, df): the fit-time kept-shingle universe with its
-    *    doc-weighted document frequency — the append path's EXACTNESS
-    *    detector.
+    *  - `np_kept` (hs, df): since r11 the FULL shingle-df table — kept
+    *    AND dropped rows (family NP2; the r10 kept-only layout is
+    *    retired — storing only kept rows would let a dropped shingle
+    *    whose batch-delta df alone is under the cap RESURRECT on an
+    *    incremental append). It is both the exactness detector and the
+    *    incremental base: an append merges batch-sized Δdf
+    *    contributions into it instead of re-deriving df from a
+    *    corpus-sized member scan.
     *
     * Unlike EP (whose divergence axis is candidate recall), the ngram
     * operator is EXACT and hash-gated, so the append path must be exact
@@ -1370,12 +1377,16 @@ object AnnIndex {
     * df>128 and REFITS (the CC df-cap-crossing posture). With no
     * crossing, old texts' kept sets are untouched: old↔old pairs carry
     * over verbatim, and the delta PAIR work is (fresh × all) + (fresh ×
-    * fresh) joins whose output is sized by the batch. Honest cost note
-    * (r11, ADVICE): the crossing detector and the member-weighted
-    * df/count refresh re-derive gsz from the corpus's doc↔th mapping and
-    * re-join the full NG signature table — a distinct-content-sized pass
-    * plus the same md5 member scan EVERY serve of a th-keyed family pays
-    * by design (the id-free artifact contract), NOT batch-sized. Each
+    * fresh) joins whose output is sized by the batch. r11 (ADVICE): the
+    * crossing detector no longer re-derives df from a corpus-sized
+    * member scan — the delta docs' (th, Δgsz) counts (batch-sized: a
+    * duplicate of KNOWN content shifts df too) join the NG signature
+    * rows once and merge into the persisted full df table; old distinct
+    * texts come from the base np_cnt (a text absent from it has no kept
+    * shingles, so mislabeling it fresh contributes zero rows — the
+    * harmless-by-vacuity argument). The remaining non-batch-sized work
+    * per append is the NG reads feeding Δdf and the pair joins —
+    * distinct-content-sized, the artifact's own floor. Each
     * version rewrites self-contained (the EP/vocab argument:
     * distinct-content-sized tables rewrite cheaply; no chain).
     * Validation: pair and cnt row counts vs the meta, failing loud.
@@ -1398,16 +1409,16 @@ object AnnIndex {
     def thCounts(paths: Seq[String]): DataFrame =
       s.read.parquet(paths: _*).select(md5(col("text")).as("th"))
         .groupBy("th").agg(count(lit(1)).cast("long").as("gsz"))
-    // (kept shingle rows per text, kept universe) for a given (th, gsz)
+    // (kept shingle rows per text, FULL df table) for a given (th, gsz)
     // group table — the df cap is doc-weighted, groupBy + semi join back
-    // (the capBuckets device, never a window over hs)
+    // (the capBuckets device, never a window over hs); df keeps dropped
+    // rows too (r11) so appends can merge deltas instead of recomputing
     def keptShingles(groups: DataFrame): (DataFrame, DataFrame) = {
       val hs = groups.join(textSigs(s, d, "NG", Dedup.ngEncode), "th")
         .select(col("th"), col("hs"), col("gsz"))
       val dfT = hs.groupBy("hs").agg(sum("gsz").cast("long").as("df"))
-      val kept = dfT.where(col("df") <= 128L)
-      (hs.join(kept.select("hs"), Seq("hs"), "left_semi").select("th", "hs"),
-        kept)
+      (hs.join(dfT.where(col("df") <= 128L).select("hs"), Seq("hs"), "left_semi")
+        .select("th", "hs"), dfT)
     }
     def pairsOf(shA: DataFrame, shB: DataFrame, cnts: DataFrame,
         ordered: Boolean): DataFrame = {
@@ -1427,66 +1438,79 @@ object AnnIndex {
           (col("na") + col("nb") - col("inter")).as("uni"))
         .where(col("inter") >= 3L)
     }
-    def writeAll(pairs: DataFrame, cnts: DataFrame, kept: DataFrame,
+    def writeAll(pairs: DataFrame, cnts: DataFrame, dfAll: DataFrame,
         cur: Seq[(String, Long, Long)]): Unit = {
       pairs.write.mode("overwrite").parquet(s"$vd/np_pairs")
       cnts.write.mode("overwrite").parquet(s"$vd/np_cnt")
-      kept.write.mode("overwrite").parquet(s"$vd/np_kept")
+      dfAll.write.mode("overwrite").parquet(s"$vd/np_kept")
       val nP = s.read.schema(pairSchema).parquet(s"$vd/np_pairs").count()
       val nC = s.read.schema(cntSchema).parquet(s"$vd/np_cnt").count()
       writeFileList(s, vd, cur)
-      writeMeta(s, vd, "NP", None, cnt, s"$nP,$nC")
-      touch(s, s"$vd/_GRAFT_OK_NP")
+      writeMeta(s, vd, "NP2", None, cnt, s"$nP,$nC")
+      touch(s, s"$vd/_GRAFT_OK_NP2")
       pruneSiblings(s, vd)
     }
-    if (!exists(s, s"$vd/_GRAFT_OK_NP")) {
+    if (!exists(s, s"$vd/_GRAFT_OK_NP2")) {
       val cur = physFiles(s, table)
-      val viaAppend = appendBase(s, vd, "NP", cur) match {
+      val viaAppend = appendBase(s, vd, "NP2", cur) match {
         case Some((base, delta, _, params)) if params.nonEmpty =>
-          val (shAll, keptNow) = keptShingles(thCounts(Seq(table)))
-          val crossed = s.read.schema(keptSchema).parquet(s"$base/np_kept")
-            .select("hs")
-            .join(keptNow, Seq("hs"), "left_anti")
+          // batch-sized member deltas: every delta doc shifts its text's
+          // gsz — novel content AND duplicates of known content alike
+          val deltaTh = thCounts(delta)
+          val sigsNG = textSigs(s, d, "NG", Dedup.ngEncode)
+          val deltaDf = sigsNG.join(deltaTh, "th")
+            .groupBy("hs").agg(sum("gsz").cast("long").as("ddf"))
+          val baseDf = s.read.schema(keptSchema).parquet(s"$base/np_kept")
+          val updated = baseDf.join(deltaDf, Seq("hs"), "full_outer")
+            .select(col("hs"),
+              (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
+                .as("df"))
+          // exactness detector: a fit-KEPT shingle crossing the cap
+          // invalidates old pairs and old nsh — refit (dropped shingles
+          // stay dropped: df is monotone, and they ARE in baseDf)
+          val crossed = baseDf.where(col("df") <= 128L).select("hs")
+            .join(updated.where(col("df") > 128L), Seq("hs"), "left_semi")
             .limit(1).count() > 0
           if (crossed) false
           else {
             npAppends.incrementAndGet()
-            val baseThs = readFileList(s, base).map(_.map(_._1)) match {
-              case Some(paths) =>
-                s.read.parquet(paths: _*).select(md5(col("text")).as("th")).distinct()
-              case None => s.createDataFrame(
-                s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                StructType(Seq(StructField("th", StringType))))
-            }
-            val freshTh = s.read.parquet(delta: _*)
-              .select(md5(col("text")).as("th")).distinct()
-              .join(baseThs, Seq("th"), "left_anti")
-            val cntAll = shAll.groupBy("th").agg(count(lit(1)).cast("long").as("nsh"))
-            val shFresh = shAll.join(freshTh, Seq("th"), "left_semi")
-            val shOld = shAll.join(freshTh, Seq("th"), "left_anti")
+            val cntBase = s.read.schema(cntSchema).parquet(s"$base/np_cnt")
+            // a delta text absent from the base np_cnt is fresh; an OLD
+            // text with no kept shingles is mislabeled fresh but
+            // contributes zero kept rows — harmless by vacuity
+            val freshTh = deltaTh.select("th")
+              .join(cntBase.select("th"), Seq("th"), "left_anti")
+            val keptNow = updated.where(col("df") <= 128L)
+            val shKept = sigsNG.join(keptNow.select("hs"), Seq("hs"), "left_semi")
+              .select("th", "hs")
+            val shFresh = shKept.join(freshTh, Seq("th"), "left_semi")
+            val shOld = shKept.join(freshTh, Seq("th"), "left_anti")
+            val cntFresh = shFresh.groupBy("th")
+              .agg(count(lit(1)).cast("long").as("nsh"))
+            val cntAll = cntBase.unionByName(cntFresh)
             val newPairs = pairsOf(shFresh, shOld, cntAll, ordered = false)
               .unionByName(pairsOf(shFresh, shFresh, cntAll, ordered = true))
             writeAll(
               s.read.schema(pairSchema).parquet(s"$base/np_pairs")
                 .unionByName(newPairs),
-              cntAll, keptNow, cur)
+              cntAll, updated, cur)
             true
           }
         case _ => false
       }
       if (!viaAppend) {
         npEncodes.incrementAndGet()
-        val (sh, kept) = keptShingles(thCounts(Seq(table)))
+        val (sh, dfAll) = keptShingles(thCounts(Seq(table)))
         val cnts = sh.groupBy("th").agg(count(lit(1)).cast("long").as("nsh"))
-        writeAll(pairsOf(sh, sh, cnts, ordered = true), cnts, kept,
+        writeAll(pairsOf(sh, sh, cnts, ordered = true), cnts, dfAll,
           physFiles(s, table))
       }
     }
-    val (_, _, params) = readMeta(s, vd, "NP").get
+    val (_, _, params) = readMeta(s, vd, "NP2").get
     val Array(nP, nC) = params.split(",").map(_.toLong)
-    validate(vd, "NP", nP,
+    validate(vd, "NP2", nP,
       s.read.schema(pairSchema).parquet(s"$vd/np_pairs").count())
-    validate(vd, "NP2", nC,
+    validate(vd, "NP2C", nC,
       s.read.schema(cntSchema).parquet(s"$vd/np_cnt").count())
     (s.read.schema(pairSchema).parquet(s"$vd/np_pairs"),
       s.read.schema(cntSchema).parquet(s"$vd/np_cnt"))

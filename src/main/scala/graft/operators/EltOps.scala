@@ -411,11 +411,19 @@ object EltOps {
   private val fotMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** Count of provenance-frame builds (memo misses) — Bench folds this
+    * into its cold/warm attribution so the one pass that pays the build
+    * is flagged instead of reading as an unexplained outlier.
+    */
+  private[graft] val fotBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def foundOnTryBase(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    fotMemo.computeIfAbsent(s"${System.identityHashCode(s)}#$d", _ =>
+    fotMemo.computeIfAbsent(s"${System.identityHashCode(s)}#$d", _ => {
+      fotBuilds.incrementAndGet()
       buildFoundOnTry(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Per-item provenance: one row per order with found / found_on_try /
     * search_type_id(+name). Built once per (session, dataset) via

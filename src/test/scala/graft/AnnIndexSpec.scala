@@ -837,6 +837,38 @@ class AnnIndexSpec extends SparkSpec {
         assert(outx.map(_.toString).sorted.toSeq ==
           freshx.map(_.toString).sorted.toSeq)
       } finally rmTree(tmpx)
+      // dropped-shingle resurrection guard (the r11 full-df-table
+      // invariant): a shingle ALREADY over the cap at fit (df=130) gains
+      // two more sharers — no KEPT shingle crosses, so the delta path
+      // must run, and the dropped shingle's delta-df (2 ≤ cap) must NOT
+      // resurrect it: Y1/Y2 share it plus exactly 2 kept shingles, so a
+      // resurrection would mint an inter=3 pair a fresh build never emits
+      spark.conf.set("graft.ann.indexRoot", idxRoot)
+      val tmpr = java.nio.file.Files.createTempDirectory("graftnpr").toString
+      def rdoc(i: Long) = i -> s"cshare1 cshare2 cshare3 tail${i}a tail${i}b tail${i}c"
+      try {
+        ccDocsDf((0L until 130L).map(rdoc)).repartition(1).write.mode("overwrite")
+          .parquet(s"$tmpr/documents.parquet")
+        val (e2, a2) = (AnnIndex.npEncodes.get(), AnnIndex.npAppends.get())
+        Dedup.ngramJaccard.run(spark, tmpr).collect()
+        assert(AnnIndex.npEncodes.get() == e2 + 1)
+        ccDocsDf(Seq(
+          300L -> "cshare1 cshare2 cshare3 ynew1 ynew2 qone",
+          301L -> "cshare1 cshare2 cshare3 ynew1 ynew2 qtwo"))
+          .repartition(1).write.mode("append").parquet(s"$tmpr/documents.parquet")
+        val outr = Dedup.ngramJaccard.run(spark, tmpr).collect()
+        assert(AnnIndex.npAppends.get() == a2 + 1 &&
+          AnnIndex.npEncodes.get() == e2 + 1,
+          "an already-dropped shingle gaining sharers is monotone — must append")
+        assert(!outr.exists(r => r.getAs[Long]("doc_a") == 300L &&
+          r.getAs[Long]("doc_b") == 301L),
+          "dropped shingle resurrected through the delta path (inter inflated to 3)")
+        spark.conf.set("graft.ann.indexRoot", freshRoot)
+        val freshr = Dedup.ngramJaccard.run(spark, tmpr).collect()
+        assert(outr.map(_.toString).sorted.toSeq ==
+          freshr.map(_.toString).sorted.toSeq,
+          "resurrection-regime append diverges from a fresh build")
+      } finally rmTree(tmpr)
     } finally {
       spark.conf.unset("graft.ann.indexRoot")
       rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)

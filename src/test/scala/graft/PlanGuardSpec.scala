@@ -36,9 +36,12 @@ class PlanGuardSpec extends SparkSpec {
   // inherits that same bounded broadcast-query-set NLJ)
   // (q_schema_tests' equal_rowcount crossJoins two ONE-ROW global
   // aggregates — the 1×1 shape, bounded by construction)
+  // (q_bm25 r11: the member-weighted avgdl rides the plan as a ONE-ROW
+  // broadcast scalar crossJoin — bounded by construction, and it saves
+  // a driver action on the serve path)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
     "q_ann_pq", "q_ann_ivfpq", "q_mart_union", "q_mix_weights", "q_epoch_sample",
-    "q_rrf_hybrid", "q_schema_tests")
+    "q_rrf_hybrid", "q_schema_tests", "q_bm25")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {
