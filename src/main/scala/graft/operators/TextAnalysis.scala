@@ -1863,9 +1863,124 @@ object TextAnalysis {
             |ORDER BY ALL""".stripMargin)
   )
 
+  /** G. Pairwise source-distribution divergence (r11) — the mixture
+    * drift monitor a feed owner reads next to q_mix_weights and
+    * q_vocab_coverage: for every pair of sources, the total-variation
+    * distance between their unigram distributions and the cosine
+    * similarity of their count vectors. TV is THE standard bounded
+    * divergence for "did this feed's language shift" (0 = identical
+    * mixtures, 1 = disjoint vocabularies); cosine gives the
+    * scale-free second opinion. Both are EXACT-integer folds under the
+    * Num discipline: TV's Σ_w |c_a/N_a − c_b/N_b| clears denominators
+    * into Σ_w |c_a·N_b − c_b·N_a| / (2·N_a·N_b) — decimal(38,0) /
+    * HUGEINT numerators (exact at 100 TB counts), one final IEEE
+    * division; no logs anywhere (KL/JS would put a transcendental in a
+    * hash-gated column — the banned dsir class; TV and cosine carry the
+    * same signal without it).
+    *
+    * Scale shape: word counts fold once per DISTINCT text (the
+    * persisted WC family) into a (source, w, c) frame; the ONE self-join
+    * on w emits at most C(|sources|, 2) rows per word (bounded by the
+    * pair count, not by word frequency — a stopword present in all 20
+    * sources emits 190 rows, once); the one-sided TV mass needs no join
+    * at all (Σ_{a-only} c_a·N_b = N_b·(N_a − Σ_both c_a) — the
+    * closed-form complement), so pairs sharing nothing still price
+    * exactly. Output is |pairs|-sized. Hash-gated end to end.
+    */
+  val sourceDivergence: Q = Q(
+    "q_source_divergence",
+    (s, d) => {
+      val dec = "decimal(38,0)"
+      val (wc, _) = Bpe.wcSigs(s, d)
+      val members = T.documents(s, d)
+        .select(coalesce(col("source"), lit("")).as("source"),
+          md5(col("text")).as("th"))
+      val cnts = CacheBag.track(members.join(wc, "th")
+        .groupBy("source", "w").agg(sum("cnt").cast("long").as("c")))
+      val tots = cnts.groupBy("source").agg(
+        sum("c").cast("long").as("n"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).cast(dec).as("ss"))
+      // |sources|²-bounded pair grid: broadcast NLJ, never Cartesian
+      val pairs = tots.as("a").join(broadcast(tots.as("b")),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          col("a.n").as("na"), col("b.n").as("nb"),
+          col("a.ss").as("aa"), col("b.ss").as("bb"))
+      val totsN = tots.select(col("source"), col("n"))
+      val xy = cnts.as("x").join(cnts.as("y"),
+          col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+        .select(col("x.source").as("sa"), col("y.source").as("sb"),
+          col("x.c").as("ca"), col("y.c").as("cb"))
+        .join(broadcast(totsN.select(col("source").as("sa"), col("n").as("xna"))), "sa")
+        .join(broadcast(totsN.select(col("source").as("sb"), col("n").as("xnb"))), "sb")
+      val bothAgg = xy.groupBy("sa", "sb").agg(
+        sum(abs(col("ca").cast(dec) * col("xnb").cast(dec) -
+          col("cb").cast(dec) * col("xna").cast(dec))).cast(dec).as("num_both"),
+        sum(col("ca").cast(dec) * col("cb").cast(dec)).cast(dec).as("dot"),
+        sum("ca").cast("long").as("sa_both"),
+        sum("cb").cast("long").as("sb_both"),
+        count(lit(1)).cast("long").as("n_common_words"))
+      pairs.join(bothAgg,
+          col("source_a") === col("sa") && col("source_b") === col("sb"), "left")
+        .select(col("source_a"), col("source_b"),
+          col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+          coalesce(col("n_common_words"), lit(0L)).as("n_common_words"),
+          ((coalesce(col("num_both"), lit(0L).cast(dec)) +
+            col("nb").cast(dec) * (col("na") - coalesce(col("sa_both"), lit(0L))).cast(dec) +
+            col("na").cast(dec) * (col("nb") - coalesce(col("sb_both"), lit(0L))).cast(dec))
+            .cast("double") /
+            (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+            .as("tv_dist"),
+          (coalesce(col("dot"), lit(0L).cast(dec)).cast("double") /
+            (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))))
+            .as("cos_sim"))
+        .transform(Det.sortAll)
+    },
+    Some("""WITH wx AS (
+            |  SELECT COALESCE(source, '') AS source,
+            |         unnest(list_filter(regexp_split_to_array(trim(lower(text)), ' +'), w -> w <> '')) AS w
+            |  FROM documents
+            |), cnt AS (
+            |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM wx GROUP BY 1, 2
+            |), tot AS (
+            |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+            |         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+            |  FROM cnt GROUP BY 1
+            |), pr AS (
+            |  SELECT a.source AS source_a, b.source AS source_b,
+            |         a.n AS na, b.n AS nb, a.ss AS aa, b.ss AS bb
+            |  FROM tot a JOIN tot b ON a.source < b.source
+            |), xy AS (
+            |  SELECT x.source AS sa, y.source AS sb, x.c AS ca, y.c AS cb,
+            |         ta.n AS xna, tb.n AS xnb
+            |  FROM cnt x JOIN cnt y ON x.w = y.w AND x.source < y.source
+            |  JOIN tot ta ON ta.source = x.source
+            |  JOIN tot tb ON tb.source = y.source
+            |), ba AS (
+            |  SELECT sa, sb,
+            |         CAST(SUM(ABS(CAST(ca AS HUGEINT) * xnb - CAST(cb AS HUGEINT) * xna)) AS HUGEINT) AS num_both,
+            |         CAST(SUM(CAST(ca AS HUGEINT) * cb) AS HUGEINT) AS dot,
+            |         CAST(SUM(ca) AS BIGINT) AS sa_both,
+            |         CAST(SUM(cb) AS BIGINT) AS sb_both,
+            |         CAST(count(*) AS BIGINT) AS n_common_words
+            |  FROM xy GROUP BY 1, 2
+            |)
+            |SELECT p.source_a, p.source_b, p.na AS n_tokens_a, p.nb AS n_tokens_b,
+            |       COALESCE(b.n_common_words, 0) AS n_common_words,
+            |       CAST(COALESCE(b.num_both, 0)
+            |            + CAST(p.nb AS HUGEINT) * (p.na - COALESCE(b.sa_both, 0))
+            |            + CAST(p.na AS HUGEINT) * (p.nb - COALESCE(b.sb_both, 0)) AS DOUBLE)
+            |         / (2.0 * CAST(p.na AS DOUBLE) * CAST(p.nb AS DOUBLE)) AS tv_dist,
+            |       CAST(COALESCE(b.dot, 0) AS DOUBLE)
+            |         / (sqrt(CAST(p.aa AS DOUBLE)) * sqrt(CAST(p.bb AS DOUBLE))) AS cos_sim
+            |FROM pr p LEFT JOIN ba b ON b.sa = p.source_a AND b.sb = p.source_b
+            |ORDER BY ALL""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     piiRedact, chunkDocs, heavyHitters, sampleStratified, repetitionScore,
     tfidf, lmScore, bm25, corpusFunnel, ccnetBucket, cooccurPmi, domainStats,
     datasetCard, langidEval, sourceOverlap, gopherRules, winnow,
-    qualityClassifier, dsirSelect, dsirWeights, phraseSearch)
+    qualityClassifier, dsirSelect, dsirWeights, phraseSearch,
+    sourceDivergence)
 }

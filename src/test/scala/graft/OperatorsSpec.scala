@@ -2424,6 +2424,33 @@ class OperatorsSpec extends SparkSpec {
       s"classifier must learn its own objective: $correct correct vs majority $majority")
   }
 
+  test("source divergence: TV and cosine match hand-computed distributions") {
+    // A and B share the exact word multiset (tv 0, cos 1), C is disjoint
+    // from A (tv 1, cos 0), D half-overlaps A with hand-computable mass:
+    // A = {x:2, y:1}, D = {x:1, z:2} → common x: |2·3−1·3| = 3;
+    // A-only y: 3·(3−2) = 3; D-only z: 3·(3−1) = 6 → tv = 12/(2·3·3);
+    // cos = 2/(√5·√5) = 0.4
+    val docs = Seq(
+      (1L, "x x y", "A"), (2L, "x y x", "B"),
+      (3L, "z z z", "C"), (4L, "x z z", "D"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graftsdiv").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.sourceDivergence.run(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_common_words"), r.getAs[Double]("tv_dist"),
+          r.getAs[Double]("cos_sim"))).toMap
+    assert(out.size == 6, s"expected C(4,2)=6 pairs, got ${out.keySet}")
+    // mirrored IEEE expressions: sqrt(5)·sqrt(5) is NOT exactly 5, so the
+    // expected cosines replay the engine's own formula over exact ints
+    val cos55 = math.sqrt(5.0) * math.sqrt(5.0)
+    assert(out(("A", "B")) == ((2L, 0.0, 5.0 / cos55)),
+      s"identical mixtures: ${out(("A", "B"))}")
+    assert(out(("A", "C")) == ((0L, 1.0, 0.0)), s"disjoint mixtures: ${out(("A", "C"))}")
+    assert(out(("A", "D")) == ((1L, 12.0 / (2.0 * 3.0 * 3.0), 2.0 / cos55)),
+      s"half-overlap pair: ${out(("A", "D"))}")
+  }
+
   test("quality classifier: a null-text document neither trains nor biases the fit") {
     // r11 (ADVICE): null text → null label/features. sum() dropped those
     // rows from the gradients/moments silently while n still counted

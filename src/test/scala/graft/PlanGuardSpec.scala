@@ -39,9 +39,12 @@ class PlanGuardSpec extends SparkSpec {
   // (q_bm25 r11: the member-weighted avgdl rides the plan as a ONE-ROW
   // broadcast scalar crossJoin — bounded by construction, and it saves
   // a driver action on the serve path)
+  // (q_source_divergence's source-pair grid is an inequality join over
+  // the |sources|-sized totals frame — broadcast NLJ bounded by
+  // C(|sources|, 2); the word-level work is an equi hash join)
   private val allowedNlj = Set("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
     "q_ann_pq", "q_ann_ivfpq", "q_mart_union", "q_mix_weights", "q_epoch_sample",
-    "q_rrf_hybrid", "q_schema_tests", "q_bm25")
+    "q_rrf_hybrid", "q_schema_tests", "q_bm25", "q_source_divergence")
 
   test("no registered query plans a cartesian product or an unbounded NLJ") {
     for (q <- SparkEntry.registry) {
