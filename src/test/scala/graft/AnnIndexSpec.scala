@@ -225,6 +225,70 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("bm25 rep-level serve replays bit-exact on a heavily duplicated corpus") {
+    // the r11 th-keyed serve's stress regime, which the near-duplicate-free
+    // gate corpus barely exercises: 40 docs over 8 distinct texts (up to
+    // 10× duplication), member-weighted df, score TIES across every
+    // duplicate group, the query's own duplicated text, and a candidate
+    // set (≈39 per query) that the member-mass trim must cut to exactly
+    // the top-10 a per-doc evaluation produces. Local reference mirrors
+    // the engine's IEEE expressions term for term (same tokenize, same
+    // idf/tf factor order, same term-sorted fold, same tie order).
+    val texts = Seq(
+      "alpha beta gamma delta", "alpha beta epsilon zeta",
+      "gamma delta eta theta", "alpha gamma epsilon eta",
+      "beta delta zeta theta", "alpha beta gamma theta",
+      "delta epsilon zeta eta", "iota kappa lambda mu")
+    val assign = Seq(0, 0, 1, 2, 3) ++ // queries: docs 0..4
+      Seq.fill(8)(0) ++ Seq.fill(6)(1) ++ Seq.fill(6)(2) ++ Seq.fill(6)(3) ++
+      Seq.fill(4)(4) ++ Seq.fill(4)(5) ++ Seq.fill(2)(6) ++ Seq(7)
+    val docs = assign.zipWithIndex.map { case (t, i) => (i.toLong, texts(t)) }
+    val tmp = java.nio.file.Files.createTempDirectory("graftbm25rep").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftbm25reproot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    try {
+      docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.operators.TextAnalysis.bm25.run(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_terms"), r.getAs[Double]("score"), r.getAs[Long]("rn")))
+        .sortBy(x => (x._1, x._5)).toSeq
+      // local reference — per-DOC evaluation, no rep-level machinery
+      val tf: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+        id -> t.trim.split(" +").toSeq.groupBy(identity)
+          .map { case (w, xs) => w -> xs.size.toLong }
+      }.toMap
+      val n = docs.size.toLong
+      val dl = tf.map { case (id, m) => id -> m.values.sum }
+      val df = docs.flatMap { case (id, _) => tf(id).keys }
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val avgdl = dl.values.sum.toDouble / n.toDouble
+      def ts(term: String, d: Long): Double =
+        (((n - df(term)).toDouble + 0.5) / (df(term).toDouble + 0.5)) *
+          ((tf(d)(term).toDouble * 2.25) /
+            (tf(d)(term).toDouble +
+              1.25 * (0.25 + 0.75 * (dl(d).toDouble / avgdl))))
+      val expected = (0L until 5L).flatMap { q =>
+        val qterms = tf(q).keySet
+        docs.map(_._1).filter(_ != q).flatMap { d =>
+          val shared = qterms.intersect(tf(d).keySet).toSeq.sorted
+          if (shared.isEmpty) None
+          else Some((q, d, shared.size.toLong,
+            shared.foldLeft(0.0)((s, t) => s + ts(t, d))))
+        }.sortBy { case (_, d, _, sc) => (-sc, d) }
+          .take(10).zipWithIndex
+          .map { case ((qq, d, nt, sc), i) => (qq, d, nt, sc, i.toLong + 1L) }
+      }
+      assert(got == expected,
+        s"rep-level bm25 diverges from the per-doc reference:\n$got\nvs\n$expected")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
   test("LEX compaction: a 3-segment chain collapses to one self-contained version, bit-identical") {
     val tmp = java.nio.file.Files.createTempDirectory("graftlexc").toString
     val idxRoot = java.nio.file.Files.createTempDirectory("graftlexcroot").toString
