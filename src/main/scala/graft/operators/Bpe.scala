@@ -142,7 +142,7 @@ object Bpe {
     * re-derives (the textSigs discipline).
     */
   private[graft] def thMembers(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d).select(col("doc_id"), md5(col("text")).as("th"))
+    Members.th(s, d).select(col("doc_id"), col("th"))
 
   /** In-session model memo: (dataset, m) → (content fingerprint, merges).
     * The fingerprint VALIDATES the entry rather than keying it (the IVF
@@ -261,12 +261,17 @@ object Bpe {
       val headTh = heads.select(col("th"),
         concat_ws(" ", slice(headToks, lit(1), lit(5))).as("first_tokens"))
       thMembers(s, d)
-        .join(headTh, "th") // every distinct text has exactly one head row
+        // LEFT joins (r12): a null-text doc has th NULL, which no equi
+        // key matches — an inner join silently dropped its row (ADVICE
+        // r11). Every NON-null distinct text has exactly one head row,
+        // so left ≡ inner there; the null-text doc keeps a row encoding
+        // to zero tokens, the same contract the per-doc formulation had.
+        .join(headTh, Seq("th"), "left")
         .join(perTh, Seq("th"), "left")
         .select(col("doc_id"),
           coalesce(col("n_words"), lit(0L)).as("n_words"),
           coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
-          col("first_tokens"))
+          coalesce(col("first_tokens"), lit("")).as("first_tokens"))
         .transform(Det.sortAll)
     },
     None)
@@ -307,9 +312,8 @@ object Bpe {
           sum(col("cnt") * col("n_toks")).as("toks_th"),
           sum(col("cnt") * col("n_chars")).as("chars_th"),
           sum(when(col("n_toks") === 1L, col("cnt")).otherwise(0L)).as("single_th"))
-      T.documents(s, d)
-        .select(coalesce(col("source"), lit("")).as("source"),
-          md5(col("text")).as("th"))
+      Members.th(s, d)
+        .select(coalesce(col("source"), lit("")).as("source"), col("th"))
         .join(perTh, "th")
         .groupBy("source")
         .agg(sum("occ_th").as("word_occurrences"),

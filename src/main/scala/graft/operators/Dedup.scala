@@ -53,30 +53,16 @@ object Dedup {
     * lineage is the one narrow (doc_id, md5(text)) scan.
     */
   private[operators] def collapseExact(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    // (doc_id, th) funnel frame, deliberately NOT cached: the near-dup
-    // queries reference members/reps lineage several times, and each
-    // reference re-scans (doc_id, text)→md5 — but those rescans are
-    // narrow, embarrassingly parallel, and pushdown-pruned, while a
-    // columnar cache of the frame measured 40-100% SLOWER on the whole
-    // family at sf0.1 (cache build + InMemoryTableScan overhead exceeds
-    // the rescan cost, and the cached exchange blocks AQE reuse). At
-    // true 100 TB the persisted-signature artifact already carries the
-    // expensive per-content work; md5-scan multiplicity is the priced
-    // remainder.
-    val docs = T.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), md5(col("text")).as("th"))
-    // group identity (keeper id + size) via groupBy + equi-join back, NOT
-    // min/count over Window.partitionBy(th): a window partition is one
-    // unsplittable task, and at web-corpus scale one content key is a
-    // mass-duplicate magnet (empty/whitespace-only docs all normalize to a
-    // single hash; a viral page is byte-identical 10⁷ times) — the groupBy
-    // is map-side combined to one row per distinct text, and the join back
-    // is AQE-skew-splittable. Same device as span/paragraph dedup.
-    val groups = docs.groupBy("th")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
-    (docs.join(groups, "th").select(col("rep"), col("doc_id")),
-      groups.select(col("rep").as("doc_id"), col("th"), col("gsz")))
+    // r12: the (doc_id, th) hash scan and its group structure are the
+    // session-lifetime [[Members]] memo — every near-dup query used to
+    // re-hash the full corpus per run (the r11 bench's largest remaining
+    // avoidable cost, ~118 s of the 615 s 100× run across the
+    // signature-serving family); now the one persisted derivation is
+    // shared and fingerprint-validated. The groupBy + equi-join-back
+    // keeper device (never min/count over a content-key window) lives in
+    // Members.thGroups.
+    val (members, reps) = Members.thGroups(s, d)
+    (members.select(col("rep"), col("doc_id")), reps)
   }
 
   /** Expand representative-level pairs to member-doc pairs: every
@@ -139,8 +125,8 @@ object Dedup {
   val exact: Q = Q(
     "q_dedup_exact",
     (s, d) => {
-      val hashed = T.documents(s, d)
-        .select(col("doc_id"), md5(normText).as("content_hash"))
+      val hashed = Members.th(s, d)
+        .select(col("doc_id"), col("nth").as("content_hash"))
       val groups = hashed.groupBy("content_hash")
         .agg(count(lit(1)).as("group_size"), min("doc_id").as("keeper_id"))
       hashed.join(groups, "content_hash")
@@ -616,18 +602,13 @@ object Dedup {
   val membersManifest: Q = Q(
     "q_dedup_members",
     (s, d) => {
-      // standalone two-scan formulation of collapseExact's member
-      // mapping (going through collapseExact itself costs four corpus
-      // scans — its reps branch exists to carry text, which the
-      // manifest never needs). The collapse key MUST stay md5(raw
-      // text), the family's key: the expansion-equivalence spec
-      // rebuilds q_dedup_simhash from simhashRep × this manifest and
-      // fails on any drift.
-      val hashed = T.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("th"))
-      val groups = hashed.groupBy("th")
-        .agg(min("doc_id").as("rep"), count(lit(1)).as("group_size"))
-      hashed.join(groups, "th")
+      // served from the session [[Members]] memo (r12) — the collapse
+      // key stays md5(raw text), the family's key: the
+      // expansion-equivalence spec rebuilds q_dedup_simhash from
+      // simhashRep × this manifest and fails on any drift.
+      val (members, reps) = Members.thGroups(s, d)
+      members
+        .join(reps.select(col("th"), col("gsz").as("group_size")), "th")
         .select(col("doc_id"), col("rep"), col("group_size"))
         .transform(Det.sortAll)
     },
@@ -747,9 +728,10 @@ object Dedup {
     * micro-batch (and [[clusterLabels]] calls at serve).
     */
   private[graft] def clusterIndex(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.CacheBag.track(T.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), md5(normText).as("nth")))
+    // session memo, fingerprint-validated — a streaming micro-batch that
+    // appends to the table changes the listing and rebuilds (the CacheBag
+    // stale-listing hazard doesn't apply)
+    val docs = Members.th(s, d).select(col("doc_id"), col("nth"))
     clusterIndexWith(s, d, docs, docs.groupBy("nth").agg(min("doc_id").as("nid")))
   }
 
@@ -801,10 +783,8 @@ object Dedup {
     */
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     // ~50 B/doc narrow frame consumed by the node groupBy, the rep→node
-    // mapping and the serve join — cached query-lifetime (funnel device)
-    val docs = graft.CacheBag.track(T.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), md5(normText).as("nth")))
+    // mapping and the serve join — session-memoized ([[Members.th]])
+    val docs = Members.th(s, d).select(col("doc_id"), col("nth"))
     val nodes = docs.groupBy("nth").agg(min("doc_id").as("nid"))
     val labels = clusterIndexWith(s, d, docs, nodes)
     // doc-level cluster ids at serve: min doc per component — a
@@ -844,8 +824,8 @@ object Dedup {
       deltaPaths: Seq[String], oldLabels: DataFrame): Option[DataFrame] = {
     // one corpus-narrow scan: raw-text hash (the shingle-table key),
     // normalized hash (the node), per-raw-text doc counts full vs old
-    val thInfo = T.documents(s, d)
-      .select(md5(col("text")).as("th"), md5(normText).as("nth"))
+    val thInfo = Members.th(s, d)
+      .select(col("th"), col("nth"))
       .groupBy("th").agg(count(lit(1)).as("nd_full"), min("nth").as("nth"))
     val deltaTh = s.read.parquet(deltaPaths: _*)
       .select(md5(col("text")).as("th"))

@@ -408,22 +408,25 @@ object EltOps {
     * cross-query reuse; the frame is 5 narrow columns × |orders|,
     * MEMORY_AND_DISK so a tight executor spills instead of OOMing.
     */
-  private val fotMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-
   /** Count of provenance-frame builds (memo misses) — Bench folds this
     * into its cold/warm attribution so the one pass that pays the build
     * is flagged instead of reading as an unexplained outlier.
     */
   private[graft] val fotBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** r12: routed through [[SessionMemo]], which fingerprint-VALIDATES the
+    * entry against the physical listing of BOTH source tables — an
+    * in-session append or in-place rewrite of orders/customer rebuilds
+    * instead of serving stale provenance (ADVICE r11; the trainMerges /
+    * IVF memo discipline), and stale-session entries are evicted.
+    */
   private def foundOnTryBase(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    fotMemo.computeIfAbsent(s"${System.identityHashCode(s)}#$d", _ => {
+    SessionMemo.frames(s, d, "fot",
+        Seq("orders.parquet", "customer.parquet")) {
       fotBuilds.incrementAndGet()
-      buildFoundOnTry(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      Seq(buildFoundOnTry(s, d))
+    }.head
 
   /** Per-item provenance: one row per order with found / found_on_try /
     * search_type_id(+name). Built once per (session, dataset) via

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.T
+import graft.functions.Vectors
+
+/** Session-lifetime memo of derived frames, fingerprint-validated.
+  *
+  * The r11 bench's largest remaining avoidable cost was the per-query
+  * re-derivation of the id↔content-hash member mappings: every
+  * signature-serving query (the dedup family, bm25/phrase retrieval,
+  * DSIR/winnow, the tokenizer-apply family, the embedding serves) opened
+  * the corpus, hashed every text/vector, and re-grouped — ~27 consumers
+  * × a full corpus scan each, ~118 s of the 615 s 100× run, for a value
+  * that is a pure function of the table content. This is the found-on-try
+  * memo device (EltOps r11) generalized: the reference pipeline lands
+  * such mappings ONCE per run as a table and every downstream model reads
+  * that table (dbt's materialized staging layer), so the engine mirrors
+  * that — one persisted materialization per (session, dataset, family),
+  * every consumer shares it.
+  *
+  * Validity: entries are keyed by (session identity, dataset dir, family)
+  * and carry the [[Similarity.tableFingerprint]] of every source table
+  * the build reads (path + length + mtime of each physical file — a pure
+  * namenode metadata listing, no data read). A lookup whose current
+  * fingerprint differs rebuilds and unpersists the stale frames, so an
+  * in-session append or in-place rewrite is served fresh — the same
+  * retrain-on-rewrite contract the Bpe/IVF memos pin (ADVICE r11 flagged
+  * the found-on-try memo for lacking exactly this check; it now routes
+  * through here).
+  *
+  * Memory: frames persist MEMORY_AND_DISK (spill, never OOM) and are
+  * deliberately NOT CacheBag-tracked — CacheBag releases per query and
+  * the whole point is cross-query reuse. Entries of stopped sessions are
+  * evicted on the next build; a live session's entries are bounded by
+  * (#datasets × #families) narrow frames, each O(corpus ids), not
+  * O(corpus text).
+  */
+object SessionMemo {
+  private final case class Entry(session: SparkSession, fp: Long,
+      frames: Seq[DataFrame])
+  private val cache = scala.collection.mutable.HashMap.empty[String, Entry]
+
+  /** Per-family build (memo miss) counters — Bench folds the sum into its
+    * cold/warm attribution so the one pass paying a build is flagged, and
+    * specs prove one-derivation-per-session with them.
+    */
+  private val buildCounters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private[graft] def buildsOf(family: String): Long = {
+    val c = buildCounters.get(family); if (c == null) 0L else c.get()
+  }
+
+  private[graft] def totalBuilds(): Long = {
+    var t = 0L
+    buildCounters.forEach((_, v) => t += v.get())
+    t
+  }
+
+  /** Fetch (building if absent or stale) the memoized frames for
+    * (session, dataset, family). `tables` are the dataset-relative source
+    * tables the build reads — their combined physical fingerprint gates
+    * staleness. The lock is held across the build: builds are
+    * driver-cheap (plan construction + persist marking — no job runs
+    * until a consumer acts), and re-entrant families (a memo built from
+    * another memo) rely on the monitor's re-entrancy.
+    */
+  private[graft] def frames(s: SparkSession, d: String, family: String,
+      tables: Seq[String])(build: => Seq[DataFrame]): Seq[DataFrame] = {
+    val key = s"${System.identityHashCode(s)}#$d#$family"
+    val fp = tables.foldLeft(family.hashCode.toLong) { (h, t) =>
+      h * 1000003L + Similarity.tableFingerprint(s, s"$d/$t")
+    }
+    synchronized {
+      // stopped-session hygiene: their persisted blocks are already gone
+      // with the context; drop the dangling entries
+      cache.filterInPlace((_, e) => !e.session.sparkContext.isStopped)
+      cache.get(key) match {
+        case Some(e) if e.fp == fp => e.frames
+        case old =>
+          old.foreach(_.frames.foreach { f =>
+            try f.unpersist(blocking = false) catch { case _: Throwable => () }
+          })
+          buildCounters
+            .computeIfAbsent(family, _ => new java.util.concurrent.atomic.AtomicLong(0))
+            .incrementAndGet()
+          val built = build.map(_.persist(StorageLevel.MEMORY_AND_DISK))
+          cache.update(key, Entry(s, fp, built))
+          built
+      }
+    }
+  }
+}
+
+/** The shared id↔content member mappings — one corpus hash pass per
+  * (session, table content), every signature-serving query reads the
+  * persisted result (see [[SessionMemo]]).
+  */
+object Members {
+
+  /** (doc_id, th, nth, lang, source): the one narrow corpus text scan the
+    * whole text-serving surface shares — th = md5(raw text), the near-dup
+    * family's collapse key (null-propagating: md5(NULL) is NULL on both
+    * engines, the gate-pinned contract); nth = md5(normalized text), the
+    * exact-dedup / cluster key. lang/source ride along: they are
+    * byte-sized next to the text column this scan exists to hash, and
+    * they spare the DSIR / mixture consumers a doc_id re-join.
+    */
+  def th(s: SparkSession, d: String): DataFrame =
+    SessionMemo.frames(s, d, "thm", Seq("documents.parquet")) {
+      val docs = T.documents(s, d)
+      // lang/source are optional in ad-hoc corpora (specs plant
+      // (doc_id, text)-only tables) — absent columns ride as typed nulls
+      // so the one shared frame serves every consumer shape
+      val opt = Seq("lang", "source").map(c =>
+        if (docs.columns.contains(c)) col(c)
+        else lit(null).cast("string").as(c))
+      Seq(docs
+        // the test corpus lands as one parquet split; spread the hash
+        // work and the persisted layout across every core (a real
+        // cluster's scan is already split — this is a no-op there)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(Seq(col("doc_id"), md5(col("text")).as("th"),
+          md5(Dedup.normText).as("nth")) ++ opt: _*))
+    }.head
+
+  /** The exact-duplicate group structure over [[th]]:
+    * members (rep, doc_id, th) and reps (doc_id = the group's min member,
+    * th, gsz). groupBy + equi-join back, NOT min/count over a window on
+    * the content key — a window partition is one unsplittable task and a
+    * mass-duplicate text is a magnet key; the groupBy is map-side
+    * combined and the join back AQE-skew-splittable (the r8 device).
+    */
+  def thGroups(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val fs = SessionMemo.frames(s, d, "thg", Seq("documents.parquet")) {
+      val docs = th(s, d)
+      val groups = docs.groupBy("th")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
+      Seq(
+        docs.join(groups.select("th", "rep"), "th")
+          .select(col("rep"), col("doc_id"), col("th")),
+        groups.select(col("rep").as("doc_id"), col("th"), col("gsz")))
+    }
+    (fs(0), fs(1))
+  }
+
+  /** The embedding twin over `embeddings.parquet`:
+    * members (rep, vec_id, eh) and reps (vec_id = the group's min member,
+    * eh, v, nrm, gsz) — eh is the 128-bit content hash
+    * ([[AnnIndex.ehCol]]), and the group key inside the build is
+    * (eh, RAW VECTOR): the raw vector stays a secondary equality key so
+    * even a 128-bit collision of distinct vectors cannot merge them in
+    * the served id mapping. reps carries the vector itself — one row per
+    * DISTINCT vector, so on a k×-duplicated corpus the persisted frame is
+    * 1/k of the table and every dot-product consumer prices per distinct.
+    */
+  def eh(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val fs = SessionMemo.frames(s, d, "ehm", Seq("embeddings.parquet")) {
+      val tagged = T.embeddings(s, d)
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("eh", AnnIndex.ehCol(col("v")))
+      val groups = tagged.groupBy("eh", "v")
+        .agg(min("vec_id").as("rep"), min("nrm").as("nrm"),
+          count(lit(1)).as("gsz"))
+      Seq(
+        tagged.select("vec_id", "eh", "v")
+          .join(groups.select("eh", "v", "rep"), Seq("eh", "v"))
+          .select(col("rep"), col("vec_id"), col("eh")),
+        groups.select(col("rep").as("vec_id"), col("eh"), col("v"),
+          col("nrm"), col("gsz")))
+    }
+    (fs(0), fs(1))
+  }
+}

@@ -255,23 +255,16 @@ object Similarity {
     * (spec-pinned); an ingest append extends it delta-only.
     */
   private[graft] def embedGraph(s: SparkSession, d: String): EmbedGraph = {
-      val tagged = vecsRaw(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("eh", AnnIndex.ehCol(col("v")))
-      // groupBy (eh, v): the raw vector stays a SECONDARY equality key so
-      // even a 128-bit hash collision of distinct vectors cannot merge
-      // them in the SERVED id mapping (the artifact's own keying accepts
-      // the 2^-128 budget, see AnnIndex.ehCol)
-      val groups = tagged.groupBy("eh", "v")
-        .agg(min("vec_id").as("rep"), min("nrm").as("nrm"),
-          count(lit(1)).as("gsz"))
-      val members = tagged.select("vec_id", "eh", "v")
-        .join(groups.select("eh", "v", "rep"), Seq("eh", "v"))
-        .select(col("rep"), col("vec_id"))
-      val e = groups.select(col("rep").as("vec_id"), col("v"), col("nrm"),
-        col("gsz"))
+      // r12: the vec↔eh collapse (hash every vector, group by (eh, RAW
+      // VECTOR) so a 128-bit collision can never merge distinct vectors)
+      // is the session-lifetime [[Members.eh]] memo — it was re-derived
+      // per serve, a full corpus scan + hash each for a pure function of
+      // the table content
+      val (mem, reps) = Members.eh(s, d)
+      val members = mem.select(col("rep"), col("vec_id"))
+      val e = reps.select(col("vec_id"), col("v"), col("nrm"), col("gsz"))
       val ehPairs = AnnIndex.embedPairs(s, d)
-      val ehRep = groups.select(col("eh"), col("rep"))
+      val ehRep = reps.select(col("eh"), col("vec_id").as("rep"))
       val repPairs = ehPairs
         .join(ehRep.select(col("eh").as("eh_a"), col("rep").as("ra")), "eh_a")
         .join(ehRep.select(col("eh").as("eh_b"), col("rep").as("rb")), "eh_b")
@@ -393,15 +386,8 @@ object Similarity {
       // component's min member vec_id with one map-side-combined groupBy
       // over the content key, which equals the direct propagation's
       // min-label output because every rep is its group's min vec_id.
-      val tagged = vecsRaw(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("eh", AnnIndex.ehCol(col("v")))
-      val groups = tagged.groupBy("eh", "v")
-        .agg(min("vec_id").as("rep"), count(lit(1)).as("gsz"))
-      val members = tagged.select("vec_id", "eh", "v")
-        .join(groups.select("eh", "v", "rep"), Seq("eh", "v"))
-        .select(col("rep"), col("vec_id"), col("eh"))
-      val repLab = groups.select(col("eh"), col("rep"))
+      val (members, reps) = Members.eh(s, d) // r12: session-memoized collapse
+      val repLab = reps.select(col("eh"), col("vec_id").as("rep"))
         .join(AnnIndex.ecLabels(s, d), "eh")
       val compMin = repLab.groupBy("ck").agg(min("rep").as("cluster_id"))
       val repCluster = repLab.join(compMin, "ck")
@@ -469,9 +455,11 @@ object Similarity {
       val out = AnnIndex.epRepsIfReady(s, d) match {
         case Some(reps) =>
           annTopKRepServes.incrementAndGet()
-          val members = CacheBag.track(vecsRaw(s, d)
-            .select(col("vec_id"), AnnIndex.ehCol(col("v")).as("eh")))
-          val cnts = members.groupBy("eh").agg(count(lit(1)).as("cnt"))
+          // r12: id↔eh members and group counts from the session memo —
+          // no per-query corpus hash scan
+          val (memoM, memoR) = Members.eh(s, d)
+          val members = memoM.select(col("vec_id"), col("eh"))
+          val cnts = memoR.select(col("eh"), col("gsz").as("cnt"))
           val qv = members.where(col("vec_id") < 20)
             .join(reps, "eh")
             .select(col("vec_id").as("query_id"), col("eh").as("eh_q"),

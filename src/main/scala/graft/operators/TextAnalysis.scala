@@ -649,10 +649,13 @@ object TextAnalysis {
       // terms' hash slots (the IVF probed-cells device: slot set = a
       // bounded driver collect, ≤64 longs).
       val (tfP, dlTh, nDocs) = AnnIndex.lex(s, d)
-      val members = CacheBag.track(T.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("th")))
-      val mult = CacheBag.track(
-        members.groupBy("th").agg(count(lit(1)).as("mult")))
+      // r12: the doc↔th mapping and the per-th multiplicities serve from
+      // the session Members memo — the per-query corpus md5 scan and its
+      // groupBy were the serve's two fixed stages a small corpus paid in
+      // full (r11's adjudicated sf0.1 tax) and a large one paid per query
+      val (memoMembers, reps) = Members.thGroups(s, d)
+      val members = memoMembers.select(col("doc_id"), col("th"))
+      val mult = reps.select(col("th"), col("gsz").as("mult"))
       // corpus token total Σ mult·dl_th = the per-doc sum, exact longs;
       // avgdl = one IEEE division of exact ints on both engines — it
       // rides the plan as a broadcast 1-row scalar (no driver action:
@@ -1241,9 +1244,8 @@ object TextAnalysis {
     "q_source_overlap",
     (s, d) => {
       val sigs = AnnIndex.textSigs(s, d, "NG", Dedup.ngEncode)
-      val srcTh = T.documents(s, d)
-        .select(coalesce(col("source"), lit("")).as("source"),
-          md5(col("text")).as("th"))
+      val srcTh = Members.th(s, d)
+        .select(coalesce(col("source"), lit("")).as("source"), col("th"))
         .distinct()
       val bySh = CacheBag.track(srcTh.join(sigs, "th")
         .groupBy(col("hs").as("sh"))
@@ -1458,8 +1460,8 @@ object TextAnalysis {
     "q_winnow",
     (s, d) => {
       val sigs = AnnIndex.textSigs(s, d, "WN", wnEncode)
-      T.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("th"))
+      Members.th(s, d)
+        .select(col("doc_id"), col("th"))
         .join(sigs, "th")
         .select(col("doc_id"), col("fp_hash"), col("fp_pos"))
         .transform(Det.sortAll)
@@ -1612,8 +1614,8 @@ object TextAnalysis {
   private def dsirCounts(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame, Long, Long) = {
-    val members = T.documents(s, d)
-      .select(col("doc_id"), col("lang"), md5(col("text")).as("th"))
+    val members = Members.th(s, d)
+      .select(col("doc_id"), col("lang"), col("th"))
     val sigs = AnnIndex.textSigs(s, d, "DS", dsEncode)
     val thLang = members.groupBy("th", "lang")
       .agg(count(lit(1)).cast("long").as("mult"))
@@ -1807,8 +1809,8 @@ object TextAnalysis {
       matched.groupBy("th").agg(count(lit(1)).as("n_hits"))
         .withColumn("phrase", lit(ph))
     }.reduce(_ unionByName _)
-    T.documents(s, d)
-      .select(col("doc_id"), md5(col("text")).as("th"))
+    Members.th(s, d)
+      .select(col("doc_id"), col("th"))
       .join(hits, "th")
       .select(col("phrase"), col("doc_id"), col("n_hits"))
   }
@@ -1892,9 +1894,8 @@ object TextAnalysis {
     (s, d) => {
       val dec = "decimal(38,0)"
       val (wc, _) = Bpe.wcSigs(s, d)
-      val members = T.documents(s, d)
-        .select(coalesce(col("source"), lit("")).as("source"),
-          md5(col("text")).as("th"))
+      val members = Members.th(s, d)
+        .select(coalesce(col("source"), lit("")).as("source"), col("th"))
       val cnts = CacheBag.track(members.join(wc, "th")
         .groupBy("source", "w").agg(sum("cnt").cast("long").as("c")))
       val tots = cnts.groupBy("source").agg(
@@ -1920,19 +1921,35 @@ object TextAnalysis {
         sum("ca").cast("long").as("sa_both"),
         sum("cb").cast("long").as("sb_both"),
         count(lit(1)).cast("long").as("n_common_words"))
+      // Overflow guard (ADVICE r11): a decimal(38,0) sum returns NULL on
+      // overflow in non-ANSI mode, and the join-miss coalesce below would
+      // silently read that as 0 while DuckDB's HUGEINT errors — a silent
+      // cross-engine divergence at the very scale the exactness argument
+      // targets. A join MISS nulls every bothAgg column including the
+      // count; a MATCHED row (sa non-null) with a null sum can only be an
+      // overflowed aggregate, so it fails loud. The tots sums (ss) sit on
+      // an inner grid — null there is overflow unconditionally.
+      def loud(c: org.apache.spark.sql.Column, matched: org.apache.spark.sql.Column,
+          what: String): org.apache.spark.sql.Column =
+        when(matched && c.isNull, raise_error(lit(
+          s"q_source_divergence: $what overflowed decimal(38,0) — " +
+            "normalize the per-word terms (e.g. divide counts by their gcd) " +
+            "before the pairwise sums"))).otherwise(c)
+      val hit = col("sa").isNotNull
       pairs.join(bothAgg,
           col("source_a") === col("sa") && col("source_b") === col("sb"), "left")
         .select(col("source_a"), col("source_b"),
           col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
           coalesce(col("n_common_words"), lit(0L)).as("n_common_words"),
-          ((coalesce(col("num_both"), lit(0L).cast(dec)) +
+          ((coalesce(loud(col("num_both"), hit, "num_both"), lit(0L).cast(dec)) +
             col("nb").cast(dec) * (col("na") - coalesce(col("sa_both"), lit(0L))).cast(dec) +
             col("na").cast(dec) * (col("nb") - coalesce(col("sb_both"), lit(0L))).cast(dec))
             .cast("double") /
             (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
             .as("tv_dist"),
-          (coalesce(col("dot"), lit(0L).cast(dec)).cast("double") /
-            (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))))
+          (coalesce(loud(col("dot"), hit, "dot"), lit(0L).cast(dec)).cast("double") /
+            (sqrt(loud(col("aa"), lit(true), "ss_a").cast("double")) *
+              sqrt(loud(col("bb"), lit(true), "ss_b").cast("double"))))
             .as("cos_sim"))
         .transform(Det.sortAll)
     },

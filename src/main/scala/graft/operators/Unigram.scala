@@ -286,13 +286,15 @@ object Unigram {
       val headTh = heads.select(col("th"),
         concat_ws(" ", slice(headToks, lit(1), lit(5))).as("first_pieces"))
       Bpe.thMembers(s, d)
-        .join(headTh, "th")
+        // LEFT join (r12): null-text docs (th NULL) keep their zero-token
+        // row instead of vanishing at the equi join — see q_bpe_encode
+        .join(headTh, Seq("th"), "left")
         .join(perTh, Seq("th"), "left")
         .select(col("doc_id"),
           coalesce(col("n_words"), lit(0L)).as("n_words"),
           coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"),
           coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
-          col("first_pieces"))
+          coalesce(col("first_pieces"), lit("")).as("first_pieces"))
         .transform(Det.sortAll)
     },
     None)

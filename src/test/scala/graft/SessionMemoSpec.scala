@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Members, SessionMemo, TextAnalysis}
+
+/** The session-lifetime member-mapping memo (r12): one corpus hash pass
+  * per (session, table content), shared by every signature-serving query;
+  * entries are fingerprint-validated so an in-place rewrite rebuilds
+  * instead of serving stale mappings (the ADVICE-r11 contract).
+  */
+class SessionMemoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("doc th memo: one derivation serves the whole family, values exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("memo_th").toString
+    (0 until 30).map { i =>
+      (i.toLong, s"doc text ${i % 7} shared alpha beta tok${i % 5}", "en",
+        s"src${i % 3}", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val b0 = SessionMemo.buildsOf("thm")
+    val g0 = SessionMemo.buildsOf("thg")
+    // three independent consumers of the same mapping
+    val exact = Dedup.exact.run(spark, tmp).collect()
+    val manifest = Dedup.membersManifest.run(spark, tmp).collect()
+    Members.th(spark, tmp).count()
+    assert(SessionMemo.buildsOf("thm") == b0 + 1,
+      "the (doc_id, th) scan must run once per session+content, not per query")
+    assert(SessionMemo.buildsOf("thg") <= g0 + 1)
+    // served values equal a direct computation
+    assert(exact.length == 30)
+    val direct = spark.read.parquet(s"$tmp/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .groupBy("th").agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
+      .agg(sum(col("gsz")), count(lit(1))).collect()(0)
+    assert(direct.getLong(0) == 30)
+    assert(manifest.map(_.getLong(1)).distinct.length == direct.getLong(1))
+  }
+
+  test("fingerprint validation: an in-place rewrite rebuilds, not serves stale") {
+    val tmp = java.nio.file.Files.createTempDirectory("memo_fp").toString
+    def write(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, s"text $i", "en", "s", 6L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    write(10)
+    assert(Members.th(spark, tmp).count() == 10)
+    val b1 = SessionMemo.buildsOf("thm")
+    // same content → served, no rebuild
+    assert(Members.th(spark, tmp).count() == 10)
+    assert(SessionMemo.buildsOf("thm") == b1)
+    // rewrite in place → fingerprint differs → rebuild with fresh values
+    write(17)
+    assert(Members.th(spark, tmp).count() == 17,
+      "a rewritten table must be re-derived, not served from the stale memo")
+    assert(SessionMemo.buildsOf("thm") == b1 + 1)
+  }
+
+  test("found-on-try memo revalidates on source-table rewrite (ADVICE r11)") {
+    val tmp = java.nio.file.Files.createTempDirectory("memo_fot").toString
+    def writeOrders(n: Int): Unit =
+      (1 to n).map(i => (i.toLong, (i % 5).toLong + 1L, s"prio${i % 3}"))
+        .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    (1L to 5L).map(i => (i, s"customer name $i"))
+      .toDF("c_custkey", "c_name")
+      .repartition(1).write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    writeOrders(20)
+    assert(graft.operators.EltOps.foundOnTry.run(spark, tmp).count() == 20)
+    val fb = graft.operators.EltOps.fotBuilds.get()
+    // unchanged tables → the memo serves, no rebuild
+    assert(graft.operators.EltOps.foundOnTry.run(spark, tmp).count() == 20)
+    assert(graft.operators.EltOps.fotBuilds.get() == fb)
+    // in-place rewrite of orders → rebuild, provenance reflects new rows
+    writeOrders(8)
+    assert(graft.operators.EltOps.foundOnTry.run(spark, tmp).count() == 8,
+      "a rewritten orders table must rebuild the provenance memo")
+    assert(graft.operators.EltOps.fotBuilds.get() == fb + 1)
+  }
+
+  test("vec eh memo: one hash pass; groups match a direct collapse") {
+    val b0 = SessionMemo.buildsOf("ehm")
+    val (members, reps) = Members.eh(spark, sfDir)
+    val (m2, r2) = Members.eh(spark, sfDir)
+    assert(SessionMemo.buildsOf("ehm") <= b0 + 1)
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(members.count() == n)
+    assert(reps.agg(sum("gsz")).collect()(0).getLong(0) == n)
+    // every rep is its group's min member
+    val bad = members.groupBy("rep").agg(min("vec_id").as("mn"))
+      .where(col("rep") =!= col("mn")).count()
+    assert(bad == 0)
+    assert(m2.count() == n && r2.count() == reps.count())
+  }
+}

@@ -136,7 +136,14 @@ for name, sql in sorted(oracle.items()):
         print(f'ok   {name} ({len(got)} rows)')
 
 # the summary reports what was actually CHECKED, not the oracle count —
-# a filtered run must not print a registry-wide green
-fails += [n for n in lint_fails if n not in fails]
-print(f'\n{checked - len(fails)}/{checked} matched' + (f'; FAILURES: {fails}' if fails else ''))
-sys.exit(1 if fails else 0)
+# a filtered run must not print a registry-wide green. Lint failures are
+# reported SEPARATELY: a query that matched its oracle but trips the
+# portability lint must not read as a comparison failure (ADVICE r11),
+# though either kind still exits 1.
+summary = f'\n{checked - len(fails)}/{checked} matched'
+if fails:
+    summary += f'; FAILURES: {fails}'
+if lint_fails:
+    summary += f'; LINT FAILURES: {sorted(set(lint_fails))}'
+print(summary)
+sys.exit(1 if (fails or lint_fails) else 0)
