@@ -14,21 +14,30 @@ import graft.functions.Vectors
   * {{{
   * <root>/<md5 of table path>/<fingerprintHex>_<rowcount>/
   *   ivf_codebook/   (c_id, cv, cnrm)            ≤1024 rows
-  *   ivf_cells/      (vec_id, v, nrm, cluster=…) corpus, PARTITIONED BY cell
+  *   ivf2_cells/     (eh, v, nrm, cluster=…)     distinct vectors, BY cell
   *   pq_codebook/    (dim, cents)                1 row, m·ksub·dsub doubles
-  *   pq_codes/       (vec_id, code, nrm)         corpus, 24 B/vector live
-  *   lsh_sigs/       (vec_id, band_idx, code)    capped banded signatures
+  *   pq2_codes/      (eh, code, nrm)             distinct, 24 B/vector live
+  *   lsh2_sigs/      (eh, band_idx, code)        capped banded signatures
+  *   lsh2_ehs/       (eh)                        known-content registry
   *   _GRAFT_FILES                                table file inventory
-  *   _GRAFT_META_{IVF,PQ,LSH}                    base pointer, n_fit, params
-  *   _GRAFT_OK_{IVF,PQ,LSH}                      completion markers
+  *   _GRAFT_META_{IVF2,PQ2,LSH2,IPQ2}            base pointer, n_fit, params
+  *   _GRAFT_OK_{IVF2,PQ2,LSH2,IPQ2}              completion markers
   * }}}
   *
+  * '''r12: rows are keyed by `eh` (the 128-bit vector content hash), one
+  * row per DISTINCT vector''' — the EP/textSigs asymmetry applied to the
+  * ANN family: a k×-duplicated corpus stores, scans and scores 1/k of the
+  * rows, and survivors expand to member vec_ids through the session
+  * [[Members.eh]] mapping at serve (vec_id-keyed layouts IVF/PQ/LSH/IVFPQ
+  * are retired). Codebooks still FIT from the full table (bit-identical
+  * training to r11); only the encoded artifact collapses to distinct.
+  *
   * Layout choices are the serve-path point, not storage bookkeeping:
-  *  - `ivf_cells` is hive-partitioned by cluster id, so a probe of
+  *  - `ivf2_cells` is hive-partitioned by cluster id, so a probe of
   *    nprobe·|queries| cells becomes a PARTITION-PRUNED scan — the serve
   *    read touches nprobe/k of the corpus instead of all of it (the
   *    directory layout IS the inverted file).
-  *  - `pq_codes` carries only (vec_id, packed 64-bit code, norm): the ADC
+  *  - `pq2_codes` carries only (eh, packed 64-bit code, norm): the ADC
   *    scan streams 24 B/vector — the ~21× cut vs raw vectors survives
   *    session restarts instead of being recomputed into it each time.
   *
@@ -47,7 +56,7 @@ import graft.functions.Vectors
   *    CHAINS to the base via the meta's base pointer — serve reads the
   *    chain union (filter/partition pruning pushes through the union), so
   *    the corpus-sized base artifacts are never rewritten;
-  *  - LSH: re-caps base ∪ delta and rewrites `lsh_sigs` whole — the
+  *  - LSH: re-caps base ∪ delta and rewrites `lsh2_sigs` whole — the
   *    bucket cap is defined over the union, and the sig table (24 B/row
   *    of live columns) is orders cheaper to rewrite than the hyperplane
   *    encode it replaces; params (bits/bands/radius) stay frozen at their
@@ -272,7 +281,14 @@ object AnnIndex {
     // artifacts indefinitely
     val retired = Set(
       "LEX", // r8 doc-keyed postings, superseded by LXT
-      "NP")  // r10 kept-only shingle-df layout, superseded by NP2
+      "NP",  // r10 kept-only shingle-df layout, superseded by NP2
+      // r7-r11 vec_id-keyed vector indexes, superseded by the r12
+      // eh-keyed layouts (one row per DISTINCT vector)
+      "IVF", "PQ", "LSH", "IVFPQ",
+      // r11 bucket-pair layouts with kept-only bucket tables, superseded
+      // by MP2/SP2 (full bucket-size table + th registry — batch-sized
+      // append deltas, the NP2 device)
+      "MP", "SP")
     val fams = sibs.flatMap(b => f.listStatus(new org.apache.hadoop.fs.Path(b))
         .toSeq.map(_.getPath.getName).filter(_.startsWith("_GRAFT_OK_"))
         .map(_.stripPrefix("_GRAFT_OK_"))).distinct
@@ -295,8 +311,18 @@ object AnnIndex {
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
 
+  /** The delta's DISTINCT vectors, eh-keyed — the encode unit of every
+    * r12 vector index family (a batch re-shipping known content adds no
+    * rows once the caller anti-joins the chain's eh registry).
+    */
+  private def deltaReps(s: SparkSession, paths: Seq[String]): DataFrame =
+    deltaVecs(s, paths)
+      .withColumn("eh", ehCol(col("v")))
+      .groupBy("eh", "v").agg(min("nrm").as("nrm"))
+      .select("eh", "v", "nrm")
+
   private[graft] def loadIvfCodebook(s: SparkSession, vd: String,
-      okFam: String = "IVF"): Option[Array[(Long, Seq[Double], Double)]] =
+      okFam: String = "IVF2"): Option[Array[(Long, Seq[Double], Double)]] =
     if (exists(s, s"$vd/_GRAFT_OK_$okFam"))
       Some(s.read.parquet(s"$vd/ivf_codebook")
         .collect().map(r => (r.getAs[Long]("c_id"),
@@ -305,7 +331,7 @@ object AnnIndex {
     else None
 
   private[graft] def loadPqCodebook(s: SparkSession, vd: String,
-      okFam: String = "PQ"): Option[(Array[Double], Int)] =
+      okFam: String = "PQ2"): Option[(Array[Double], Int)] =
     if (exists(s, s"$vd/_GRAFT_OK_$okFam")) {
       val r = s.read.parquet(s"$vd/pq_codebook").head()
       Some((r.getAs[scala.collection.Seq[Double]]("cents").toArray,
@@ -352,43 +378,62 @@ object AnnIndex {
     val n = math.max(cnt, 1L)
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, n, fp)
-    if (!exists(s, s"$vd/_GRAFT_OK_IVF")) {
+    if (!exists(s, s"$vd/_GRAFT_OK_IVF2")) {
       val cur = physFiles(s, s"$d/embeddings.parquet")
-      appendBase(s, vd, "IVF", cur) match {
-        case Some((base, delta, nFit, _)) if (n - nFit).toDouble / n <= refitFraction =>
+      appendBase(s, vd, "IVF2", cur) match {
+        case Some((base, delta, nFit, params))
+            if params.nonEmpty && (n - nFit).toDouble / n <= refitFraction =>
           ivfAppends.incrementAndGet()
-          val cb = loadIvfCodebook(s, base).get
+          val cb = loadIvfCodebook(s, base, "IVF2").get
           // copy the (tiny) codebook so codebook loads are chain-free
           s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm")
             .coalesce(1).write.mode("overwrite").parquet(s"$vd/ivf_codebook")
-          deltaVecs(s, delta)
+          // only genuinely-NEW distinct vectors encode (the textSigs
+          // device): known ehs come from the chain's own cells — one row
+          // per distinct vector, a reliable registry
+          val known = chainDirs(s, base, "IVF2")
+            .map(c => s.read.schema(
+                "eh string, v array<double>, nrm double, cluster long")
+              .parquet(s"$c/ivf2_cells").select("eh"))
+            .reduce(_ unionByName _)
+          deltaReps(s, delta).join(known, Seq("eh"), "left_anti")
             .withColumn("cluster",
               Vectors.nearestCentroid(col("v"), cb.map(_._1), cb.flatMap(_._2),
                 cb.map(_._3)))
             .repartition(col("cluster"))
             .write.mode("overwrite").partitionBy("cluster")
-            .parquet(s"$vd/ivf_cells")
+            .parquet(s"$vd/ivf2_cells")
+          // explicit schema: an all-known batch writes ZERO rows, and an
+          // empty partitioned dir has no footers to infer from
+          val nNew = s.read.schema(
+              "eh string, v array<double>, nrm double, cluster long")
+            .parquet(s"$vd/ivf2_cells").count()
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "IVF",
-            Some(new org.apache.hadoop.fs.Path(base).getName), nFit)
-          touch(s, s"$vd/_GRAFT_OK_IVF")
+          writeMeta(s, vd, "IVF2",
+            Some(new org.apache.hadoop.fs.Path(base).getName), nFit,
+            (params.toLong + nNew).toString)
+          touch(s, s"$vd/_GRAFT_OK_IVF2")
           pruneSiblings(s, vd)
         case _ =>
           val cb = Similarity.codebookRowsAt(s, d, e, n, fp) // Lloyd fit
           s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm")
             .coalesce(1).write.mode("overwrite").parquet(s"$vd/ivf_codebook")
-          // one narrow NearestCentroid pass — the encode leg of the fit;
+          // one narrow NearestCentroid pass over the DISTINCT vectors
+          // (r12: cells are eh-keyed — a k×-duplicated corpus stores and
+          // scans 1/k of the rows; members expand at serve);
           // hash-repartition on cluster so each cell lands as one file in
           // its own hive partition directory (the inverted-file layout)
-          e.withColumn("cluster",
+          Members.eh(s, d)._2.select("eh", "v", "nrm")
+            .withColumn("cluster",
               Vectors.nearestCentroid(col("v"), cb.map(_._1), cb.flatMap(_._2),
                 cb.map(_._3)))
             .repartition(col("cluster"))
             .write.mode("overwrite").partitionBy("cluster")
-            .parquet(s"$vd/ivf_cells")
+            .parquet(s"$vd/ivf2_cells")
+          val nRows = s.read.parquet(s"$vd/ivf2_cells").count()
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "IVF", None, n)
-          touch(s, s"$vd/_GRAFT_OK_IVF")
+          writeMeta(s, vd, "IVF2", None, n, nRows.toString)
+          touch(s, s"$vd/_GRAFT_OK_IVF2")
           pruneSiblings(s, vd)
       }
     }
@@ -398,12 +443,13 @@ object AnnIndex {
     // so the probe filter prunes directories as-is
     import org.apache.spark.sql.types._
     val cellsSchema = StructType(Seq(
-      StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
+      StructField("eh", StringType), StructField("v", ArrayType(DoubleType)),
       StructField("nrm", DoubleType), StructField("cluster", LongType)))
-    val cells = chainDirs(s, vd, "IVF")
-      .map(cd => s.read.schema(cellsSchema).parquet(s"$cd/ivf_cells"))
+    val cells = chainDirs(s, vd, "IVF2")
+      .map(cd => s.read.schema(cellsSchema).parquet(s"$cd/ivf2_cells"))
       .reduce(_ unionByName _)
-    validate(vd, "IVF", cnt, cells.count())
+    val (_, _, params) = readMeta(s, vd, "IVF2").get
+    validate(vd, "IVF2", params.toLong, cells.count())
     (Similarity.codebookRowsAt(s, d, e, n, fp), cells)
   }
 
@@ -418,44 +464,58 @@ object AnnIndex {
     val n = math.max(cnt, 1L)
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, n, fp)
-    if (!exists(s, s"$vd/_GRAFT_OK_PQ")) {
+    if (!exists(s, s"$vd/_GRAFT_OK_PQ2")) {
       val cur = physFiles(s, s"$d/embeddings.parquet")
-      appendBase(s, vd, "PQ", cur) match {
-        case Some((base, delta, nFit, _)) if (n - nFit).toDouble / n <= refitFraction =>
+      appendBase(s, vd, "PQ2", cur) match {
+        case Some((base, delta, nFit, params))
+            if params.nonEmpty && (n - nFit).toDouble / n <= refitFraction =>
           pqAppends.incrementAndGet()
-          val (cents, dim) = loadPqCodebook(s, base).get
+          val (cents, dim) = loadPqCodebook(s, base, "PQ2").get
           s.createDataFrame(Seq((dim, cents.toSeq))).toDF("dim", "cents")
             .coalesce(1).write.mode("overwrite").parquet(s"$vd/pq_codebook")
-          deltaVecs(s, delta).select(col("vec_id"),
+          val known = chainDirs(s, base, "PQ2")
+            .map(c => s.read.schema("eh string, code bigint, nrm double")
+              .parquet(s"$c/pq2_codes").select("eh"))
+            .reduce(_ unionByName _)
+          deltaReps(s, delta).join(known, Seq("eh"), "left_anti")
+            .select(col("eh"),
               Vectors.pqEncode(col("v"), cents, Similarity.pqM, Similarity.pqKsub)
                 .as("code"),
               col("nrm"))
-            .write.mode("overwrite").parquet(s"$vd/pq_codes")
+            .write.mode("overwrite").parquet(s"$vd/pq2_codes")
+          val nNew = s.read.schema("eh string, code bigint, nrm double")
+            .parquet(s"$vd/pq2_codes").count()
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "PQ",
-            Some(new org.apache.hadoop.fs.Path(base).getName), nFit)
-          touch(s, s"$vd/_GRAFT_OK_PQ")
+          writeMeta(s, vd, "PQ2",
+            Some(new org.apache.hadoop.fs.Path(base).getName), nFit,
+            (params.toLong + nNew).toString)
+          touch(s, s"$vd/_GRAFT_OK_PQ2")
           pruneSiblings(s, vd)
         case _ =>
           val (cents, dim) = Similarity.pqCodebookAt(s, d, e, n, fp) // fit
           s.createDataFrame(Seq((dim, cents.toSeq))).toDF("dim", "cents")
             .coalesce(1).write.mode("overwrite").parquet(s"$vd/pq_codebook")
-          e.select(col("vec_id"),
+          // r12: one code row per DISTINCT vector (eh-keyed)
+          Members.eh(s, d)._2.select("eh", "v", "nrm")
+            .select(col("eh"),
               Vectors.pqEncode(col("v"), cents, Similarity.pqM, Similarity.pqKsub)
                 .as("code"),
               col("nrm"))
-            .write.mode("overwrite").parquet(s"$vd/pq_codes")
+            .write.mode("overwrite").parquet(s"$vd/pq2_codes")
+          val nRows = s.read.parquet(s"$vd/pq2_codes").count()
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "PQ", None, n)
-          touch(s, s"$vd/_GRAFT_OK_PQ")
+          writeMeta(s, vd, "PQ2", None, n, nRows.toString)
+          touch(s, s"$vd/_GRAFT_OK_PQ2")
           pruneSiblings(s, vd)
       }
     }
     val (cents, dim) = Similarity.pqCodebookAt(s, d, e, n, fp)
-    val codes = chainDirs(s, vd, "PQ")
-      .map(cd => s.read.parquet(s"$cd/pq_codes"))
+    val codes = chainDirs(s, vd, "PQ2")
+      .map(cd => s.read.schema("eh string, code bigint, nrm double")
+        .parquet(s"$cd/pq2_codes"))
       .reduce(_ unionByName _)
-    validate(vd, "PQ", cnt, codes.count())
+    val (_, _, params) = readMeta(s, vd, "PQ2").get
+    validate(vd, "PQ2", params.toLong, codes.count())
     (cents, dim, codes)
   }
 
@@ -480,42 +540,54 @@ object AnnIndex {
     val nRaw = e.count()
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, math.max(nRaw, 1L), fp)
+    // r12: signatures are eh-keyed — one row per (DISTINCT vector, band),
+    // and the ≤256 bucket cap counts distinct vectors (a k×-duplicated
+    // corpus no longer exhausts a bucket's budget with copies of one
+    // point). `lsh2_ehs` is the exact known-content registry for the
+    // anti-join on append: the capped sig table itself can't serve as one
+    // (a vector whose rows were all capped out is known but absent).
     def encode(df: DataFrame, bands: Int, bits: Int): DataFrame = df
       .withColumn("sig",
         Vectors.hyperplaneBands(col("v"), Similarity.annLshSeed, bands, bits))
-      .select(col("vec_id"), posexplode(col("sig")).as(Seq("band_idx", "code")))
-    if (!exists(s, s"$vd/_GRAFT_OK_LSH")) {
+      .select(col("eh"), posexplode(col("sig")).as(Seq("band_idx", "code")))
+    if (!exists(s, s"$vd/_GRAFT_OK_LSH2")) {
       val cur = physFiles(s, s"$d/embeddings.parquet")
-      appendBase(s, vd, "LSH", cur) match {
+      appendBase(s, vd, "LSH2", cur) match {
         case Some((base, delta, nFit, params))
             if params.nonEmpty && (nRaw - nFit).toDouble / nRaw <= refitFraction =>
           lshAppends.incrementAndGet()
           val Array(bits, bands, radius) = params.split(",").map(_.toInt)
-          val union = s.read.parquet(s"$base/lsh_sigs")
-            .unionByName(encode(deltaVecs(s, delta), bands, bits))
+          val known = s.read.parquet(s"$base/lsh2_ehs")
+          val fresh = deltaReps(s, delta).join(known, Seq("eh"), "left_anti")
+          val union = s.read.parquet(s"$base/lsh2_sigs")
+            .unionByName(encode(fresh, bands, bits))
           Dedup.capBuckets(union, Seq("band_idx", "code"), 256)
-            .write.mode("overwrite").parquet(s"$vd/lsh_sigs")
+            .write.mode("overwrite").parquet(s"$vd/lsh2_sigs")
+          known.unionByName(fresh.select("eh"))
+            .write.mode("overwrite").parquet(s"$vd/lsh2_ehs")
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "LSH", None, nFit, s"$bits,$bands,$radius")
-          touch(s, s"$vd/_GRAFT_OK_LSH")
+          writeMeta(s, vd, "LSH2", None, nFit, s"$bits,$bands,$radius")
+          touch(s, s"$vd/_GRAFT_OK_LSH2")
           pruneSiblings(s, vd)
         case _ =>
           val (bits, bands, radius) = Similarity.annLshParams(math.max(nRaw, 2L))
           lshEncodes.incrementAndGet()
-          Dedup.capBuckets(encode(e, bands, bits), Seq("band_idx", "code"), 256)
-            .write.mode("overwrite").parquet(s"$vd/lsh_sigs")
+          val reps = Members.eh(s, d)._2.select("eh", "v", "nrm")
+          Dedup.capBuckets(encode(reps, bands, bits), Seq("band_idx", "code"), 256)
+            .write.mode("overwrite").parquet(s"$vd/lsh2_sigs")
+          reps.select("eh").write.mode("overwrite").parquet(s"$vd/lsh2_ehs")
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "LSH", None, nRaw, s"$bits,$bands,$radius")
-          touch(s, s"$vd/_GRAFT_OK_LSH")
+          writeMeta(s, vd, "LSH2", None, nRaw, s"$bits,$bands,$radius")
+          touch(s, s"$vd/_GRAFT_OK_LSH2")
           pruneSiblings(s, vd)
       }
     }
-    val (bits, bands, radius) = readMeta(s, vd, "LSH") match {
+    val (bits, bands, radius) = readMeta(s, vd, "LSH2") match {
       case Some((_, _, params)) if params.nonEmpty =>
         val Array(b, ba, r) = params.split(",").map(_.toInt); (b, ba, r)
       case _ => Similarity.annLshParams(math.max(nRaw, 2L)) // pre-meta version
     }
-    (bits, bands, radius, s.read.parquet(s"$vd/lsh_sigs"))
+    (bits, bands, radius, s.read.parquet(s"$vd/lsh2_sigs"))
   }
 
   /** Ensure the IVF-PQ index — PQ codes laid out IN the inverted file —
@@ -557,7 +629,7 @@ object AnnIndex {
       .withColumn("cluster",
         Vectors.nearestCentroid(col("v"), cb.map(_._1), cb.flatMap(_._2),
           cb.map(_._3)))
-      .select(col("vec_id"),
+      .select(col("eh"),
         Vectors.pqEncode(col("v"), cents, Similarity.pqM, Similarity.pqKsub)
           .as("code"),
         col("nrm"), col("cluster"))
@@ -573,35 +645,47 @@ object AnnIndex {
         s.createDataFrame(Seq((dim, cents.toSeq))).toDF("dim", "cents")
           .coalesce(1).write.mode("overwrite").parquet(s"$vd/pq_codebook")
     }
-    if (!exists(s, s"$vd/_GRAFT_OK_IVFPQ")) {
+    if (!exists(s, s"$vd/_GRAFT_OK_IPQ2")) {
       val cur = physFiles(s, s"$d/embeddings.parquet")
-      appendBase(s, vd, "IVFPQ", cur) match {
-        case Some((base, delta, nFit, _)) if (n - nFit).toDouble / n <= refitFraction =>
+      appendBase(s, vd, "IPQ2", cur) match {
+        case Some((base, delta, nFit, params))
+            if params.nonEmpty && (n - nFit).toDouble / n <= refitFraction =>
           ivfpqAppends.incrementAndGet()
-          val cb = loadIvfCodebook(s, base, "IVFPQ").get
-          val (cents, dim) = loadPqCodebook(s, base, "IVFPQ").get
+          val cb = loadIvfCodebook(s, base, "IPQ2").get
+          val (cents, dim) = loadPqCodebook(s, base, "IPQ2").get
           writeCodebooks(cb, cents, dim)
-          encodeCodes(deltaVecs(s, delta), cb, cents)
+          val known = chainDirs(s, base, "IPQ2")
+            .map(c => s.read.schema(
+                "eh string, code bigint, nrm double, cluster long")
+              .parquet(s"$c/ivfpq2_codes").select("eh"))
+            .reduce(_ unionByName _)
+          encodeCodes(deltaReps(s, delta).join(known, Seq("eh"), "left_anti"),
+              cb, cents)
             .repartition(col("cluster"))
             .write.mode("overwrite").partitionBy("cluster")
-            .parquet(s"$vd/ivfpq_codes")
+            .parquet(s"$vd/ivfpq2_codes")
+          val nNew = s.read.schema(
+              "eh string, code bigint, nrm double, cluster long")
+            .parquet(s"$vd/ivfpq2_codes").count()
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "IVFPQ",
-            Some(new org.apache.hadoop.fs.Path(base).getName), nFit)
-          touch(s, s"$vd/_GRAFT_OK_IVFPQ")
+          writeMeta(s, vd, "IPQ2",
+            Some(new org.apache.hadoop.fs.Path(base).getName), nFit,
+            (params.toLong + nNew).toString)
+          touch(s, s"$vd/_GRAFT_OK_IPQ2")
           pruneSiblings(s, vd)
         case _ =>
           ivfpqEncodes.incrementAndGet()
           val cb = Similarity.codebookRowsAt(s, d, e, n, fp) // Lloyd (memoized)
           val (cents, dim) = Similarity.pqCodebookAt(s, d, e, n, fp)
           writeCodebooks(cb, cents, dim)
-          encodeCodes(e, cb, cents)
+          encodeCodes(Members.eh(s, d)._2.select("eh", "v", "nrm"), cb, cents)
             .repartition(col("cluster"))
             .write.mode("overwrite").partitionBy("cluster")
-            .parquet(s"$vd/ivfpq_codes")
+            .parquet(s"$vd/ivfpq2_codes")
+          val nRows = s.read.parquet(s"$vd/ivfpq2_codes").count()
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "IVFPQ", None, n)
-          touch(s, s"$vd/_GRAFT_OK_IVFPQ")
+          writeMeta(s, vd, "IPQ2", None, n, nRows.toString)
+          touch(s, s"$vd/_GRAFT_OK_IPQ2")
           pruneSiblings(s, vd)
       }
     }
@@ -610,13 +694,14 @@ object AnnIndex {
     // partition column casts the attribute and blocks pruning)
     import org.apache.spark.sql.types._
     val codesSchema = StructType(Seq(
-      StructField("vec_id", LongType), StructField("code", LongType),
+      StructField("eh", StringType), StructField("code", LongType),
       StructField("nrm", DoubleType), StructField("cluster", LongType)))
-    val codes = chainDirs(s, vd, "IVFPQ")
-      .map(cd => s.read.schema(codesSchema).parquet(s"$cd/ivfpq_codes"))
+    val codes = chainDirs(s, vd, "IPQ2")
+      .map(cd => s.read.schema(codesSchema).parquet(s"$cd/ivfpq2_codes"))
       .reduce(_ unionByName _)
-    validate(vd, "IVFPQ", cnt, codes.count())
-    (loadIvfCodebook(s, vd, "IVFPQ").get, loadPqCodebook(s, vd, "IVFPQ").get._1, codes)
+    val (_, _, params) = readMeta(s, vd, "IPQ2").get
+    validate(vd, "IPQ2", params.toLong, codes.count())
+    (loadIvfCodebook(s, vd, "IPQ2").get, loadPqCodebook(s, vd, "IPQ2").get._1, codes)
   }
 
   /** Postings slot fan-out: the term space hashes into this many hive
@@ -1200,19 +1285,21 @@ object AnnIndex {
     * family payload (band-match count / hamming) — so one builder
     * persists either graph.
     *
-    * Artifacts (distinct-content-sized, ID-FREE, th-keyed like NP):
-    * `{mp,sp}_pairs` (th_a, th_b, payload), `{mp,sp}_kept` (k1, k2 — the
-    * fit-time kept-bucket universe, the append exactness detector).
+    * Artifacts (distinct-content-sized, ID-FREE, th-keyed like NP2):
+    * `{mp2,sp2}_pairs` (th_a, th_b, payload), `{mp2,sp2}_bsz` (k1, k2,
+    * bsz — the FULL bucket-size table, kept AND capped rows), and
+    * `{mp2,sp2}_ths` (the known-content registry).
     * Bucket membership counts DISTINCT texts and texts are only ever
     * added, so bucket size is monotone: a bucket capped at fit stays
     * capped, and the single hazard is a fit-kept bucket crossing 64 —
-    * detected against `_kept`, forcing a refit. With no crossing, old
-    * texts' kept bucket rows are untouched: old↔old pairs carry over
-    * verbatim and the delta PAIR output is (fresh×old)+(fresh×fresh)
-    * collision joins sized by the batch — honest cost note (r11,
-    * ADVICE): the crossing detector re-derives bucket sizes from the
-    * full persisted signature table, a DISTINCT-CONTENT-sized pass per
-    * append, not batch-sized. Payload exactness: the callback sees ALL
+    * r12 (NP2's device ported): detected by merging the BATCH's delta
+    * counts into the persisted `_bsz` table, never by re-aggregating the
+    * full signature table; fresh texts resolve against `_ths` instead of
+    * a corpus member scan. With no crossing, old texts' kept bucket rows
+    * are untouched: old↔old pairs carry over verbatim and the delta PAIR
+    * output is (fresh×old)+(fresh×fresh) collision joins sized by the
+    * batch (the old side join-pruned to fresh-touched buckets).
+    * Payload exactness: the callback sees ALL
     * collision rows for a pair (a new pair's collisions all involve ≥1
     * fresh row), so per-pair aggregates (bands_matching) and
     * signature-derived values (hamming) are identical to a fresh build.
@@ -1231,11 +1318,10 @@ object AnnIndex {
     val pairSchema = StructType(
       Seq(StructField("th_a", StringType), StructField("th_b", StringType)) ++
         payloadCols)
-    val keptSchema = StructType(Seq(StructField("k1", IntegerType),
-      StructField("k2", LongType)))
-    def keptOf(b: DataFrame): DataFrame =
+    val bszSchema = StructType(Seq(StructField("k1", IntegerType),
+      StructField("k2", LongType), StructField("bsz", LongType)))
+    def bszOf(b: DataFrame): DataFrame =
       b.groupBy("k1", "k2").agg(count(lit(1)).as("bsz"))
-        .where(col("bsz") <= 64).select("k1", "k2")
     def collide(a: DataFrame, b: DataFrame, ordered: Boolean): DataFrame =
       if (ordered)
         a.as("a").join(b.as("b"),
@@ -1247,10 +1333,11 @@ object AnnIndex {
           col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2"))
           .select(least(col("a.th"), col("b.th")).as("th_a"),
             greatest(col("a.th"), col("b.th")).as("th_b"))
-    def writeAll(pairs: DataFrame, kept: DataFrame,
+    def writeAll(pairs: DataFrame, bsz: DataFrame, ths: DataFrame,
         cur: Seq[(String, Long, Long)]): Unit = {
       pairs.write.mode("overwrite").parquet(s"$vd/${lc}_pairs")
-      kept.write.mode("overwrite").parquet(s"$vd/${lc}_kept")
+      bsz.write.mode("overwrite").parquet(s"$vd/${lc}_bsz")
+      ths.write.mode("overwrite").parquet(s"$vd/${lc}_ths")
       val nP = s.read.schema(pairSchema).parquet(s"$vd/${lc}_pairs").count()
       writeFileList(s, vd, cur)
       writeMeta(s, vd, fam, None, cnt, nP.toString)
@@ -1261,34 +1348,51 @@ object AnnIndex {
       val cur = physFiles(s, table)
       val viaAppend = appendBase(s, vd, fam, cur) match {
         case Some((base, delta, _, params)) if params.nonEmpty =>
-          val rows = bucketRows()
-          val keptNow = keptOf(rows)
-          val crossed = s.read.schema(keptSchema).parquet(s"$base/${lc}_kept")
-            .join(keptNow, Seq("k1", "k2"), "left_anti")
+          // r12 (NP2's device ported — the last full-table aggregate on
+          // an append path): bucket sizes update by merging the BATCH's
+          // delta counts into the persisted full bucket-size table, and
+          // fresh texts resolve against the persisted th registry — no
+          // corpus member scan, no bucket groupBy over the full
+          // signature table. The remaining non-batch-sized work is the
+          // semi/anti-join-pruned signature reads feeding the fresh rows
+          // and the fresh-bucket old rows — distinct-content-sized, the
+          // artifact's own floor (the NP2 posture).
+          val baseThs = s.read.parquet(s"$base/${lc}_ths")
+          val freshTh = s.read.parquet(delta: _*)
+            .select(md5(col("text")).as("th")).distinct()
+            .join(baseThs, Seq("th"), "left_anti")
+          val freshRows = bucketRows().join(freshTh, Seq("th"), "left_semi")
+          val deltaBsz = bszOf(freshRows)
+            .withColumnRenamed("bsz", "dbsz")
+          val baseBsz = s.read.schema(bszSchema).parquet(s"$base/${lc}_bsz")
+          // crossing = a fit-KEPT bucket (base bsz ≤ 64) whose merged
+          // size exceeds the cap — old pairs would be invalid, refit
+          val crossed = baseBsz.join(deltaBsz, Seq("k1", "k2"))
+            .where(col("bsz") <= 64 && col("bsz") + col("dbsz") > 64)
             .limit(1).count() > 0
           if (crossed) false
           else {
             tpAppends.incrementAndGet()
-            val capped = rows.join(keptNow, Seq("k1", "k2"), "left_semi")
-            val baseThs = readFileList(s, base).map(_.map(_._1)) match {
-              case Some(paths) => s.read.parquet(paths: _*)
-                .select(md5(col("text")).as("th")).distinct()
-              case None => s.createDataFrame(
-                s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                StructType(Seq(StructField("th", StringType))))
-            }
-            val freshTh = s.read.parquet(delta: _*)
-              .select(md5(col("text")).as("th")).distinct()
-              .join(baseThs, Seq("th"), "left_anti")
-            val fresh = capped.join(freshTh, Seq("th"), "left_semi")
-            val old = capped.join(freshTh, Seq("th"), "left_anti")
+            val mergedBsz = baseBsz.join(deltaBsz, Seq("k1", "k2"), "full_outer")
+              .select(col("k1"), col("k2"),
+                (coalesce(col("bsz"), lit(0L)) + coalesce(col("dbsz"), lit(0L)))
+                  .as("bsz"))
+            val keptNow = mergedBsz.where(col("bsz") <= 64).select("k1", "k2")
+            val fresh = freshRows.join(keptNow, Seq("k1", "k2"), "left_semi")
+            // old rows matter only inside buckets a fresh row touches —
+            // the signature read is join-pruned to those buckets
+            val freshBuckets = fresh.select("k1", "k2").distinct()
+            val old = bucketRows().join(freshTh, Seq("th"), "left_anti")
+              .join(freshBuckets, Seq("k1", "k2"), "left_semi")
             val newPairs = payload(
               collide(fresh, old, ordered = false)
                 .unionByName(collide(fresh, fresh, ordered = true)))
             writeAll(
               s.read.schema(pairSchema).parquet(s"$base/${lc}_pairs")
                 .unionByName(newPairs),
-              keptNow, cur)
+              mergedBsz,
+              baseThs.unionByName(freshTh),
+              cur)
             true
           }
         case _ => false
@@ -1296,9 +1400,11 @@ object AnnIndex {
       if (!viaAppend) {
         tpEncodes.incrementAndGet()
         val rows = bucketRows()
-        val kept = keptOf(rows)
+        val bsz = bszOf(rows)
+        val kept = bsz.where(col("bsz") <= 64).select("k1", "k2")
         val capped = rows.join(kept, Seq("k1", "k2"), "left_semi")
-        writeAll(payload(collide(capped, capped, ordered = true)), kept, cur)
+        writeAll(payload(collide(capped, capped, ordered = true)), bsz,
+          rows.select("th").distinct(), cur)
       }
     }
     val (_, _, params) = readMeta(s, vd, fam).get
@@ -1310,7 +1416,7 @@ object AnnIndex {
   /** MinHash band-collision pairs (family MP): payload = bands_matching. */
   private[graft] def mhPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    bucketPairGraph(s, d, "MP",
+    bucketPairGraph(s, d, "MP2",
       Seq(StructField("bands_matching", LongType)),
       bucketRows = () => textSigs(s, d, "MH", Dedup.mhEncode)
         .select(col("th"), posexplode(array(
@@ -1325,7 +1431,7 @@ object AnnIndex {
   private[graft] def shPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     def sigs = textSigs(s, d, "SH", Dedup.shEncode)
-    bucketPairGraph(s, d, "SP",
+    bucketPairGraph(s, d, "SP2",
       Seq(StructField("hamming", LongType)),
       bucketRows = () => sigs
         .select(col("th"), col("simhash"), posexplode(array(

@@ -448,51 +448,77 @@ object Similarity {
     * vector, and the trim is sound for ties because the query's own
     * group mass is self-excluded before counting).
     */
+  /** The ≤20 member queries with their group hash and raw vector, from
+    * the session memo — no corpus scan (r12).
+    */
+  private[graft] def memberQueries(s: SparkSession, d: String): DataFrame = {
+    val (members, reps) = Members.eh(s, d)
+    members.where(col("vec_id") < 20)
+      .join(reps.select(col("eh"), col("v"), col("nrm")), "eh")
+      .select(col("vec_id").as("query_id"), col("eh").as("eh_q"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+  }
+
+  /** Rep-level top-k tail shared by the whole ANN family (r12): trim the
+    * exact-scored distinct-vector candidates by cumulative member mass (a
+    * rep whose strictly-better cumulative MEMBER mass already fills k can
+    * never reach the top-k, for any tie order), expand only survivors
+    * through the session members mapping, and take the exact member-level
+    * top-k. `scored`: (query_id, eh_q, eh, cosine). The query's own group
+    * subtracts ONE from its mass (the query itself, filtered after
+    * expansion) — for an external query vector that merely coincides with
+    * a corpus group this undercounts by one, which only keeps one extra
+    * candidate (conservative, never wrong).
+    */
+  private[graft] def topKExpand(s: SparkSession, d: String, scored: DataFrame,
+      k: Int): DataFrame = {
+    val (members, reps) = Members.eh(s, d)
+    val cnts = reps.select(col("eh"), col("gsz").as("cnt"))
+    val wRange = Window.partitionBy("query_id").orderBy(col("cosine").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeers = Window.partitionBy("query_id", "cosine")
+    val kept = scored.join(cnts, "eh")
+      .withColumn("cnt_adj",
+        when(col("eh") === col("eh_q"), col("cnt") - 1).otherwise(col("cnt")))
+      .withColumn("strict_better",
+        sum("cnt_adj").over(wRange) - sum("cnt_adj").over(wPeers))
+      .where(col("strict_better") < k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    kept.join(members.select(col("vec_id"), col("eh")), "eh")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   val annTopK: Q = Q(
     "q_ann_topk",
     (s, d) => {
-      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
       val out = AnnIndex.epRepsIfReady(s, d) match {
         case Some(reps) =>
           annTopKRepServes.incrementAndGet()
-          // r12: id↔eh members and group counts from the session memo —
-          // no per-query corpus hash scan
-          val (memoM, memoR) = Members.eh(s, d)
-          val members = memoM.select(col("vec_id"), col("eh"))
-          val cnts = memoR.select(col("eh"), col("gsz").as("cnt"))
-          val qv = members.where(col("vec_id") < 20)
-            .join(reps, "eh")
-            .select(col("vec_id").as("query_id"), col("eh").as("eh_q"),
-              col("v").as("qv"), col("nrm").as("qnrm"))
-          val scored = reps.crossJoin(broadcast(qv))
+          // r12: query vectors, members and group counts all from the
+          // session memo — no per-query corpus hash scan; the trim +
+          // member expansion is the shared [[topKExpand]] tail
+          val scored = reps.crossJoin(broadcast(memberQueries(s, d)))
             .select(col("query_id"), col("eh_q"), col("eh"),
               (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
                 .as("cosine"))
-            .join(cnts, "eh")
-            .withColumn("cnt_adj",
-              when(col("eh") === col("eh_q"), col("cnt") - 1).otherwise(col("cnt")))
-          val wRange = Window.partitionBy("query_id").orderBy(col("cosine").desc)
-            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-          val wPeers = Window.partitionBy("query_id", "cosine")
-          val kept = scored
-            .withColumn("strict_better",
-              sum("cnt_adj").over(wRange) - sum("cnt_adj").over(wPeers))
-            .where(col("strict_better") < 5)
-          kept.join(members, "eh")
-            .where(col("vec_id") =!= col("query_id"))
-            .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+          topKExpand(s, d, scored, 5)
         case None =>
           val e = vecs(s, d)
           val queries = e.where(col("vec_id") < 20)
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("neighbor_id"))
           broadcast(queries).as("a")
             .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
             .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
               cos.as("cosine"))
+            .withColumn("rn", row_number().over(w).cast("long"))
+            .where(col("rn") <= 5)
       }
-      out
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 5)
-        .transform(Det.sortAll)
+      out.transform(Det.sortAll)
     },
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             |p AS (
@@ -541,31 +567,28 @@ object Similarity {
   val annLsh: Q = Q(
     "q_ann_lsh",
     (s, d) => {
-      val e = vecs(s, d)
-      // serve from the PERSISTED capped signature table (r7): the
-      // hyperplane encode is a full corpus pass — run at most once per
-      // table content (AnnIndex), not once per session
-      val (bits, _, radius, capped) = AnnIndex.lsh(s, d, e)
+      // serve from the PERSISTED capped signature table (r7; eh-keyed
+      // since r12 — one row per DISTINCT vector and band): the hyperplane
+      // encode is a full corpus pass — run at most once per table content
+      val (bits, _, radius, capped) = AnnIndex.lsh(s, d, vecs(s, d))
+      val q = memberQueries(s, d)
       // multi-probe on the query side: each query signature also visits
       // its hamming-≤radius neighbor codes, recovering the recall the r4
-      // band clamp gave up — the corpus side stays exact codes, one row
-      // per (vector, band)
+      // band clamp gave up — the corpus side stays exact codes. Query
+      // signatures come from the capped table itself (a query whose rows
+      // were capped out probes nothing — unchanged semantics).
       val qb = expandProbes(
-        capped.where(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id"),
+        capped.join(broadcast(q.select(col("eh_q").as("eh"), col("query_id"))), "eh")
+          .select("query_id", "band_idx", "code"),
         "query_id", bits, radius)
       val cand = capped.join(broadcast(qb), Seq("band_idx", "code"))
-        .where(col("query_id") =!= col("vec_id"))
-        .select("query_id", "vec_id").distinct()
-      val scored = e.join(broadcast(cand), "vec_id")
-        .join(broadcast(e.where(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))),
-          "query_id")
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        .select("query_id", "eh").distinct()
+      val scored = cand
+        .join(Members.eh(s, d)._2.select(col("eh"), col("v"), col("nrm")), "eh")
+        .join(broadcast(q.select("query_id", "eh_q", "qv", "qnrm")), "query_id")
+        .select(col("query_id"), col("eh_q"), col("eh"),
           (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
-      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      scored.withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 5)
-        .transform(Det.sortAll)
+      topKExpand(s, d, scored, 5).transform(Det.sortAll)
     },
     None
   )
@@ -599,25 +622,26 @@ object Similarity {
 
   private[graft] def annServeLshBatch(s: SparkSession, d: String,
       queryBatch: DataFrame, k: Int = 5): DataFrame = {
-    val e = vecs(s, d)
-    val (bits, bands, radius, capped) = AnnIndex.lsh(s, d, e)
+    val (bits, bands, radius, capped) = AnnIndex.lsh(s, d, vecs(s, d))
+    // external query vectors: eh_q is the query's OWN content hash, so a
+    // query that coincides with a corpus group self-excludes exactly like
+    // a member query (the vec_id ≠ query_id filter in topKExpand)
     val q = queryBatch.select(col("query_id"),
         Vectors.toDouble(col("embedding")).as("qv"))
       .withColumn("qnrm", Vectors.norm(col("qv")))
+      .withColumn("eh_q", AnnIndex.ehCol(col("qv")))
     val qsigs = q.select(col("query_id"),
       posexplode(Vectors.hyperplaneBands(col("qv"), annLshSeed, bands, bits))
         .as(Seq("band_idx", "code")))
     val qb = expandProbes(qsigs, "query_id", bits, radius)
     val cand = capped.join(broadcast(qb), Seq("band_idx", "code"))
-      .where(col("query_id") =!= col("vec_id"))
-      .select("query_id", "vec_id").distinct()
-    val scored = e.join(broadcast(cand), "vec_id")
+      .select("query_id", "eh").distinct()
+    val scored = cand
+      .join(Members.eh(s, d)._2.select(col("eh"), col("v"), col("nrm")), "eh")
       .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("eh_q"), col("eh"),
         (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= k)
+    topKExpand(s, d, scored, k)
   }
 
   /** Distributed Lloyd's k-means over the embedding column, trained on a
@@ -774,40 +798,35 @@ object Similarity {
   val annIvf: Q = Q(
     "q_ann_ivf",
     (s, d) => {
-      val e = vecsRaw(s, d)
-      // serve from the PERSISTED index (r7): codebook + cell-partitioned
-      // corpus parquet, fitted+encoded at most once per table content
-      // (AnnIndex; a new session loads instead of re-running Lloyd and
-      // re-assigning the corpus — at 100 TB, re-assignment is a full
-      // corpus pass)
-      val (cb, cells) = AnnIndex.ivf(s, d, e)
+      // serve from the PERSISTED index (r7; eh-keyed cells since r12):
+      // codebook + cell-partitioned distinct vectors, fitted+encoded at
+      // most once per table content (AnnIndex; a new session loads
+      // instead of re-running Lloyd and re-assigning the corpus — at
+      // 100 TB, re-assignment is a full corpus pass)
+      val (cb, cells) = AnnIndex.ivf(s, d, vecsRaw(s, d))
       // query side: 20 vectors × k centroids through the tiny window
       val centroids = broadcast(
         s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
       val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
-      val queries = e.where(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val queries = memberQueries(s, d)
         .crossJoin(centroids)
         .withColumn("ccos",
           Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
         .withColumn("crank", row_number().over(wq))
         .where(col("crank") <= 4)
-        .select(col("query_id"), col("qv"), col("qnrm"), col("c_id").as("qcluster"))
+        .select(col("query_id"), col("eh_q"), col("qv"), col("qnrm"),
+          col("c_id").as("qcluster"))
       // the probed cell ids are driver-known (nprobe·|queries| ≤ 80 values
       // — partition METADATA, the offsets size class), so the cells scan
       // is statically PARTITION-PRUNED: the inverted-file read touches
       // only the probed directories, ~nprobe/k of the corpus
       val probed = queries.select("qcluster").distinct()
         .collect().map(_.getLong(0))
-      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      cells.where(col("cluster").isin(probed.toIndexedSeq: _*))
-        .join(broadcast(queries), col("qcluster") === col("cluster") &&
-          col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cluster"),
+      val scored = cells.where(col("cluster").isin(probed.toIndexedSeq: _*))
+        .join(broadcast(queries), col("qcluster") === col("cluster"))
+        .select(col("query_id"), col("eh_q"), col("eh"),
           (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 5)
-        .transform(Det.sortAll)
+      topKExpand(s, d, scored, 5).transform(Det.sortAll)
     },
     None
   )
@@ -919,38 +938,37 @@ object Similarity {
   val annPq: Q = Q(
     "q_ann_pq",
     (s, d) => {
-      val e = vecsRaw(s, d)
-      // serve from the PERSISTED 24 B/vector code table (r7): the ADC scan
-      // streams (vec_id, code, nrm) from parquet — the ~21× read cut no
-      // longer has to be re-encoded into existence each session
-      val (cents, _, corpus) = AnnIndex.pq(s, d, e)
-      val queries = e.where(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"),
-          Vectors.pqLut(col("v"), cents, pqM, pqKsub).as("lut"),
-          col("nrm").as("qnrm"))
+      // serve from the PERSISTED 24 B/vector code table (r7; eh-keyed
+      // since r12 — the ADC scan streams one (eh, code, nrm) row per
+      // DISTINCT vector): the ~21× read cut no longer has to be
+      // re-encoded into existence each session, and a k×-duplicated
+      // corpus ADC-scores 1/k of the rows
+      val (cents, _, corpus) = AnnIndex.pq(s, d, vecsRaw(s, d))
+      val q = memberQueries(s, d)
+      val queries = q.select(col("query_id"), col("eh_q"),
+        Vectors.pqLut(col("qv"), cents, pqM, pqKsub).as("lut"),
+        col("qnrm"))
       // ADC ranks by cosine ≈ adc/(‖q‖·‖x‖) — within a query ‖q‖ is
       // constant but keeping the exact stored norm in the denominator
-      // makes the score the actual cosine estimate
+      // makes the score the actual cosine estimate. The rescore window
+      // keeps pqRescore+1 reps: the query's own rep rides along at
+      // rep-level (the member filter happens after expansion), so the
+      // budget covers the same number of true candidates as before.
       val wa = Window.partitionBy("query_id")
-        .orderBy(col("adc_cos").desc, col("neighbor_id"))
-      val cand = corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        .orderBy(col("adc_cos").desc, col("eh"))
+      val cand = corpus.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("eh_q"), col("eh"),
           (Vectors.pqAdc(col("code"), col("lut"), pqM) /
             (col("qnrm") * col("nrm"))).as("adc_cos"))
         .withColumn("ar", row_number().over(wa))
-        .where(col("ar") <= pqRescore)
-        .select("query_id", "neighbor_id")
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
-        .join(broadcast(e.where(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"))), "query_id")
-        .select(col("query_id"), col("neighbor_id"),
+        .where(col("ar") <= pqRescore + 1)
+        .select("query_id", "eh_q", "eh")
+      val scored = cand
+        .join(Members.eh(s, d)._2.select(col("eh"), col("v"), col("nrm")), "eh")
+        .join(broadcast(q.select("query_id", "qv", "qnrm")), "query_id")
+        .select(col("query_id"), col("eh_q"), col("eh"),
           (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 5)
-        .transform(Det.sortAll)
+      topKExpand(s, d, scored, 5).transform(Det.sortAll)
     },
     None
   )
@@ -979,53 +997,47 @@ object Similarity {
   val annIvfPq: Q = Q(
     "q_ann_ivfpq",
     (s, d) => {
-      val e = vecsRaw(s, d)
-      val (cb, cents, codes) = AnnIndex.ivfpq(s, d, e)
+      val (cb, cents, codes) = AnnIndex.ivfpq(s, d, vecsRaw(s, d))
       val centroids = broadcast(
         s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
       val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
       // query side: 20 vectors × k centroids through the tiny window picks
       // nprobe cells, then each probe row carries the query's ADC table
       // (m·ksub doubles — 20·nprobe rows of it, driver-pennies)
-      val queries = e.where(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val q = memberQueries(s, d)
+      val queries = q
         .crossJoin(centroids)
         .withColumn("ccos",
           Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
         .withColumn("crank", row_number().over(wq))
         .where(col("crank") <= 4)
-        .select(col("query_id"), col("c_id").as("qcluster"),
+        .select(col("query_id"), col("eh_q"), col("c_id").as("qcluster"),
           Vectors.pqLut(col("qv"), cents, pqM, pqKsub).as("lut"), col("qnrm"))
       val probed = queries.select("qcluster").distinct()
         .collect().map(_.getLong(0))
       // probed cells are driver-known ⇒ the codes scan is statically
       // PARTITION-PRUNED; candidates score by ADC (m table-adds) against
-      // the broadcast per-query LUTs — no raw vector is read until the
-      // rescore join below
+      // the broadcast per-query LUTs over one code row per DISTINCT
+      // vector (r12) — no raw vector is read until the rescore join
       val wa = Window.partitionBy("query_id")
-        .orderBy(col("adc_cos").desc, col("neighbor_id"))
+        .orderBy(col("adc_cos").desc, col("eh"))
       val cand = codes.where(col("cluster").isin(probed.toIndexedSeq: _*))
-        .join(broadcast(queries), col("qcluster") === col("cluster") &&
-          col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        .join(broadcast(queries), col("qcluster") === col("cluster"))
+        .select(col("query_id"), col("eh_q"), col("eh"),
           (Vectors.pqAdc(col("code"), col("lut"), pqM) /
             (col("qnrm") * col("nrm"))).as("adc_cos"))
         .withColumn("ar", row_number().over(wa))
-        .where(col("ar") <= pqRescore)
-        .select("query_id", "neighbor_id")
-      // exact-cosine rescore of the ≤20·pqRescore survivors (point reads
-      // of raw vectors via broadcast joins), then top-5
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
-        .join(broadcast(e.where(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"))), "query_id")
-        .select(col("query_id"), col("neighbor_id"),
+        .where(col("ar") <= pqRescore + 1)
+        .select("query_id", "eh_q", "eh")
+      // exact-cosine rescore of the ≤20·(pqRescore+1) surviving reps
+      // (point reads of distinct raw vectors via the memo), rep-trim,
+      // member expansion, top-5
+      val scored = cand
+        .join(Members.eh(s, d)._2.select(col("eh"), col("v"), col("nrm")), "eh")
+        .join(broadcast(q.select("query_id", "qv", "qnrm")), "query_id")
+        .select(col("query_id"), col("eh_q"), col("eh"),
           (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 5)
-        .transform(Det.sortAll)
+      topKExpand(s, d, scored, 5).transform(Det.sortAll)
     },
     None
   )

@@ -1429,7 +1429,7 @@ object TextAnalysis {
     * pass at sf0.1 is the whole cost, paid once per corpus version
     * instead of per session.
     */
-  private[operators] def wnEncode(df: org.apache.spark.sql.DataFrame)
+  private[graft] def wnEncode(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val k = 4; val w = 4
     val ws = split(trim(col("text")), " +")
@@ -1592,7 +1592,7 @@ object TextAnalysis {
     * (family DS): duplicates add zero rows, appends encode only novel
     * texts, and the per-run work becomes distinct-content-sized joins.
     */
-  private[operators] def dsEncode(texts: org.apache.spark.sql.DataFrame)
+  private[graft] def dsEncode(texts: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val ws = split(trim(col("text")), " +")
     texts

@@ -262,6 +262,17 @@ object EventStream {
             graft.operators.TextAnalysis.lpEncode)
           graft.operators.AnnIndex.textSigs(s, corpusDir, "WC",
             graft.operators.Bpe.wcEncode)
+          // r12: the three remaining signature families join the tick —
+          // DSIR bigram buckets, winnow fingerprints and binary simhash
+          // delta-append the batch's novel texts, so a post-stream
+          // q_dsir_select / q_winnow / q_dedup_binary serve is a pure
+          // load (no corpus-pass encode left outside maintenance)
+          graft.operators.AnnIndex.textSigs(s, corpusDir, "DS",
+            graft.operators.TextAnalysis.dsEncode)
+          graft.operators.AnnIndex.textSigs(s, corpusDir, "WN",
+            graft.operators.TextAnalysis.wnEncode)
+          graft.operators.AnnIndex.textSigs(s, corpusDir, "BIN",
+            graft.operators.Multimodal.binSigs)
         } finally graft.CacheBag.release()
         ()
       })

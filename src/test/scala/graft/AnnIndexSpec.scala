@@ -44,13 +44,21 @@ class AnnIndexSpec extends SparkSpec {
       // the artifact layout is on disk, complete
       val tableDir = new java.io.File(idxRoot).listFiles().head
       val version = tableDir.listFiles().head
-      for (part <- Seq("ivf_codebook", "ivf_cells", "pq_codebook", "pq_codes",
-          "lsh_sigs", "_GRAFT_OK_IVF", "_GRAFT_OK_PQ", "_GRAFT_OK_LSH"))
+      for (part <- Seq("ivf_codebook", "ivf2_cells", "pq_codebook", "pq2_codes",
+          "lsh2_sigs", "lsh2_ehs", "_GRAFT_OK_IVF2", "_GRAFT_OK_PQ2",
+          "_GRAFT_OK_LSH2"))
         assert(new java.io.File(version, part).exists(), s"missing $part")
       // the cells corpus is hive-partitioned by cell — the directory
       // layout IS the inverted file
-      assert(version.toPath.resolve("ivf_cells").toFile.listFiles()
+      assert(version.toPath.resolve("ivf2_cells").toFile.listFiles()
         .count(_.getName.startsWith("cluster=")) > 1)
+      // r12: artifacts are eh-keyed, ONE row per DISTINCT vector — this
+      // generator's period-17 content space means 256 corpus rows store
+      // exactly 17 index rows
+      assert(spark.read.parquet(s"$version/pq2_codes").count() == 17L,
+        "pq2_codes must hold one row per distinct vector")
+      assert(spark.read.parquet(s"$version/ivf2_cells").count() == 17L,
+        "ivf2_cells must hold one row per distinct vector")
 
       // "restart": drop the in-JVM memos; a second serve must LOAD, not
       // retrain, and produce the identical result (LSH has no memo — its
@@ -124,38 +132,52 @@ class AnnIndexSpec extends SparkSpec {
       assert(AnnIndex.ivfAppends.get() == ivfA0 + 1 &&
         AnnIndex.pqAppends.get() == pqA0 + 1 && AnnIndex.lshAppends.get() == lshA0 + 1,
         "every family must take the append path")
-      // the tip version's LOCAL delta artifacts hold exactly the 64
-      // appended vectors — the proof the encode was batch-only
+      // r12 contract: the appended batch is 100% KNOWN content (this
+      // generator's period-17 formula duplicates existing vectors), so
+      // the eh-keyed delta artifacts hold ZERO rows — duplication adds
+      // member rows at serve, never index rows
       val tableDir = new java.io.File(idxRoot).listFiles().head
       val tip = tableDir.listFiles().find(_.getName.endsWith("_320")).get
-      assert(spark.read.parquet(s"$tip/pq_codes").count() == 64L,
-        "pq_codes delta is not batch-sized")
-      assert(spark.read.parquet(s"$tip/ivf_cells").count() == 64L,
-        "ivf_cells delta is not batch-sized")
+      assert(spark.read.schema("eh string, code bigint, nrm double")
+          .parquet(s"$tip/pq2_codes").count() == 0L,
+        "pq2_codes delta must be empty for known content")
+      assert(spark.read.schema(
+            "eh string, v array<double>, nrm double, cluster long")
+          .parquet(s"$tip/ivf2_cells").count() == 0L,
+        "ivf2_cells delta must be empty for known content")
+      assert(spark.read.parquet(s"$tip/lsh2_ehs").count() == 17L,
+        "the known-content registry must stay the 17 distinct vectors")
       assert(tableDir.listFiles().length == 2, "append must chain to the base, not clone it")
-      // the deltas are THE batch (ids 256..319, nothing re-encoded), and
-      // the served views include them: the tip's full recapped signature
-      // table carries appended vec_ids (this corpus's period-17 formula
-      // makes every appended vector an exact duplicate of an existing one,
-      // so smaller-id tie-breaks keep them out of top-5 — artifact
-      // membership, not ranking, is the right servability proof here)
-      val pqIds = spark.read.parquet(s"$tip/pq_codes")
-        .select("vec_id").as[Long].collect().toSet
-      assert(pqIds == (256L until 320L).toSet, "pq_codes delta is not exactly the batch")
-      assert(spark.read.parquet(s"$tip/ivf_cells")
-        .select("vec_id").as[Long].collect().toSet == (256L until 320L).toSet,
-        "ivf_cells delta is not exactly the batch")
-      assert(spark.read.parquet(s"$tip/lsh_sigs").where($"vec_id" >= 256).count() > 0,
-        "appended vectors missing from the served signature table")
       // recall floor holds through the appended (frozen-parameter) index
       val brute = Similarity.annTopK.run(spark, tmp)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       val recall = (lshOut & brute).size.toDouble / brute.size
       assert(recall >= 0.8, s"post-append LSH recall $recall below the 0.8 floor")
 
-      // second batch pushes cumulative appended mass past the drift
+      // a batch with GENUINELY NOVEL vectors (distinct 1031-modulus
+      // content space, disjoint from the 17-point base space) delta-
+      // encodes exactly its distinct vectors — the batch-only proof
+      (320 until 344).map(i => (i.toLong,
+          Array.tabulate(8)(j => (((i * 7 + j * 13) % 1031) - 515).toFloat)))
+        .toDF("vec_id", "embedding")
+        .repartition(1).write.mode("append").parquet(s"$tmp/embeddings.parquet")
+      Similarity.clearMemos()
+      Similarity.annIvf.run(spark, tmp).collect()
+      Similarity.annPq.run(spark, tmp).collect()
+      Similarity.annLsh.run(spark, tmp).collect()
+      assert(AnnIndex.ivfFits.get() == ivf0 + 1 && AnnIndex.pqFits.get() == pq0 + 1 &&
+        AnnIndex.lshEncodes.get() == lsh0 + 1, "novel append must not refit")
+      val tip2 = tableDir.listFiles().find(_.getName.endsWith("_344")).get
+      assert(spark.read.parquet(s"$tip2/pq2_codes").count() == 24L,
+        "pq2_codes delta must be exactly the novel distinct vectors")
+      assert(spark.read.parquet(s"$tip2/ivf2_cells").count() == 24L,
+        "ivf2_cells delta must be exactly the novel distinct vectors")
+      assert(spark.read.parquet(s"$tip2/lsh2_ehs").count() == 41L,
+        "registry must grow to base ∪ novel distinct vectors")
+
+      // final batch pushes cumulative appended mass past the drift
       // threshold: (480-256)/480 = 0.47 > 0.3 ⇒ full refit, chain collapses
-      appendVecs(tmp, 320 until 480)
+      appendVecs(tmp, 344 until 480)
       Similarity.clearMemos()
       Similarity.annIvf.run(spark, tmp).collect()
       Similarity.annPq.run(spark, tmp).collect()
@@ -163,7 +185,7 @@ class AnnIndexSpec extends SparkSpec {
       assert(AnnIndex.ivfFits.get() == ivf0 + 2, "drift past threshold must refit IVF")
       assert(AnnIndex.pqFits.get() == pq0 + 2, "drift past threshold must refit PQ")
       assert(AnnIndex.lshEncodes.get() == lsh0 + 2, "drift past threshold must re-encode LSH")
-      assert(AnnIndex.ivfAppends.get() == ivfA0 + 1, "refit must not also append")
+      assert(AnnIndex.ivfAppends.get() == ivfA0 + 2, "refit must not also append")
       assert(tableDir.listFiles().length == 1, "refit did not collapse the chain")
     } finally {
       spark.conf.unset("graft.ann.indexRoot")
@@ -561,7 +583,7 @@ class AnnIndexSpec extends SparkSpec {
       Similarity.dedupEmbed.run(spark, tmp).collect()
       val tableDir = new java.io.File(idxRoot).listFiles().head
       assert(tableDir.listFiles().exists(v =>
-        new java.io.File(v, "_GRAFT_OK_IVF").exists()),
+        new java.io.File(v, "_GRAFT_OK_IVF2").exists()),
         "EP's prune deleted every version holding the IVF artifact")
       // the surviving base must make the next IVF serve an APPEND
       // (frozen codebooks), never a forced full refit
@@ -673,28 +695,32 @@ class AnnIndexSpec extends SparkSpec {
       // code row (no raw vector column)
       val tableDir = new java.io.File(idxRoot).listFiles().head
       val version = tableDir.listFiles().head
-      val codesDir = new java.io.File(version, "ivfpq_codes")
+      val codesDir = new java.io.File(version, "ivfpq2_codes")
       assert(codesDir.listFiles().count(_.getName.startsWith("cluster=")) > 1,
-        "ivfpq_codes is not hive-partitioned by cell")
+        "ivfpq2_codes is not hive-partitioned by cell")
       assert(spark.read.parquet(codesDir.toString).columns.toSet ==
-        Set("vec_id", "code", "nrm", "cluster"), "code rows must not carry raw vectors")
+        Set("eh", "code", "nrm", "cluster"), "code rows must not carry raw vectors")
       // restart: a second serve loads — bit-identical, no re-encode
       Similarity.clearMemos()
       val out2 = Similarity.annIvfPq.run(spark, tmp).collect().map(_.toSeq).toSeq
       assert(AnnIndex.ivfpqEncodes.get() == e0 + 1, "restart re-encoded instead of loading")
       assert(out2 == out1, "results diverged after serving from disk")
       // pure file append within the drift budget: delta-only encode with
-      // the base's frozen coarse + PQ codebooks, chained not cloned
-      appendVecs(tmp, 256 until 320)
+      // the base's frozen coarse + PQ codebooks, chained not cloned.
+      // r12: the batch is NOVEL distinct content (1031-modulus space,
+      // disjoint from the period-17 base), so the eh-keyed delta holds
+      // exactly its distinct vectors
+      (256 until 320).map(i => (i.toLong,
+          Array.tabulate(8)(j => (((i * 7 + j * 13) % 1031) - 515).toFloat)))
+        .toDF("vec_id", "embedding")
+        .repartition(1).write.mode("append").parquet(s"$tmp/embeddings.parquet")
       Similarity.clearMemos()
       Similarity.annIvfPq.run(spark, tmp).collect()
       assert(AnnIndex.ivfpqEncodes.get() == e0 + 1, "append must not re-encode the corpus")
       assert(AnnIndex.ivfpqAppends.get() == a0 + 1, "append must take the append path")
       val tip = tableDir.listFiles().find(_.getName.endsWith("_320")).get
-      import spark.implicits._
-      assert(spark.read.parquet(s"$tip/ivfpq_codes")
-        .select("vec_id").as[Long].collect().toSet == (256L until 320L).toSet,
-        "ivfpq_codes delta is not exactly the batch")
+      assert(spark.read.parquet(s"$tip/ivfpq2_codes").count() == 64L,
+        "ivfpq2_codes delta is not exactly the novel distinct batch")
       assert(tableDir.listFiles().length == 2, "append must chain to the base, not clone it")
     } finally {
       spark.conf.unset("graft.ann.indexRoot")
@@ -716,10 +742,10 @@ class AnnIndexSpec extends SparkSpec {
       // truncate pq_codes to half the corpus behind the marker's back
       val tableDir = new java.io.File(idxRoot).listFiles().head
       val vd = tableDir.listFiles().head
-      val half = spark.read.parquet(s"$vd/pq_codes").limit(128).collect()
-      val schema = spark.read.parquet(s"$vd/pq_codes").schema
+      val half = spark.read.parquet(s"$vd/pq2_codes").limit(8).collect()
+      val schema = spark.read.parquet(s"$vd/pq2_codes").schema
       spark.createDataFrame(java.util.Arrays.asList(half: _*), schema)
-        .write.mode("overwrite").parquet(s"$vd/pq_codes")
+        .write.mode("overwrite").parquet(s"$vd/pq2_codes")
       // fresh JVM-side state: memos and the validation cache both cleared
       Similarity.clearMemos()
       AnnIndex.resetValidation()

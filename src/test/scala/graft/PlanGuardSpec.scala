@@ -104,10 +104,21 @@ class PlanGuardSpec extends SparkSpec {
     // nprobe/k read bound, the point of the inverted-file layout).
     val q = SparkEntry.registry.find(_.name == "q_ann_ivf").get
     val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+    // r12: the rep-trim/member-expansion tail adds joins above the
+    // candidate join — select the one whose STREAMED side is purely the
+    // persisted index scan (the ivfpq test's device)
     val bhjs = plan.collect { case j: BroadcastHashJoinExec => j }
-    assert(bhjs.size == 1,
-      s"expected exactly one BroadcastHashJoin (the candidate join), got ${bhjs.size}:\n$plan")
-    val j = bhjs.head
+    val candJoins = bhjs.filter { j =>
+      val st = j.buildSide match {
+        case BuildLeft  => j.right
+        case BuildRight => j.left
+      }
+      st.collectLeaves().nonEmpty &&
+        st.collectLeaves().forall(_.toString.contains("graft_ann_index"))
+    }
+    assert(candJoins.size == 1,
+      s"expected exactly one join streaming the persisted index, got ${candJoins.size}:\n$plan")
+    val j = candJoins.head
     val streamed = j.buildSide match {
       case BuildLeft  => j.right
       case BuildRight => j.left
@@ -147,8 +158,8 @@ class PlanGuardSpec extends SparkSpec {
     // schema identify the persisted scan)
     assert(streamed.collectLeaves().exists(l =>
         l.toString.contains("graft_ann_index") &&
-          l.toString.contains("struct<vec_id:bigint,code:bigint,nrm:double>")),
-      s"streamed side should be the persisted pq_codes scan:\n$streamed")
+          l.toString.contains("struct<eh:string,code:bigint,nrm:double>")),
+      s"streamed side should be the persisted pq2_codes scan:\n$streamed")
   }
 
   test("q_ann_ivfpq: serve path is a partition-pruned CODE scan — both cuts in one plan") {
@@ -178,7 +189,7 @@ class PlanGuardSpec extends SparkSpec {
     assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       s"corpus (streamed) side of the candidate join shuffles:\n$streamed")
     assert(streamed.collectLeaves().exists(
-        _.toString.contains("struct<vec_id:bigint,code:bigint,nrm:double>")),
+        _.toString.contains("struct<eh:string,code:bigint,nrm:double>")),
       s"streamed side should be the 24 B/vector code scan, not raw vectors:\n$streamed")
     assert("PartitionFilters: \\[[^\\]]*cluster".r
         .findFirstIn(streamed.toString).isDefined,

@@ -648,9 +648,10 @@ class StreamingSpec extends SparkSpec {
       assert(AnnIndex.npEncodes.get() == ne0 + 1 &&
         AnnIndex.tpEncodes.get() == te0 + 2,
         "batch 1 builds all three pair graphs once")
-      // r11: the five signature families the sink maintains (NG via
-      // ngPairs, MH/SH via the bucket graphs, LP, WC) each encode once
-      assert(AnnIndex.sigEncodes.get() == se0 + 5 &&
+      // r12: the eight signature families the sink maintains (NG via
+      // ngPairs, MH/SH via the bucket graphs, LP, WC, and since r12
+      // DS/WN/BIN) each encode once
+      assert(AnnIndex.sigEncodes.get() == se0 + 8 &&
         AnnIndex.sigAppends.get() == sa0,
         "batch 1 must encode each signature family exactly once")
       // batch 2: a simhash-identical permutation + an ngram near-dup —
@@ -663,8 +664,8 @@ class StreamingSpec extends SparkSpec {
         AnnIndex.tpEncodes.get() == te0 + 2 &&
         AnnIndex.tpAppends.get() == ta0 + 2,
         "batch 2 must delta-append on all three graphs, never re-join")
-      assert(AnnIndex.sigEncodes.get() == se0 + 5 &&
-        AnnIndex.sigAppends.get() == sa0 + 5,
+      assert(AnnIndex.sigEncodes.get() == se0 + 8 &&
+        AnnIndex.sigAppends.get() == sa0 + 8,
         "batch 2 must delta-append each signature family exactly once")
       // LP is current from the stream: an exact phrase serve right after
       // the tick must not encode or append, and the aligned-position
@@ -677,9 +678,17 @@ class StreamingSpec extends SparkSpec {
       // WC is current too: a tokenizer-encode serve pays no sig encode
       val enc = graft.operators.Bpe.encode.run(spark, corpus).collect()
       assert(enc.length == 5, s"bpe encode over the landed corpus: ${enc.length} rows")
-      assert(AnnIndex.sigEncodes.get() == se0 + 5 &&
-        AnnIndex.sigAppends.get() == sa0 + 5,
+      assert(AnnIndex.sigEncodes.get() == se0 + 8 &&
+        AnnIndex.sigAppends.get() == sa0 + 8,
         "LP/WC serves after the stream must be pure loads — the sink already maintained them")
+      // r12: the three new families are current too — winnow / DSIR /
+      // binary-simhash serves right after the tick are pure loads
+      assert(graft.operators.TextAnalysis.winnow.run(spark, corpus).count() > 0)
+      assert(graft.operators.TextAnalysis.dsirSelect.run(spark, corpus).count() >= 0)
+      assert(graft.operators.Multimodal.binaryDedup.run(spark, corpus).count() >= 0)
+      assert(AnnIndex.sigEncodes.get() == se0 + 8 &&
+        AnnIndex.sigAppends.get() == sa0 + 8,
+        "DS/WN/BIN serves after the stream must be pure loads")
       val ng = Dedup.ngramJaccard.run(spark, corpus).collect()
       assert(ng.exists(r => r.getAs[Long]("doc_a") == 3L &&
         r.getAs[Long]("doc_b") == 10L), "cross-batch ngram pair missing")
