@@ -71,12 +71,25 @@ object Dedup {
     * least/greatest (groups are disjoint, so each doc pair appears once).
     */
   private[operators] def expandPairs(repPairs: DataFrame, members: DataFrame,
-      payload: Seq[String]): DataFrame =
-    repPairs
+      payload: Seq[String]): DataFrame = {
+    // r12: BROADCAST the pair side explicitly (guarded — the incremental-
+    // dedup device): pairs are distinct-content-bounded and candidate-
+    // capped, members corpus-sized. Left to stats, the cached members
+    // frame's exact size can exceed the broadcast threshold and flip both
+    // expansion joins to sort-merge — sorting the corpus-sized members
+    // TWICE in the one pipeline whose output is quadratic in the
+    // duplication factor (measured 2×+ at the 100× smoke). The guard
+    // count is one metadata-cheap job on the (persisted-artifact-backed)
+    // pair frame; past the budget the join falls back to SMJ by hint.
+    val p = graft.CacheBag.track(repPairs)
+    val small = p.count() <= 2000000L
+    val pp = if (small) broadcast(p) else p.hint("merge")
+    pp
       .join(members.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
       .join(members.select(col("rep").as("rep_b"), col("doc_id").as("db")), "rep_b")
       .select(least(col("da"), col("db")).as("doc_a") +:
         greatest(col("da"), col("db")).as("doc_b") +: payload.map(col): _*)
+  }
 
   /** Bucket-size skew guard shared by the whole candidate-join family: keep
     * only rows whose bucket (the join key) holds ≤ cap members. A bucket of

@@ -136,16 +136,21 @@ object Members {
     * combined and the join back AQE-skew-splittable (the r8 device).
     */
   def thGroups(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val fs = SessionMemo.frames(s, d, "thg", Seq("documents.parquet")) {
-      val docs = th(s, d)
-      val groups = docs.groupBy("th")
-        .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
-      Seq(
-        docs.join(groups.select("th", "rep"), "th")
-          .select(col("rep"), col("doc_id"), col("th")),
-        groups.select(col("rep").as("doc_id"), col("th"), col("gsz")))
-    }
-    (fs(0), fs(1))
+    val groups = SessionMemo.frames(s, d, "thg", Seq("documents.parquet")) {
+      Seq(th(s, d).groupBy("th")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz")))
+    }.head
+    // members stays a DERIVED pipeline (cached docs ⋈ broadcast groups),
+    // NOT a persisted join output: the near-dup expansions self-join
+    // members quadratically in the duplication factor, and feeding that
+    // from an InMemoryTableScan of the materialized join measured 2×+
+    // slower at 100× than the codegen-fused scan→BHJ pipeline (the r11
+    // shape) — the memo's job is killing the md5 corpus re-scan, which
+    // the cached [[th]] frame already does; groups is distinct-sized.
+    val members = th(s, d)
+      .join(groups.select("th", "rep"), "th")
+      .select(col("rep"), col("doc_id"), col("th"))
+    (members, groups.select(col("rep").as("doc_id"), col("th"), col("gsz")))
   }
 
   /** The embedding twin over `embeddings.parquet`:

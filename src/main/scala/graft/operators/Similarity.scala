@@ -223,7 +223,13 @@ object Similarity {
 
   private[graft] def embedPairsFrom(g: EmbedGraph): DataFrame = {
     val EmbedGraph(members, e, repPairs) = g
-    val cross = repPairs
+    // guarded broadcast of the distinct-content-bounded pair side — the
+    // expandPairs device (see Dedup.expandPairs r12): stats-driven
+    // planning over the cached members frame can flip the quadratic
+    // member expansion to sort-merge
+    val p = graft.CacheBag.track(repPairs)
+    val pp = if (p.count() <= 2000000L) broadcast(p) else p.hint("merge")
+    val cross = pp
       .join(members.select(col("rep").as("rep_a"), col("vec_id").as("ia")), "rep_a")
       .join(members.select(col("rep").as("rep_b"), col("vec_id").as("ib")), "rep_b")
       .select(least(col("ia"), col("ib")).as("vec_a"),
