@@ -78,11 +78,17 @@ class SessionMemoSpec extends SparkSpec {
     assert(graft.operators.EltOps.fotBuilds.get() == fb + 1)
   }
 
-  test("vec eh memo: one hash pass; groups match a direct collapse") {
+  test("vec eh memo: one hash pass serves the whole ANN family; groups match a direct collapse") {
     val b0 = SessionMemo.buildsOf("ehm")
     val (members, reps) = Members.eh(spark, sfDir)
     val (m2, r2) = Members.eh(spark, sfDir)
-    assert(SessionMemo.buildsOf("ehm") <= b0 + 1)
+    // three eh-keyed index serves share the same derivation — none may
+    // re-hash the corpus
+    graft.operators.Similarity.annLsh.run(spark, sfDir).collect()
+    graft.operators.Similarity.annPq.run(spark, sfDir).collect()
+    graft.operators.Similarity.annIvf.run(spark, sfDir).collect()
+    assert(SessionMemo.buildsOf("ehm") <= b0 + 1,
+      "the vec↔eh mapping must derive once per session+content")
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     assert(members.count() == n)
     assert(reps.agg(sum("gsz")).collect()(0).getLong(0) == n)
