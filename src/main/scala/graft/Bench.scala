@@ -1,6 +1,22 @@
 package graft
 
 object Bench {
+  /** JSON string escape for values interpolated into the hand-built
+    * artifact line (exception messages can carry quotes/backslashes/
+    * newlines — an unescaped one makes target/bench.json, the artifact
+    * of record, unparseable; ADVICE r12).
+    */
+  private def jesc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -43,7 +59,8 @@ object Bench {
         ccEncodes.get + ccAppends.get +
         epEncodes.get + epAppends.get +
         npEncodes.get + npAppends.get +
-        ecEncodes.get + tpEncodes.get + tpAppends.get +
+        ecEncodes.get + ecAppends.get + tpEncodes.get + tpAppends.get +
+        thmEncodes.get + thmAppends.get + ehmEncodes.get + ehmAppends.get +
         graft.operators.Bpe.bpeTrains.get +
         graft.operators.Unigram.unigramTrains.get +
         graft.operators.SessionMemo.totalBuilds() // r12: every session-
@@ -147,7 +164,8 @@ object Bench {
     // on provably-unchanged queries; a full re-run measured 80.6 s).
     val passes = SparkEntry.registry.map { q =>
       val ts = (Seq(p1(q.name), p2(q.name)) ++ p3.get(q.name).toSeq)
-        .map { case (Right(t), _) => t.toString; case (Left(e), _) => "\"" + e + "\"" }
+        .map { case (Right(t), _) => t.toString
+               case (Left(e), _) => "\"" + jesc(e) + "\"" }
       "\"" + q.name + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Which passes paid an index fit/append (vs a pure warm serve) — the
@@ -158,7 +176,7 @@ object Bench {
         Some("\"" + q.name + "\":" + cs.mkString("[", ",", "]"))
       else None
     }.mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fs = failed.map(n => "\"" + jesc(n) + "\"").mkString("[", ",", "]")
     // self-adjudication block: which queries were re-timed, why, and what
     // the isolated p3 read — plus per-pass host load. A reader (or the
     // judge) can tell "ambient contention, re-timed in-band" from "real
@@ -166,7 +184,7 @@ object Bench {
     val retimed = suspects.map { q =>
       val p3v = p3(q.name)._1 match {
         case Right(t) => t.toString
-        case Left(e) => "\"" + e + "\""
+        case Left(e) => "\"" + jesc(e) + "\""
       }
       "\"" + q.name + "\":{\"why\":\"" + suspectWhy(q.name) + "\",\"p3\":" + p3v +
         prior.get(q.name).map(p => s""","prior":$p""").getOrElse("") + "}"
@@ -181,10 +199,19 @@ object Bench {
     val benchOut = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(benchOut.getParent)
     java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
-    // rewrite bench_prior.json (repo-tracked) with this run's mins — the
-    // next same-sf run's trigger (b) baseline
+    // rewrite bench_prior.json (repo-tracked) as a RATCHET: element-wise
+    // min of this run's mins and the same-sf prior (r13, verdict r12 #3 —
+    // a plain overwrite let one noisy window raise the baseline, so a
+    // genuine cross-ROUND regression read in-band on the next run and
+    // dodged the 1.5x retime; the min can only fall, so every later run
+    // re-times — and self-adjudicates via the retimed block — anything
+    // slower than the best this code has ever measured at this sf).
+    // Prior-only queries (retired from the registry this run) drop out.
+    val ratchet = results.map { case (k, v) =>
+      "\"" + k + "\":" + prior.get(k).map(math.min(_, v)).getOrElse(v)
+    }.mkString("{", ",", "}")
     java.nio.file.Files.write(priorPath,
-      (s"""{"sf":"$sfDir","queries":$qs}""" + "\n").getBytes("UTF-8"))
+      (s"""{"sf":"$sfDir","queries":$ratchet}""" + "\n").getBytes("UTF-8"))
     println(line)
     // Compact totals-only line printed LAST: the driver captures a
     // 2000-char stdout tail, and the full 71-query line overflows it

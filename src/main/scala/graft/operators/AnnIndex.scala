@@ -111,8 +111,13 @@ object AnnIndex {
   private[graft] val npEncodes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val npAppends = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val ecEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val ecAppends = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val tpEncodes = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val tpAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val thmEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val thmAppends = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val ehmEncodes = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val ehmAppends = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Append-drift threshold: chain-append while rows encoded with frozen
     * codebooks are ≤ this fraction of the corpus; past it, refit.
@@ -817,6 +822,120 @@ object AnnIndex {
     (tf, dl, cnt)
   }
 
+  /** Shared builder for the ID-KEYED hash-mapping families (THM/EHM —
+    * r13, verdict r12 #5): the corpus hash pass behind the session
+    * members memo, promoted to the persisted-artifact discipline every
+    * other pure-function-of-content derivation already follows. Before
+    * this, Members.th/eh lived only as session persists, so every NEW
+    * session re-paid the full corpus md5 pass once and a corpus-sized
+    * frame occupied executor storage for the session's life; now the
+    * mapping is a fingerprint-keyed parquet family and SessionMemo keeps
+    * only the (unpersisted) handle.
+    *
+    * Unlike the th-keyed signature families, rows are keyed by the
+    * APPEND-STABLE ids (doc_id / vec_id): a pure file append adds rows
+    * and never rewrites one, so the delta encode is exactly the appended
+    * files' rows — no anti-join against the chain, no drift policy.
+    *
+    * Layout per family: THM (text corpora — the true 100 TB table)
+    * chains like LEX (a merged corpus-sized rewrite per micro-batch
+    * append is the cost the chain avoids; [[compactIdHash]] collapses
+    * segment decay on the compactLex maintenance cadence). EHM writes
+    * SELF-CONTAINED versions (the ep_reps posture — the embeddings
+    * mapping is in the same size class EP already rewrites per append,
+    * and a chain here would pin old version dirs through the vector
+    * families' drift-refit collapse). Loud row-total truncation
+    * validation against the meta either way.
+    */
+  private def idHashFamily(s: SparkSession, d: String, fam: String,
+      tableName: String, art: String, chained: Boolean,
+      encode: Seq[String] => DataFrame): DataFrame = {
+    val table = s"$d/$tableName"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    if (!exists(s, s"$vd/_GRAFT_OK_$fam")) {
+      val cur = physFiles(s, table)
+      appendBase(s, vd, fam, cur) match {
+        case Some((base, delta, _, params)) if params.nonEmpty =>
+          (if (fam == "THM") thmAppends else ehmAppends).incrementAndGet()
+          if (chained) {
+            encode(delta).write.mode("overwrite").parquet(s"$vd/$art")
+            val nNew = s.read.parquet(s"$vd/$art").count()
+            writeFileList(s, vd, cur)
+            writeMeta(s, vd, fam,
+              Some(new org.apache.hadoop.fs.Path(base).getName), cnt,
+              (params.toLong + nNew).toString)
+          } else {
+            // self-contained: base rows carry verbatim (ids are
+            // append-stable), only the delta's rows are ENCODED
+            s.read.parquet(s"$base/$art").unionByName(encode(delta))
+              .write.mode("overwrite").parquet(s"$vd/$art")
+            val n = s.read.parquet(s"$vd/$art").count()
+            writeFileList(s, vd, cur)
+            writeMeta(s, vd, fam, None, cnt, n.toString)
+          }
+          touch(s, s"$vd/_GRAFT_OK_$fam")
+          pruneSiblings(s, vd)
+        case _ =>
+          (if (fam == "THM") thmEncodes else ehmEncodes).incrementAndGet()
+          encode(Seq(table)).write.mode("overwrite").parquet(s"$vd/$art")
+          val n = s.read.parquet(s"$vd/$art").count()
+          writeFileList(s, vd, cur)
+          writeMeta(s, vd, fam, None, cnt, n.toString)
+          touch(s, s"$vd/_GRAFT_OK_$fam")
+          pruneSiblings(s, vd)
+      }
+    }
+    val rows = chainDirs(s, vd, fam).map(c => s.read.parquet(s"$c/$art"))
+      .reduce(_ unionByName _)
+    val (_, _, params) = readMeta(s, vd, fam).get
+    validate(vd, fam, params.toLong, rows.count())
+    rows
+  }
+
+  /** Persisted (doc_id, th, nth, lang, source) member mapping — family
+    * THM, the one narrow corpus text scan the whole text-serving surface
+    * shares, as an artifact (see [[idHashFamily]]). lang/source ride
+    * along: byte-sized next to the text column this scan exists to hash,
+    * sparing the DSIR/mixture consumers a doc_id re-join; absent columns
+    * (ad-hoc spec corpora) land as typed nulls so one artifact shape
+    * serves every consumer. th = md5(raw text) (null-propagating — the
+    * gate-pinned contract), nth = md5(normalized text).
+    */
+  private[graft] def docHashes(s: SparkSession, d: String): DataFrame =
+    idHashFamily(s, d, "THM", "documents.parquet", "thm_docs",
+      chained = true, { paths =>
+      val df = s.read.parquet(paths: _*)
+      val opt = Seq("lang", "source").map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast("string").as(c))
+      df
+        // spread the hash work and the artifact layout across every core
+        // (a real cluster's scan is already split — no-op there)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(Seq(col("doc_id"), md5(col("text")).as("th"),
+          md5(Dedup.normText).as("nth")) ++ opt: _*)
+    })
+
+  /** Persisted (vec_id, eh) member mapping — family EHM, the embedding
+    * twin of [[docHashes]]: eh = the 128-bit vector content hash
+    * ([[ehCol]]). The raw vector deliberately stays OUT of the artifact
+    * (ep_reps already persists one (eh, v, nrm) row per distinct vector
+    * for consumers that need it); serve-side group structure re-reads
+    * the vector column once per session as the secondary equality key —
+    * reading is cheap next to the hashing this artifact eliminates, and
+    * a 128-bit collision of distinct vectors still cannot merge them.
+    */
+  private[graft] def vecHashes(s: SparkSession, d: String): DataFrame =
+    idHashFamily(s, d, "EHM", "embeddings.parquet", "ehm_vecs",
+      chained = false, { paths =>
+      s.read.parquet(paths: _*)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          ehCol(Vectors.toDouble(col("embedding"))).as("eh"))
+    })
+
   /** Persisted text-signature tables — the fit/serve split extended to
     * the TEXT near-dup family (q_dedup_minhash / q_dedup_simhash), whose
     * signature stage (shingle explode → 16 seeded minhash aggregations,
@@ -1065,10 +1184,12 @@ object AnnIndex {
     * refits. Validation: `ep_reps` row count vs the meta's recorded
     * distinct count, failing loud on truncation.
     *
-    * Returns the (eh_a, eh_b, cosine) pair reader; the serve side joins
-    * members through its own per-run id↔eh mapping.
+    * Returns the (eh_a, eh_b, cosine) pair reader plus the exact
+    * persisted pair row count (the expansion-side broadcast-guard
+    * bound); the serve side joins members through its own per-run
+    * id↔eh mapping.
     */
-  private[graft] def embedPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embedPairs(s: SparkSession, d: String): (DataFrame, Long) = {
     import org.apache.spark.sql.types._
     val table = s"$d/embeddings.parquet"
     val cnt = s.read.parquet(table).count()
@@ -1128,13 +1249,45 @@ object AnnIndex {
               greatest(col("eh"), col("eh_n")).as("eh_b"))
             .distinct()
           val allReps = baseReps.unionByName(fresh)
+          // r13 (incremental EC): persist the append's NEW pairs and the
+          // EC lineage pointer so ecLabels can union-find only the delta.
+          // EP appends only ever ADD pairs (base pairs carry verbatim),
+          // so components only merge — the reduced-graph premise. The
+          // delta is CUMULATIVE across appends that happened since the
+          // last EC build (the base's un-labeled delta rides along and
+          // the pointer stays on the last EC-labeled version), so one hop
+          // always suffices and sibling pruning cannot break the chain.
+          val newPairs = rescore(cand, allReps)
+          val ecBase: Option[String] =
+            if (exists(s, s"$base/_GRAFT_OK_EC"))
+              Some(new org.apache.hadoop.fs.Path(base).getName)
+            else if (exists(s, s"$base/ep_delta"))
+              readText(s, s"$base/_GRAFT_EC_BASE")
+            else None
+          ecBase match {
+            case Some(bn) =>
+              val carried =
+                if (exists(s, s"$base/_GRAFT_OK_EC")) newPairs
+                else s.read.schema(pairSchema).parquet(s"$base/ep_delta")
+                  .unionByName(newPairs)
+              carried.write.mode("overwrite").parquet(s"$vd/ep_delta")
+              writeText(s, s"$vd/_GRAFT_EC_BASE", bn)
+            case None => ()
+          }
           s.read.schema(pairSchema).parquet(s"$base/ep_pairs")
-            .unionByName(rescore(cand, allReps))
+            .unionByName(
+              if (ecBase.isDefined && exists(s, s"$base/_GRAFT_OK_EC"))
+                // read the delta back so ep_pairs and ep_delta hold the
+                // byte-identical rows (one rescore execution, not two)
+                s.read.schema(pairSchema).parquet(s"$vd/ep_delta")
+              else newPairs)
             .write.mode("overwrite").parquet(s"$vd/ep_pairs")
           allReps.write.mode("overwrite").parquet(s"$vd/ep_reps")
           val nReps = s.read.schema(repSchema).parquet(s"$vd/ep_reps").count()
+          val nPairs = s.read.schema(pairSchema).parquet(s"$vd/ep_pairs").count()
           writeFileList(s, vd, cur)
-          writeMeta(s, vd, "EP", None, nFit, s"$bits,$bands,$radius,$nReps")
+          writeMeta(s, vd, "EP", None, nFit,
+            s"$bits,$bands,$radius,$nReps,$nPairs")
           touch(s, s"$vd/_GRAFT_OK_EP")
           pruneSiblings(s, vd)
           true
@@ -1170,17 +1323,31 @@ object AnnIndex {
           .select(col("a.eh").as("eh_a"), col("b.eh").as("eh_b"))
           .distinct()
         rescore(cand, reps).write.mode("overwrite").parquet(s"$vd/ep_pairs")
+        val nPairs = s.read.schema(pairSchema).parquet(s"$vd/ep_pairs").count()
         writeFileList(s, vd, cur)
         writeMeta(s, vd, "EP", None, math.max(cnt, 1L),
-          s"$bits,$bands,$radius,$nDist")
+          s"$bits,$bands,$radius,$nDist,$nPairs")
         touch(s, s"$vd/_GRAFT_OK_EP")
         pruneSiblings(s, vd)
       }
     }
-    val (_, _, params) = readMeta(s, vd, "EP").get
+    val (base0, nFit0, params) = readMeta(s, vd, "EP").get
     validate(vd, "EP", params.split(",")(3).toLong,
       s.read.schema(repSchema).parquet(s"$vd/ep_reps").count())
-    s.read.schema(pairSchema).parquet(s"$vd/ep_pairs")
+    // r13: the pair row total rides the meta so expansion consumers can
+    // size their broadcast guard without a per-serve count() job. An
+    // artifact written before the 5th params element existed upgrades in
+    // place: one count, then the rewritten meta serves every later
+    // session (the marker and validated fields are untouched).
+    val ps = params.split(",")
+    val nPairs =
+      if (ps.length >= 5) ps(4).toLong
+      else {
+        val n = s.read.schema(pairSchema).parquet(s"$vd/ep_pairs").count()
+        writeMeta(s, vd, "EP", base0, nFit0, s"$params,$n")
+        n
+      }
+    (s.read.schema(pairSchema).parquet(s"$vd/ep_pairs"), nPairs)
   }
 
   /** Read-only peek at the EP distinct-vector table: Some(ep_reps —
@@ -1225,48 +1392,112 @@ object AnnIndex {
     * groupBy over the component key, and joins back — so the served
     * cluster ids are exactly the direct propagation's min-member labels.
     *
-    * No append path of its own: new EP pairs can merge old components,
-    * and an exact incremental CC is the text family's reduced-graph
-    * union-find — here the graph the propagation reads is already
-    * DISTINCT-CONTENT-sized (the corpus-scale asymmetry is absorbed by
-    * the EP collapse), so a per-version rebuild over `ep_pairs` is the
-    * priced trade (documented; the text CC family demonstrates the
-    * incremental device where the node set is corpus-sized).
+    * Append path (r13, verdict r12 #6 — the last non-incremental family
+    * closed): EP appends only ADD pairs (the base's ep_pairs rows carry
+    * verbatim into the new version), so components only MERGE along
+    * new-pair bridges, never split — the exact premise of the text CC
+    * family's reduced-graph union-find (Dedup.ccTryDelta), ported here.
+    * The EP append persists its new pairs (`ep_delta`, cumulative since
+    * the last EC-labeled version) and a lineage pointer
+    * (`_GRAFT_EC_BASE`); the EC build maps each delta endpoint to its
+    * base component key (fresh ehs key as themselves), collects the
+    * REDUCED edge set (≤ delta-sized after mapping, driver-capped like
+    * the CC device — a backfill-sized batch refits), union-finds with
+    * min-key roots, and relabels the base table with one broadcast join.
+    * The merged key min(old keys ∪ fresh ehs) equals the from-scratch
+    * min member eh because each old key already IS its component's min —
+    * so the appended labels are row-identical to a full rebuild
+    * (spec-pinned on merge/bridge/fresh-singleton scenarios).
     */
   private[graft] def ecLabels(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val pairs = embedPairs(s, d) // EP current for this corpus version
+    val (pairs, _) = embedPairs(s, d) // EP current for this corpus version
     val table = s"$d/embeddings.parquet"
     val cnt = s.read.parquet(table).count()
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     val labSchema = StructType(Seq(StructField("eh", StringType),
       StructField("ck", StringType)))
+    val pairSchema = StructType(Seq(StructField("eh_a", StringType),
+      StructField("eh_b", StringType), StructField("cosine", DoubleType)))
+    val repSchema = StructType(Seq(StructField("eh", StringType),
+      StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType)))
+    def ecTryDelta(baseDir: String): Option[DataFrame] = {
+      val baseLab = s.read.schema(labSchema).parquet(s"$baseDir/ec_labels")
+      val delta = s.read.schema(pairSchema).parquet(s"$vd/ep_delta")
+      val keyed = delta
+        .join(baseLab.select(col("eh").as("eh_a"), col("ck").as("ck_a")),
+          Seq("eh_a"), "left")
+        .join(baseLab.select(col("eh").as("eh_b"), col("ck").as("ck_b")),
+          Seq("eh_b"), "left")
+        .select(coalesce(col("ck_a"), col("eh_a")).as("ka"),
+          coalesce(col("ck_b"), col("eh_b")).as("kb"))
+        .where(col("ka") =!= col("kb")).distinct()
+      val reduced = keyed.limit(200001).collect()
+      if (reduced.length > 200000) return None
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      reduced.foreach { row =>
+        val (ra, rb) = (find(row.getString(0)), find(row.getString(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val relabel = reduced.iterator
+        .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet.toSeq
+        .map((k: String) => (k, find(k))).filter { case (k, v) => k != v }
+      val allEh = s.read.schema(repSchema).parquet(s"$vd/ep_reps").select("eh")
+      val base0 = allEh.join(baseLab, Seq("eh"), "left")
+        .select(col("eh"), coalesce(col("ck"), col("eh")).as("key0"))
+      import s.implicits._
+      Some(
+        if (relabel.isEmpty) base0.select(col("eh"), col("key0").as("ck"))
+        else base0
+          .join(broadcast(relabel.toDF("key0", "ck2")), Seq("key0"), "left")
+          .select(col("eh"), coalesce(col("ck2"), col("key0")).as("ck")))
+    }
     if (!exists(s, s"$vd/_GRAFT_OK_EC")) {
-      ecEncodes.incrementAndGet()
-      val m = s.read.parquet(table)
-        .select(col("vec_id"),
-          ehCol(Vectors.toDouble(col("embedding"))).as("eh"))
-        .groupBy("eh").agg(min("vec_id").as("nid"))
-      val repSchema = StructType(Seq(StructField("eh", StringType),
-        StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType)))
-      val nodes = s.read.schema(repSchema).parquet(s"$vd/ep_reps")
-        .select("eh").join(m, "eh")
-      val edges = pairs
-        .join(m.select(col("eh").as("eh_a"), col("nid").as("a")), "eh_a")
-        .join(m.select(col("eh").as("eh_b"), col("nid").as("b")), "eh_b")
-        .select("a", "b")
-      val labeled = nodes.join(Dedup.connectedComponents(
-        nodes.select(col("nid").as("id")), edges), col("nid") === col("id"))
-      // component content key = min eh per label — map-side-combined
-      // groupBy + equi-join back, never a per-component collect
-      labeled
-        .join(labeled.groupBy("label").agg(min("eh").as("ck")), "label")
-        .select(col("eh"), col("ck"))
-        .write.mode("overwrite").parquet(s"$vd/ec_labels")
-      val n = s.read.schema(labSchema).parquet(s"$vd/ec_labels").count()
-      writeMeta(s, vd, "EC", None, cnt, n.toString)
-      touch(s, s"$vd/_GRAFT_OK_EC")
+      def writeLabels(lab: DataFrame): Unit = {
+        lab.write.mode("overwrite").parquet(s"$vd/ec_labels")
+        val n = s.read.schema(labSchema).parquet(s"$vd/ec_labels").count()
+        writeMeta(s, vd, "EC", None, cnt, n.toString)
+        touch(s, s"$vd/_GRAFT_OK_EC")
+      }
+      val viaDelta = (for {
+        baseName <- readText(s, s"$vd/_GRAFT_EC_BASE").map(_.trim)
+        parent = new org.apache.hadoop.fs.Path(vd).getParent.toUri.getPath
+        baseDir = s"$parent/$baseName"
+        if exists(s, s"$baseDir/_GRAFT_OK_EC") && exists(s, s"$vd/ep_delta")
+        labels <- ecTryDelta(baseDir)
+      } yield labels) match {
+        case Some(labels) =>
+          ecAppends.incrementAndGet(); writeLabels(labels); true
+        case None => false
+      }
+      if (!viaDelta) {
+        ecEncodes.incrementAndGet()
+        val m = s.read.parquet(table)
+          .select(col("vec_id"),
+            ehCol(Vectors.toDouble(col("embedding"))).as("eh"))
+          .groupBy("eh").agg(min("vec_id").as("nid"))
+        val nodes = s.read.schema(repSchema).parquet(s"$vd/ep_reps")
+          .select("eh").join(m, "eh")
+        val edges = pairs
+          .join(m.select(col("eh").as("eh_a"), col("nid").as("a")), "eh_a")
+          .join(m.select(col("eh").as("eh_b"), col("nid").as("b")), "eh_b")
+          .select("a", "b")
+        val labeled = nodes.join(Dedup.connectedComponents(
+          nodes.select(col("nid").as("id")), edges), col("nid") === col("id"))
+        // component content key = min eh per label — map-side-combined
+        // groupBy + equi-join back, never a per-component collect
+        writeLabels(labeled
+          .join(labeled.groupBy("label").agg(min("eh").as("ck")), "label")
+          .select(col("eh"), col("ck")))
+      }
     }
     val (_, _, params) = readMeta(s, vd, "EC").get
     validate(vd, "EC", params.toLong,
@@ -1308,7 +1539,7 @@ object AnnIndex {
   private def bucketPairGraph(s: SparkSession, d: String, fam: String,
       payloadCols: Seq[org.apache.spark.sql.types.StructField],
       bucketRows: () => DataFrame,
-      payload: DataFrame => DataFrame): DataFrame = {
+      payload: DataFrame => DataFrame): (DataFrame, Long) = {
     import org.apache.spark.sql.types._
     val table = s"$d/documents.parquet"
     val cnt = s.read.parquet(table).count()
@@ -1410,11 +1641,17 @@ object AnnIndex {
     val (_, _, params) = readMeta(s, vd, fam).get
     validate(vd, fam, params.toLong,
       s.read.schema(pairSchema).parquet(s"$vd/${lc}_pairs").count())
-    s.read.schema(pairSchema).parquet(s"$vd/${lc}_pairs")
+    // the meta's validated row total rides along as the serve-side
+    // broadcast-guard bound (r13): consumers expanding these pairs used
+    // to price a count() job per serve just to decide broadcast-vs-SMJ
+    (s.read.schema(pairSchema).parquet(s"$vd/${lc}_pairs"), params.toLong)
   }
 
-  /** MinHash band-collision pairs (family MP): payload = bands_matching. */
-  private[graft] def mhPairs(s: SparkSession, d: String): DataFrame = {
+  /** MinHash band-collision pairs (family MP): payload = bands_matching.
+    * Returns (pair reader, exact persisted pair row count — the
+    * expansion-side broadcast-guard bound).
+    */
+  private[graft] def mhPairs(s: SparkSession, d: String): (DataFrame, Long) = {
     import org.apache.spark.sql.types._
     bucketPairGraph(s, d, "MP2",
       Seq(StructField("bands_matching", LongType)),
@@ -1427,8 +1664,10 @@ object AnnIndex {
         .agg(count(lit(1)).as("bands_matching")))
   }
 
-  /** SimHash chunk-collision pairs (family SP): payload = hamming. */
-  private[graft] def shPairs(s: SparkSession, d: String): DataFrame = {
+  /** SimHash chunk-collision pairs (family SP): payload = hamming.
+    * Returns (pair reader, exact persisted pair row count).
+    */
+  private[graft] def shPairs(s: SparkSession, d: String): (DataFrame, Long) = {
     import org.apache.spark.sql.types._
     def sigs = textSigs(s, d, "SH", Dedup.shEncode)
     bucketPairGraph(s, d, "SP2",
@@ -1497,9 +1736,10 @@ object AnnIndex {
     * distinct-content-sized tables rewrite cheaply; no chain).
     * Validation: pair and cnt row counts vs the meta, failing loud.
     *
-    * Returns (np_pairs reader, np_cnt reader).
+    * Returns (np_pairs reader, np_cnt reader, exact persisted pair row
+    * count — the expansion-side broadcast-guard bound).
     */
-  private[graft] def ngPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def ngPairs(s: SparkSession, d: String): (DataFrame, DataFrame, Long) = {
     import org.apache.spark.sql.types._
     val table = s"$d/documents.parquet"
     val cnt = s.read.parquet(table).count()
@@ -1619,7 +1859,7 @@ object AnnIndex {
     validate(vd, "NP2C", nC,
       s.read.schema(cntSchema).parquet(s"$vd/np_cnt").count())
     (s.read.schema(pairSchema).parquet(s"$vd/np_pairs"),
-      s.read.schema(cntSchema).parquet(s"$vd/np_cnt"))
+      s.read.schema(cntSchema).parquet(s"$vd/np_cnt"), nP)
   }
 
   /** Collapse a LEX append chain into one self-contained version — the
@@ -1681,8 +1921,47 @@ object AnnIndex {
     swap("lex_tf"); swap("lex_dl")
     val (_, nFit, params) = readMeta(s, vd, "LXT").get
     writeMeta(s, vd, "LXT", None, nFit, params) // self-contained: no base
+    // r13: the id-keyed member mappings chain across the SAME version
+    // dirs (documents-keyed THM) — collapse them in the same maintenance
+    // tick, or their chain keeps the LEX bases alive past the prune
+    compactIdHash(s, d, "THM", "documents.parquet", "thm_docs")
     pruneSiblings(s, vd)
     validatedVersions.remove(s"$vd#LXT") // next serve re-proves token mass
+    true
+  }
+
+  /** Collapse an id-hash family's append chain (THM/EHM — see
+    * [[idHashFamily]]) into one self-contained version: segments hold
+    * DISJOINT id sets (appends encode only appended files' rows), so the
+    * merge is a plain union rewrite — no hash pass. Row total conserved
+    * and re-proven on the next serve (the compactLex posture). Returns
+    * false (no-op) on an unchained artifact.
+    */
+  private[graft] def compactIdHash(s: SparkSession, d: String, fam: String,
+      tableName: String, art: String): Boolean = {
+    val table = s"$d/$tableName"
+    if (!exists(s, table)) return false
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    if (!exists(s, s"$vd/_GRAFT_OK_$fam")) return false
+    val chain = chainDirs(s, vd, fam)
+    if (chain.size <= 1) return false
+    chain.map(c => s.read.parquet(s"$c/$art")).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$vd/${art}_c")
+    val f = fs(s, vd)
+    f.delete(new org.apache.hadoop.fs.Path(s"$vd/$art"), true)
+    if (!f.rename(new org.apache.hadoop.fs.Path(s"$vd/${art}_c"),
+        new org.apache.hadoop.fs.Path(s"$vd/$art")))
+      throw new IllegalStateException(s"compactIdHash: rename of $art failed")
+    val (_, nFit, params) = readMeta(s, vd, fam).get
+    writeMeta(s, vd, fam, None, nFit, params)
+    pruneSiblings(s, vd)
+    validatedVersions.remove(s"$vd#$fam")
+    // the session memo may hold a chain READER over the just-pruned
+    // segment files (same table fingerprint, different artifact layout —
+    // the one staleness the fingerprint check cannot see)
+    SessionMemo.evictDataset(d)
     true
   }
 }

@@ -24,6 +24,15 @@ object Dedup {
 
   private def words(c: Column): Column = split(c, " +")
 
+  /** Broadcast budget for the pair side of a member expansion, in ROWS.
+    * 500k rows of (two 32-char md5 strings + a few long payloads) is
+    * ~60-80 MB as an UnsafeRow broadcast relation — safely inside the
+    * default driver/executor memory; the r12 2M-row cap admitted
+    * relations in the several-hundred-MB class, which bounds rows but
+    * not bytes (ADVICE r12). Past it the expansion joins sort-merge.
+    */
+  private[graft] val broadcastPairCap = 500000L
+
   /** The ONE definition of "exact duplicate after normalization":
     * whitespace-collapsed lowercase text. Shared by q_dedup_exact and
     * q_dedup_clusters' exact-edge derivation so the two can't silently
@@ -71,24 +80,78 @@ object Dedup {
     * least/greatest (groups are disjoint, so each doc pair appears once).
     */
   private[operators] def expandPairs(repPairs: DataFrame, members: DataFrame,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], bound: Option[Long] = None): DataFrame = {
     // r12: BROADCAST the pair side explicitly (guarded — the incremental-
     // dedup device): pairs are distinct-content-bounded and candidate-
     // capped, members corpus-sized. Left to stats, the cached members
     // frame's exact size can exceed the broadcast threshold and flip both
     // expansion joins to sort-merge — sorting the corpus-sized members
     // TWICE in the one pipeline whose output is quadratic in the
-    // duplication factor (measured 2×+ at the 100× smoke). The guard
-    // count is one metadata-cheap job on the (persisted-artifact-backed)
-    // pair frame; past the budget the join falls back to SMJ by hint.
-    val p = graft.CacheBag.track(repPairs)
-    val small = p.count() <= 2000000L
-    val pp = if (small) broadcast(p) else p.hint("merge")
+    // duplication factor (measured 2×+ at the 100× smoke). Past the
+    // budget the join falls back to SMJ by hint.
+    //
+    // r13: callers backed by a persisted pair graph pass `bound` — the
+    // artifact meta's validated row total, an upper bound on this frame
+    // (it derives from the artifact by 1:1 th→id joins and filters) — so
+    // the guard prices NO job; the r12 per-serve materialize-and-count
+    // roughly doubled the sf0.1 pair-serve family (q_dedup_contain
+    // 1.27→2.1-2.6 s). Only boundless callers (live self-joins with no
+    // artifact behind them) still pay the count.
+    val pp = bound match {
+      case Some(b) =>
+        if (b <= broadcastPairCap) broadcast(repPairs)
+        else repPairs.hint("merge")
+      case None =>
+        val p = graft.CacheBag.track(repPairs)
+        if (p.count() <= broadcastPairCap) broadcast(p) else p.hint("merge")
+    }
     pp
       .join(members.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
       .join(members.select(col("rep").as("rep_b"), col("doc_id").as("db")), "rep_b")
       .select(least(col("da"), col("db")).as("doc_a") +:
         greatest(col("da"), col("db")).as("doc_b") +: payload.map(col): _*)
+  }
+
+  /** Loud budget guard on the EXPANDED member-pair outputs (r13, verdict
+    * r12 #2). The expanded contract is quadratic in the duplication
+    * factor BY DESIGN — a 10⁵-duplicate page is ~10¹⁰ member pairs at
+    * web scale, unwritable regardless of plan — and the scale-safe
+    * `_rep` twins exist precisely for that regime; nothing stopped a
+    * consumer from running the expanded op on a duplication-heavy
+    * corpus. Before expanding, the exact expansion row count is computed
+    * from the group table (Σ n_a·n_b over rep pairs + Σ k(k−1)/2 within
+    * groups — the arithmetic q_dedup_simhash_rep's spec already does)
+    * and the query REFUSES past `graft.expand.maxRows` (default 2e9),
+    * pointing at the rep-level twin. For families whose expansion
+    * filters pairs first (simhash hamming≤12, containment ≥0.8) the
+    * estimate is over the UNFILTERED artifact pairs — an upper bound,
+    * conservative refusal only. The Σ is distinct-content-sized work,
+    * memoized per (session, dataset, family) via [[SessionMemo.scalar]]
+    * so serves price NO extra job after the first (cold-attributed in
+    * Bench like every memo build).
+    */
+  private[operators] def expansionGuard(s: SparkSession, d: String,
+      family: String, repPairs: DataFrame, sizes: DataFrame,
+      tables: Seq[String], repTwin: String): Unit = {
+    val budget = s.conf.get("graft.expand.maxRows", "2000000000").toLong
+    val est = SessionMemo.scalar(s, d, s"xg$family", tables) {
+      val cross = repPairs
+        .join(sizes.select(col("rep").as("rep_a"), col("n").as("na")), "rep_a")
+        .join(sizes.select(col("rep").as("rep_b"), col("n").as("nb")), "rep_b")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)))
+        .head().getLong(0)
+      val within = sizes
+        .agg(coalesce(sum(expr("n * (n - 1L) div 2L")), lit(0L)))
+        .head().getLong(0)
+      cross + within
+    }
+    if (est > budget)
+      throw new IllegalStateException(
+        s"$family member-pair expansion would emit up to $est rows — past " +
+          s"graft.expand.maxRows=$budget. The expanded output is quadratic " +
+          "in the duplication factor by contract and unwritable at this " +
+          s"duplication level; use the rep-level twin $repTwin (linear in " +
+          "distinct content), or raise graft.expand.maxRows deliberately.")
   }
 
   /** Bucket-size skew guard shared by the whole candidate-join family: keep
@@ -217,7 +280,7 @@ object Dedup {
     * cluster labels, which never needs the member-doc expansion.
     */
   private[operators] def ngramRepPairs(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
       val (members, reps) = collapseExact(s, d)
       // r10: the whole candidate machinery — the df-capped inverted-index
       // SELF-JOIN over shingle hashes, the family's dominant per-session
@@ -230,7 +293,7 @@ object Dedup {
       // artifact: the inverted-index join and intersection counts are
       // identical (64-bit collisions are ~1e-10 at this corpus size and
       // the oracle would catch one).
-      val (pairsTh, cntTh) = AnnIndex.ngPairs(s, d)
+      val (pairsTh, cntTh, pairBound) = AnnIndex.ngPairs(s, d)
       val idx = reps.select(col("th"), col("doc_id"))
       val cnt = cntTh.join(idx, "th").select(col("doc_id"), col("nsh"))
       val repPairs = pairsTh
@@ -239,12 +302,15 @@ object Dedup {
         .select(least(col("da"), col("db")).as("rep_a"),
           greatest(col("da"), col("db")).as("rep_b"),
           col("inter"), col("uni"))
-      (repPairs, members, cnt, reps)
+      (repPairs, members, cnt, reps, pairBound)
   }
 
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-      val (repPairs, members, cnt, _) = ngramRepPairs(s, d)
-      val cross = expandPairs(repPairs, members, Seq("inter", "uni"))
+      val (repPairs, members, cnt, reps, bound) = ngramRepPairs(s, d)
+      expansionGuard(s, d, "NP2", repPairs,
+        reps.select(col("doc_id").as("rep"), col("gsz").as("n")),
+        Seq("documents.parquet"), "q_dedup_ngram_rep")
+      val cross = expandPairs(repPairs, members, Seq("inter", "uni"), Some(bound))
       val within = members.as("x")
         .join(members.as("y"),
           col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
@@ -312,7 +378,7 @@ object Dedup {
     * 3-shingle have no signature and emit no within pairs).
     */
   private[operators] def minhashRepPairs(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
     val (members, reps) = collapseExact(s, d)
     // r8: the signature stage (shingle explode + 16 min-aggs — THE
     // corpus-pass cost of this operator) serves from the persisted
@@ -325,25 +391,29 @@ object Dedup {
     // bucket-cap-crossing refit there); this run re-derives only the
     // doc↔th mapping
     val idx = reps.select(col("th"), col("doc_id"))
-    val repPairs = AnnIndex.mhPairs(s, d)
+    val (pairsTh, pairBound) = AnnIndex.mhPairs(s, d)
+    val repPairs = pairsTh
       .join(idx.select(col("th").as("th_a"), col("doc_id").as("da")), "th_a")
       .join(idx.select(col("th").as("th_b"), col("doc_id").as("db")), "th_b")
       .select(least(col("da"), col("db")).as("rep_a"),
         greatest(col("da"), col("db")).as("rep_b"), col("bands_matching"))
-    (repPairs, members, reps, sigs)
+    (repPairs, members, reps, sigs, pairBound)
   }
 
   val minhashLsh: Q = Q(
     "q_dedup_minhash",
     (s, d) => {
-      val (repPairs, members, _, sigs) = minhashRepPairs(s, d)
+      val (repPairs, members, reps, sigs, bound) = minhashRepPairs(s, d)
+      expansionGuard(s, d, "MP2", repPairs,
+        reps.select(col("doc_id").as("rep"), col("gsz").as("n")),
+        Seq("documents.parquet"), "q_dedup_minhash_rep")
       val within = members.as("x")
         .join(members.as("y"),
           col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
         .join(sigs.as("g"), col("x.rep") === col("g.doc_id"), "leftsemi")
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           lit(4L).as("bands_matching"))
-      expandPairs(repPairs, members, Seq("bands_matching"))
+      expandPairs(repPairs, members, Seq("bands_matching"), Some(bound))
         .union(within)
         .transform(Det.sortAll)
     },
@@ -358,7 +428,7 @@ object Dedup {
   val minhashRep: Q = Q(
     "q_dedup_minhash_rep",
     (s, d) => {
-      val (repPairs, _, reps, _) = minhashRepPairs(s, d)
+      val (repPairs, _, reps, _, _) = minhashRepPairs(s, d)
       val sizes = reps.select(col("doc_id"), col("gsz"))
       repPairs
         .join(sizes.select(col("doc_id").as("rep_a"), col("gsz").as("n_a")), "rep_a")
@@ -400,7 +470,7 @@ object Dedup {
     * shared by q_dedup_simhash and q_dedup_simhash_rep.
     */
   private[operators] def simhashRepPairs(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, Long) = {
     val (members, reps) = collapseExact(s, d)
     // r8: the token-explode + 64-bit-sum signature stage serves from
     // the persisted th-keyed table (see q_dedup_minhash's note)
@@ -409,18 +479,24 @@ object Dedup {
     // bucket-cap-crossing refit there); this run re-derives only the
     // doc↔th mapping
     val idx = reps.select(col("th"), col("doc_id"))
-    val repPairs = AnnIndex.shPairs(s, d)
+    val (pairsTh, pairBound) = AnnIndex.shPairs(s, d)
+    val repPairs = pairsTh
       .join(idx.select(col("th").as("th_a"), col("doc_id").as("da")), "th_a")
       .join(idx.select(col("th").as("th_b"), col("doc_id").as("db")), "th_b")
       .select(least(col("da"), col("db")).as("rep_a"),
         greatest(col("da"), col("db")).as("rep_b"), col("hamming"))
-    (repPairs, members, reps)
+    (repPairs, members, reps, pairBound)
   }
 
   val simhash: Q = Q(
     "q_dedup_simhash",
     (s, d) => {
-      val (repPairs, members, _) = simhashRepPairs(s, d)
+      val (repPairs, members, reps, bound) = simhashRepPairs(s, d)
+      // guard over the UNFILTERED SP2 pairs — upper bound on the
+      // hamming<=12 expansion below (conservative refusal only)
+      expansionGuard(s, d, "SP2", repPairs,
+        reps.select(col("doc_id").as("rep"), col("gsz").as("n")),
+        Seq("documents.parquet"), "q_dedup_simhash_rep")
       // identical texts: identical signatures, hamming 0 by construction
       val within = members.as("x")
         .join(members.as("y"),
@@ -431,7 +507,8 @@ object Dedup {
       // member (ngram: |∩|≥3, embed: cosine≥τ): emitting every candidate
       // makes the OUTPUT quadratic in the blocking collision rate — at the
       // 30× scale smoke that was 10× the runtime for rows nobody keeps
-      expandPairs(repPairs.where(col("hamming") <= 12), members, Seq("hamming"))
+      expandPairs(repPairs.where(col("hamming") <= 12), members,
+        Seq("hamming"), Some(bound))
         .union(within)
         .transform(Det.sortAll)
     },
@@ -456,7 +533,7 @@ object Dedup {
   val simhashRep: Q = Q(
     "q_dedup_simhash_rep",
     (s, d) => {
-      val (repPairs, _, reps) = simhashRepPairs(s, d)
+      val (repPairs, _, reps, _) = simhashRepPairs(s, d)
       // group sizes ride the reps (group) table directly — re-counting
       // members would rebuild the member join just to recover gsz
       val sizes = reps.select(col("doc_id").as("rep"), col("gsz").as("n"))
@@ -482,7 +559,7 @@ object Dedup {
   val ngramRep: Q = Q(
     "q_dedup_ngram_rep",
     (s, d) => {
-      val (repPairs, _, _, reps) = ngramRepPairs(s, d)
+      val (repPairs, _, _, reps, _) = ngramRepPairs(s, d)
       // group sizes ride the reps (group) table directly (see simhashRep)
       val sizes = reps.select(col("doc_id").as("rep"), col("gsz").as("n"))
       repPairs
@@ -550,7 +627,14 @@ object Dedup {
   val containment: Q = Q(
     "q_dedup_contain",
     (s, d) => {
-      val (repPairs, members, cnt, _) = ngramRepPairs(s, d)
+      val (repPairs, members, cnt, reps, bound) = ngramRepPairs(s, d)
+      // shares NP2's memoized estimate with q_dedup_ngram (same pair
+      // graph; the >=0.8 containment filter only shrinks it). No
+      // containment-specific rep twin is registered, so the message
+      // points at the family's rep-level output.
+      expansionGuard(s, d, "NP2", repPairs,
+        reps.select(col("doc_id").as("rep"), col("gsz").as("n")),
+        Seq("documents.parquet"), "q_dedup_ngram_rep")
       val cross = repPairs
         .join(cnt.select(col("doc_id").as("rep_a"), col("nsh").as("na")), "rep_a")
         .join(cnt.select(col("doc_id").as("rep_b"), col("nsh").as("nb")), "rep_b")
@@ -568,7 +652,7 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("c.nsh").as("inter"), col("c.nsh").as("n_small"),
           col("c.nsh").as("n_big"))
-      expandPairs(cross, members, Seq("inter", "n_small", "n_big"))
+      expandPairs(cross, members, Seq("inter", "n_small", "n_big"), Some(bound))
         .union(within)
         .withColumn("containment",
           col("inter").cast("double") / col("n_small").cast("double"))
@@ -755,7 +839,7 @@ object Dedup {
     // persisted artifact stores — see AnnIndex.ccIndex for why doc ids
     // stay out of the artifact
     def fullBuild(): DataFrame = {
-      val (repPairs, _, _, _) = ngramRepPairs(s, d)
+      val (repPairs, _, _, _, _) = ngramRepPairs(s, d)
       val repNid = docs.join(nodes, "nth").select(col("doc_id"), col("nid"))
       val ngramE = repPairs
         .where(col("inter").cast("double") / col("uni").cast("double") >= 0.5)

@@ -187,30 +187,67 @@ object Marts {
           col("price_cents"), col("cnt"))
       val unioned = perRow.unionByName(grouped)
       import org.apache.spark.sql.expressions.Window
-      // Two-phase global numbering. A bare Window.orderBy would funnel the
-      // whole mart through one task (WindowExec: No Partition Defined); the
-      // reference's row_number() over (order by …) gets away with it only
-      // because BigQuery reshuffles internally (log_for_tableau.sql:97).
-      // Instead: range-partition on the sort key, number within each range
-      // partition in parallel, then shift by the per-partition row-count
-      // prefix sums — a tiny (numPartitions-row) aggregate joined back in.
-      // The sort key (priority, log_id|-1, custkey) is a unique total
-      // order, so the composed numbering equals the global row_number.
+      // Two-phase global numbering over a DETERMINISTIC key-arithmetic
+      // bucket (the Assembly.prefixSum device). A bare Window.orderBy
+      // would funnel the whole mart through one task (WindowExec: No
+      // Partition Defined); the reference's row_number() over (order by …)
+      // gets away with it only because BigQuery reshuffles internally
+      // (log_for_tableau.sql:97). The r12 variant bucketed by
+      // spark_partition_id() over a repartitionByRange exchange — ids
+      // desynchronize if the local-rank and totals subtrees ever plan
+      // SEPARATE range samplings, so its correctness leaned on the
+      // ReuseExchange rule (exactly the hazard q_pack_sequences' scaladoc
+      // bans). r13: the bucket is pure arithmetic on the sort key itself —
+      // identical on every (re-)execution, no placement dependence.
+      //
+      // Sort key (priority, log_id|-1, custkey) is a unique total order:
+      // log_id = o_orderkey is unique among per-row rows, and grouped
+      // rows (log_id null → -1, sorting FIRST within a priority) are
+      // unique per (custkey, priority). Bucket = (priority, b2) where b2
+      // range-partitions grouped rows by custkey and per-row rows by
+      // log_id into disjoint numeric ranges — monotone-consistent with
+      // the sort order, so global rank = rank within bucket + count of
+      // earlier buckets. One cheap stats pass over two pruned long
+      // columns sizes the widths; the totals are ≤ |priorities|·(2·nB+2)
+      // rows, exclusive-scanned on the driver and broadcast back.
       val sortKeys = Seq(col("o_orderpriority"),
         coalesce(col("log_id"), lit(-1L)), col("c_custkey"))
-      val ranged = unioned
-        .repartitionByRange(sortKeys: _*)
-        .withColumn("part_id", spark_partition_id())
-      val wLocal = Window.partitionBy("part_id").orderBy(sortKeys: _*)
-      val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
-      val partCounts = local.groupBy("part_id").agg(count(lit(1)).as("n"))
-      // prefix sum over ≤ shuffle.partitions rows — self-join, no window
-      val offsets = partCounts.as("a")
-        .join(partCounts.as("b"), col("b.part_id") < col("a.part_id"), "left")
-        .groupBy(col("a.part_id").as("part_id"))
-        .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+      val st = unioned.agg(
+        min(coalesce(col("log_id"), lit(-1L))), max(coalesce(col("log_id"), lit(-1L))),
+        min(col("c_custkey")), max(col("c_custkey"))).head()
+      val (mnL, mxL, mnC, mxC) =
+        if (st.isNullAt(0)) (0L, 0L, 0L, 0L)
+        else (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      val nB = math.max(1, s.sparkContext.defaultParallelism)
+      val wL = math.max(1L, (mxL - mnL) / nB + 1L)
+      val wC = math.max(1L, (mxC - mnC) / nB + 1L)
+      // exact long floor division (`div`), monotone in its key; grouped
+      // rows land in [0, nB), per-row rows in [nB+1, 2·nB+1)
+      val bucketed = unioned.withColumn("b2", expr(
+        s"CASE WHEN log_id IS NULL THEN (c_custkey - ${mnC}L) div ${wC}L " +
+          s"ELSE ${nB + 1}L + (coalesce(log_id, -1L) - ${mnL}L) div ${wL}L END"))
+      val wLocal = Window.partitionBy("o_orderpriority", "b2")
+        .orderBy(sortKeys: _*)
+      val local = bucketed.withColumn("local_rn",
+        row_number().over(wLocal).cast("long"))
+      // phase 2: exclusive scan over the tiny (priority, b2) totals on
+      // the driver — priorities are ASCII, so the driver's string sort
+      // matches Spark's UTF8 binary ordering
+      val totals = bucketed.groupBy("o_orderpriority", "b2")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy { case (p, b, _) => (p, b) }
+      val offsets = totals
+        .scanLeft((("", Long.MinValue), 0L)) {
+          case (((_, _), acc), (p, b, n)) => ((p, b), acc + n)
+        }
+        .sliding(2).collect {
+          case Array(((_, _), off), ((p, b), _)) => (p, b, off)
+        }.toSeq
+      val offDf = s.createDataFrame(offsets)
+        .toDF("o_orderpriority", "b2", "off")
       local
-        .join(broadcast(offsets), Seq("part_id"))
+        .join(broadcast(offDf), Seq("o_orderpriority", "b2"))
         .withColumn("id", (col("local_rn") + col("off")).cast("int"))
         .withColumn("price_cents_fixed",
           when(col("price_cents") === 0L, 1L).otherwise(col("price_cents")))

@@ -69,9 +69,21 @@ object SessionMemo {
     * until a consumer acts), and re-entrant families (a memo built from
     * another memo) rely on the monitor's re-entrancy.
     */
+  /** Stable per-session key segment: a UUID minted once per live session
+    * (identityHashCode is NOT unique — two live sessions colliding on it
+    * would be served frames bound to the other's SparkContext; ADVICE
+    * r12). Keyed weakly so a collected session doesn't pin the map entry.
+    */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionKey(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   private[graft] def frames(s: SparkSession, d: String, family: String,
       tables: Seq[String])(build: => Seq[DataFrame]): Seq[DataFrame] = {
-    val key = s"${System.identityHashCode(s)}#$d#$family"
+    val key = s"${sessionKey(s)}#$d#$family"
     val fp = tables.foldLeft(family.hashCode.toLong) { (h, t) =>
       h * 1000003L + Similarity.tableFingerprint(s, s"$d/$t")
     }
@@ -80,7 +92,9 @@ object SessionMemo {
       // with the context; drop the dangling entries
       cache.filterInPlace((_, e) => !e.session.sparkContext.isStopped)
       cache.get(key) match {
-        case Some(e) if e.fp == fp => e.frames
+        // the UUID key makes a cross-session hit impossible; the `eq`
+        // check is belt-and-braces for the same-key-same-session claim
+        case Some(e) if e.fp == fp && (e.session eq s) => e.frames
         case old =>
           old.foreach(_.frames.foreach { f =>
             try f.unpersist(blocking = false) catch { case _: Throwable => () }
@@ -91,6 +105,94 @@ object SessionMemo {
           val built = build.map(_.persist(StorageLevel.MEMORY_AND_DISK))
           cache.update(key, Entry(s, fp, built))
           built
+      }
+    }
+  }
+
+  /** Drop every memoized entry (handles, frames, scalars) for `d` — the
+    * maintenance hook for operations that change an artifact's FILE
+    * layout without changing the source table's fingerprint (chain
+    * compaction, r13): a memoized chain reader would otherwise keep
+    * referencing pruned segment files for the rest of the session.
+    */
+  private[graft] def evictDataset(d: String): Unit = synchronized {
+    val tag = s"#$d#"
+    handles.filterInPlace((k, _) => !k.contains(tag))
+    scalars.filterInPlace((k, _) => !k.contains(tag))
+    cache.filterInPlace { (k, e) =>
+      val drop = k.contains(tag)
+      if (drop) e.frames.foreach { f =>
+        try f.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+      !drop
+    }
+  }
+
+  private final case class HandleEntry(session: SparkSession, fp: Long,
+      frame: DataFrame)
+  private val handles =
+    scala.collection.mutable.HashMap.empty[String, HandleEntry]
+
+  /** The unpersisted twin of [[frames]]: memoize a DataFrame HANDLE —
+    * typically a persisted-artifact chain reader — without occupying
+    * executor storage (r13, verdict r12 #5: the corpus-sized member
+    * mappings now live as fingerprint-keyed parquet families, so the
+    * memo's job shrinks to "resolve the artifact version once per
+    * session", a count + validation the first consumer pays; every later
+    * consumer reuses the resolved reader with only a metadata fingerprint
+    * check). Same staleness contract as [[frames]]; builds count into the
+    * same per-family counters.
+    */
+  private[graft] def handle(s: SparkSession, d: String, family: String,
+      tables: Seq[String])(build: => DataFrame): DataFrame = {
+    val key = s"${sessionKey(s)}#$d#$family"
+    val fp = tables.foldLeft(family.hashCode.toLong) { (h, t) =>
+      h * 1000003L + Similarity.tableFingerprint(s, s"$d/$t")
+    }
+    synchronized {
+      handles.filterInPlace((_, e) => !e.session.sparkContext.isStopped)
+      handles.get(key) match {
+        case Some(e) if e.fp == fp && (e.session eq s) => e.frame
+        case _ =>
+          buildCounters
+            .computeIfAbsent(family, _ => new java.util.concurrent.atomic.AtomicLong(0))
+            .incrementAndGet()
+          val f = build
+          handles.update(key, HandleEntry(s, fp, f))
+          f
+      }
+    }
+  }
+
+  private final case class ScalarEntry(session: SparkSession, fp: Long,
+      value: Long)
+  private val scalars =
+    scala.collection.mutable.HashMap.empty[String, ScalarEntry]
+
+  /** The scalar twin of [[frames]]: memoize one driver-side Long per
+    * (session, dataset, family), fingerprint-validated the same way.
+    * Used for pure-function-of-content aggregates a consumer needs per
+    * serve but must not price as a per-serve job (the expansion budget
+    * guard's Σ n_a·n_b — r13). Builds count into the same per-family
+    * counters, so Bench's cold attribution flags the one pass that paid.
+    */
+  private[graft] def scalar(s: SparkSession, d: String, family: String,
+      tables: Seq[String])(compute: => Long): Long = {
+    val key = s"${sessionKey(s)}#$d#$family"
+    val fp = tables.foldLeft(family.hashCode.toLong) { (h, t) =>
+      h * 1000003L + Similarity.tableFingerprint(s, s"$d/$t")
+    }
+    synchronized {
+      scalars.filterInPlace((_, e) => !e.session.sparkContext.isStopped)
+      scalars.get(key) match {
+        case Some(e) if e.fp == fp && (e.session eq s) => e.value
+        case _ =>
+          buildCounters
+            .computeIfAbsent(family, _ => new java.util.concurrent.atomic.AtomicLong(0))
+            .incrementAndGet()
+          val v = compute
+          scalars.update(key, ScalarEntry(s, fp, v))
+          v
       }
     }
   }
@@ -111,22 +213,15 @@ object Members {
     * they spare the DSIR / mixture consumers a doc_id re-join.
     */
   def th(s: SparkSession, d: String): DataFrame =
-    SessionMemo.frames(s, d, "thm", Seq("documents.parquet")) {
-      val docs = T.documents(s, d)
-      // lang/source are optional in ad-hoc corpora (specs plant
-      // (doc_id, text)-only tables) — absent columns ride as typed nulls
-      // so the one shared frame serves every consumer shape
-      val opt = Seq("lang", "source").map(c =>
-        if (docs.columns.contains(c)) col(c)
-        else lit(null).cast("string").as(c))
-      Seq(docs
-        // the test corpus lands as one parquet split; spread the hash
-        // work and the persisted layout across every core (a real
-        // cluster's scan is already split — this is a no-op there)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(Seq(col("doc_id"), md5(col("text")).as("th"),
-          md5(Dedup.normText).as("nth")) ++ opt: _*))
-    }.head
+    // r13: the mapping is the persisted THM artifact ([[AnnIndex
+    // .docHashes]] — fingerprint-keyed, delta-appended, streaming-
+    // maintained); a NEW session's first serve is a pure artifact load,
+    // not a corpus md5 pass, and no corpus-sized frame occupies executor
+    // storage for the session's life (verdict r12 #5). The memo keeps
+    // only the resolved reader handle.
+    SessionMemo.handle(s, d, "thm", Seq("documents.parquet")) {
+      AnnIndex.docHashes(s, d)
+    }
 
   /** The exact-duplicate group structure over [[th]]:
     * members (rep, doc_id, th) and reps (doc_id = the group's min member,
@@ -164,12 +259,21 @@ object Members {
     * 1/k of the table and every dot-product consumer prices per distinct.
     */
   def eh(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val fs = SessionMemo.frames(s, d, "ehm", Seq("embeddings.parquet")) {
+    // r13: the (vec_id, eh) hashes serve from the persisted EHM artifact
+    // ([[AnnIndex.vecHashes]]) — a new session no longer re-hashes every
+    // vector; it re-reads the vector column once (the (eh, RAW VECTOR)
+    // secondary equality key that keeps a 128-bit collision from merging
+    // distinct vectors), which is scan work, not hash work. Group
+    // structure (distinct-vector-sized) and the narrow member mapping
+    // stay session persists as before.
+    val hashes = SessionMemo.handle(s, d, "ehm", Seq("embeddings.parquet")) {
+      AnnIndex.vecHashes(s, d)
+    }
+    val fs = SessionMemo.frames(s, d, "ehg", Seq("embeddings.parquet")) {
       val tagged = T.embeddings(s, d)
         .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("eh", AnnIndex.ehCol(col("v")))
+        .join(hashes, "vec_id")
       val groups = tagged.groupBy("eh", "v")
         .agg(min("vec_id").as("rep"), min("nrm").as("nrm"),
           count(lit(1)).as("gsz"))

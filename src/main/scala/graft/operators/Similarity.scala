@@ -213,22 +213,41 @@ object Similarity {
     * to rep_a < rep_b).
     */
   private[graft] case class EmbedGraph(
-      members: DataFrame, reps: DataFrame, repPairs: DataFrame)
+      members: DataFrame, reps: DataFrame, repPairs: DataFrame,
+      pairBound: Option[Long] = None)
 
   /** The q_dedup_embed dataflow, unsorted — shared by the registered
     * query and [[semanticDedup]]'s component graph.
     */
-  private[graft] def embedPairs(s: SparkSession, d: String): DataFrame =
-    embedPairsFrom(embedGraph(s, d))
+  private[graft] def embedPairs(s: SparkSession, d: String): DataFrame = {
+    val g = embedGraph(s, d)
+    // expanded-output budget guard (see Dedup.expansionGuard): the
+    // member-pair expansion is quadratic in duplication by contract —
+    // refuse past graft.expand.maxRows, pointing at q_dedup_embed_rep
+    Dedup.expansionGuard(s, d, "EP",
+      g.repPairs.select(col("rep_a"), col("rep_b")),
+      g.reps.select(col("vec_id").as("rep"), col("gsz").as("n")),
+      Seq("embeddings.parquet"), "q_dedup_embed_rep")
+    embedPairsFrom(g)
+  }
 
   private[graft] def embedPairsFrom(g: EmbedGraph): DataFrame = {
-    val EmbedGraph(members, e, repPairs) = g
+    val EmbedGraph(members, e, repPairs, pairBound) = g
     // guarded broadcast of the distinct-content-bounded pair side — the
-    // expandPairs device (see Dedup.expandPairs r12): stats-driven
+    // expandPairs device (see Dedup.expandPairs r12/r13): stats-driven
     // planning over the cached members frame can flip the quadratic
-    // member expansion to sort-merge
-    val p = graft.CacheBag.track(repPairs)
-    val pp = if (p.count() <= 2000000L) broadcast(p) else p.hint("merge")
+    // member expansion to sort-merge. The served graph carries the EP
+    // meta's validated pair row total, so the guard prices no job; only
+    // the direct (spec-oracle) graph still pays a count.
+    val pp = pairBound match {
+      case Some(b) =>
+        if (b <= Dedup.broadcastPairCap) broadcast(repPairs)
+        else repPairs.hint("merge")
+      case None =>
+        val p = graft.CacheBag.track(repPairs)
+        if (p.count() <= Dedup.broadcastPairCap) broadcast(p)
+        else p.hint("merge")
+    }
     val cross = pp
       .join(members.select(col("rep").as("rep_a"), col("vec_id").as("ia")), "rep_a")
       .join(members.select(col("rep").as("rep_b"), col("vec_id").as("ib")), "rep_b")
@@ -269,14 +288,14 @@ object Similarity {
       val (mem, reps) = Members.eh(s, d)
       val members = mem.select(col("rep"), col("vec_id"))
       val e = reps.select(col("vec_id"), col("v"), col("nrm"), col("gsz"))
-      val ehPairs = AnnIndex.embedPairs(s, d)
+      val (ehPairs, pairBound) = AnnIndex.embedPairs(s, d)
       val ehRep = reps.select(col("eh"), col("vec_id").as("rep"))
       val repPairs = ehPairs
         .join(ehRep.select(col("eh").as("eh_a"), col("rep").as("ra")), "eh_a")
         .join(ehRep.select(col("eh").as("eh_b"), col("rep").as("rb")), "eh_b")
         .select(least(col("ra"), col("rb")).as("rep_a"),
           greatest(col("ra"), col("rb")).as("rep_b"), col("cosine"))
-      EmbedGraph(members, e, repPairs)
+      EmbedGraph(members, e, repPairs, Some(pairBound))
   }
 
   /** The in-plan computation the EP artifact freezes — kept as the spec
@@ -425,7 +444,7 @@ object Similarity {
   val dedupEmbedRep: Q = Q(
     "q_dedup_embed_rep",
     (s, d) => {
-      val EmbedGraph(_, reps, repPairs) = embedGraph(s, d)
+      val EmbedGraph(_, reps, repPairs, _) = embedGraph(s, d)
       val gsz = reps.select(col("vec_id"), col("gsz"))
       repPairs
         .join(gsz.select(col("vec_id").as("rep_a"), col("gsz").as("n_a")), "rep_a")
@@ -492,7 +511,14 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     kept.join(members.select(col("vec_id"), col("eh")), "eh")
-      .where(col("vec_id") =!= col("query_id"))
+      // content-aware self-exclusion (ADVICE r12): drop the member only
+      // when it IS the query — same id AND same content group. For member
+      // queries this is identical to the plain id filter (the self row
+      // always has eh == eh_q); for an EXTERNAL query id that merely
+      // coincides with an unrelated corpus vec_id (eh != eh_q) the plain
+      // filter excluded a member whose mass the trim above had counted,
+      // silently dropping the k-th result row.
+      .where(!(col("vec_id") === col("query_id") && col("eh") === col("eh_q")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)

@@ -249,6 +249,11 @@ object EventStream {
           s"$corpusDir/documents.parquet")
         // per-batch cache release — see lexIndexSink
         try {
+          // r13: the THM member mapping rides the tick first — the
+          // id-keyed delta append is exactly the batch's rows, and every
+          // family below (and any post-stream batch serve) reads doc↔th
+          // through it with no corpus hash pass
+          graft.operators.AnnIndex.docHashes(s, corpusDir)
           graft.operators.AnnIndex.ngPairs(s, corpusDir)
           graft.operators.AnnIndex.mhPairs(s, corpusDir)
           graft.operators.AnnIndex.shPairs(s, corpusDir)
@@ -331,8 +336,11 @@ object EventStream {
         writeBatchIdempotent(batch.toDF(), batchId,
           s"$corpusDir/embeddings.parquet")
         // per-batch cache release — see lexIndexSink
-        try graft.operators.AnnIndex.embedPairs(s, corpusDir)
-        finally graft.CacheBag.release()
+        try {
+          // r13: the EHM (vec_id, eh) mapping rides the tick like THM
+          graft.operators.AnnIndex.vecHashes(s, corpusDir)
+          graft.operators.AnnIndex.embedPairs(s, corpusDir)
+        } finally graft.CacheBag.release()
         ()
       })
 

@@ -493,6 +493,55 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("EC labels: an EP append relabels via the reduced union-find — delta-sized, identical to a fresh build (r13)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftec").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftecidx").toString
+    val freshRoot = java.nio.file.Files.createTempDirectory("graftecidx2").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def vec(axis: Int, eps: Double): Array[Float] =
+      (0 until 8).map(j => (if (j == axis) 1.0
+        else if (j == (axis + 1) % 8) eps else 0.0).toFloat).toArray
+    // a vector between axes a and b: cosine ≈ 0.707 to both — a BRIDGE
+    def bridge(a: Int, b: Int): Array[Float] =
+      (0 until 8).map(j => (if (j == a || j == b) 0.7071 else 0.0).toFloat).toArray
+    try {
+      // two components ({1,2,3} on axis0, {4,5} on axis1) + singletons
+      Seq(1L -> vec(0, 0), 2L -> vec(0, 0), 3L -> vec(0, 0.01),
+          4L -> vec(1, 0), 5L -> vec(1, 0.01),
+          6L -> vec(2, 0), 7L -> vec(3, 0))
+        .toDF("vec_id", "embedding").repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/embeddings.parquet")
+      val (ee0, ea0) = (AnnIndex.ecEncodes.get(), AnnIndex.ecAppends.get())
+      val sem1 = Similarity.semanticDedup.run(spark, tmp).collect()
+      assert(AnnIndex.ecEncodes.get() == ee0 + 1)
+      val cl1 = sem1.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(cl1(1L) == 1L && cl1(3L) == 1L && cl1(4L) == 4L && cl1(6L) == 6L)
+      // ingest: a bridge MERGING the two components, an exact dup of 6,
+      // and a fresh singleton — the three reduced-graph shapes
+      Seq(20L -> bridge(0, 1), 21L -> vec(2, 0), 22L -> vec(6, 0))
+        .toDF("vec_id", "embedding").repartition(1).write.mode("append")
+        .parquet(s"$tmp/embeddings.parquet")
+      val sem2 = Similarity.semanticDedup.run(spark, tmp).collect()
+      assert(AnnIndex.ecAppends.get() == ea0 + 1 &&
+        AnnIndex.ecEncodes.get() == ee0 + 1,
+        "an EP append must relabel delta-sized, not re-run the full propagation")
+      val cl2 = sem2.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+      for (id <- Seq(1L, 2L, 3L, 4L, 5L, 20L))
+        assert(cl2(id) == 1L, s"bridge merge lost member $id: $cl2")
+      assert(cl2(6L) == 6L && cl2(21L) == 6L, s"dup-append wrong: $cl2")
+      assert(cl2(22L) == 22L, s"fresh singleton mislabeled: $cl2")
+      // appended labels are row-identical to a from-scratch build
+      spark.conf.set("graft.ann.indexRoot", freshRoot)
+      val fresh = Similarity.semanticDedup.run(spark, tmp).collect()
+      assert(AnnIndex.ecEncodes.get() == ee0 + 2, "fresh root must full-build")
+      assert(sem2.map(_.toString).sorted.toSeq == fresh.map(_.toString).sorted.toSeq,
+        "appended EC labels diverge from a fresh build")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
+    }
+  }
+
   test("EP append across a cap-crossing bucket: containment holds — no false pairs, no recall lost vs fresh") {
     // the ADVICE r11 scenario: positive scalings of ONE direction share
     // every hyperplane sign (sign(dot) is scale-invariant), so all

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Marts, Similarity}
+
+/** r13 hardening battery: the expansion budget guard (verdict r12 #2),
+  * q_mart_union's placement-independent numbering (#4), and the
+  * content-aware ANN self-exclusion (ADVICE r12).
+  */
+class GuardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rmTree(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  test("expansion budget guard: a mega-dup corpus refuses the expanded output, names the rep twin; the twin still runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftxg").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftxgroot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // one text duplicated 40× (Σ k(k−1)/2 = 780 member pairs from the
+    // within-group expansion alone) + a distinct near-dup of it
+    val page = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 40).map(i => (i.toLong, page)) :+
+      (40L, page.replace("w7", "x7"))
+    try {
+      docs.toDF("doc_id", "text")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      spark.conf.set("graft.expand.maxRows", "100")
+      val e = intercept[IllegalStateException] {
+        Dedup.simhash.run(spark, tmp).collect()
+      }
+      assert(e.getMessage.contains("q_dedup_simhash_rep"),
+        s"refusal must point at the rep-level twin: ${e.getMessage}")
+      assert(e.getMessage.contains("graft.expand.maxRows"))
+      // the linear twin is exactly the production shape the guard points
+      // at — it must run under the same budget
+      assert(Dedup.simhashRep.run(spark, tmp).collect() != null)
+      // the estimate is memoized: a raised budget serves without refusal
+      // and the expansion emits the row count the guard computed
+      spark.conf.set("graft.expand.maxRows", "2000000000")
+      val expanded = Dedup.simhash.run(spark, tmp).count()
+      assert(expanded >= 780L, s"expansion lost within-group pairs: $expanded")
+    } finally {
+      spark.conf.unset("graft.expand.maxRows")
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
+  test("mart union: global numbering is placement-independent — no spark_partition_id, ids equal the global row_number") {
+    val out = Marts.martUnion.run(spark, sfDir)
+    // the r12 hazard: spark_partition_id() over repartitionByRange made
+    // correctness lean on ReuseExchange (see Marts scaladoc) — the plan
+    // must carry neither
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SPARK_PARTITION_ID") &&
+      !plan.toLowerCase.contains("spark_partition_id"),
+      "numbering must not depend on physical partition placement")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // ids are exactly 1..n in (priority, log_id|-1, custkey) order
+    val sorted = rows.sortBy { r =>
+      val prio = r.getAs[String]("o_orderpriority")
+      val lid = if (r.isNullAt(r.fieldIndex("log_id"))) -1L
+        else r.getAs[Long]("log_id")
+      (prio, lid, r.getAs[Long]("c_custkey"))
+    }
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("id") == i + 1,
+        s"id ${r.getAs[Int]("id")} at global rank ${i + 1}")
+    }
+  }
+
+  test("ann serve: an EXTERNAL query id colliding with an unrelated corpus vec_id keeps its k-th row (ADVICE r12)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftextq").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftextqroot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def vec(axis: Int, eps: Double): Array[Float] =
+      (0 until 8).map(j => (if (j == axis) 1.0
+        else if (j == (axis + 1) % 8) eps else 0.0).toFloat).toArray
+    try {
+      // 12 corpus vectors around axis 0; vec 3 is deliberately the
+      // query's NEAREST neighbor (eps 0.4 vs the query's 0.5 — cosine
+      // ≈ 0.996, every other vector ≈ 0.895), so losing it is visible
+      (0 until 12).map(i =>
+        (i.toLong, vec(0, if (i == 3) 0.4 else 0.001 * (i + 1))))
+        .toDF("vec_id", "embedding").repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/embeddings.parquet")
+      // external query: id 3 COINCIDES with corpus vec_id 3 but its
+      // vector (and so eh) differs — pre-fix, corpus row 3 was silently
+      // excluded as "self" and the served top-k lost a row
+      val queries = Seq((3L, vec(0, 0.5))).toDF("query_id", "embedding")
+      val served = Similarity.annServeLshBatch(spark, tmp, queries, k = 5)
+        .collect()
+      assert(served.length == 5,
+        s"external id collision dropped the k-th row: ${served.length} rows")
+      assert(served.exists(_.getAs[Long]("neighbor_id") == 3L),
+        "corpus vec 3 is not the query — it must stay servable")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+}

@@ -113,8 +113,14 @@ class PlanGuardSpec extends SparkSpec {
         case BuildLeft  => j.right
         case BuildRight => j.left
       }
-      st.collectLeaves().nonEmpty &&
-        st.collectLeaves().forall(_.toString.contains("graft_ann_index"))
+      // FILE scans only: an InMemoryTableScan leaf prints its cached
+      // plan, which (since the r13 EHM artifact) can itself mention the
+      // index root — the discriminator must not match memo caches
+      st.collectLeaves().nonEmpty && st.collectLeaves().forall {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.toString.contains("graft_ann_index")
+        case _ => false
+      }
     }
     assert(candJoins.size == 1,
       s"expected exactly one join streaming the persisted index, got ${candJoins.size}:\n$plan")
@@ -178,7 +184,12 @@ class PlanGuardSpec extends SparkSpec {
         case BuildRight => j.left
       }
     }.filter(st => st.collectLeaves().nonEmpty &&
-      st.collectLeaves().forall(_.toString.contains("graft_ann_index")))
+      // file scans only — see the q_ann_ivf test's note on memo caches
+      st.collectLeaves().forall {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.toString.contains("graft_ann_index")
+        case _ => false
+      })
     // exactly the candidate join: the rescore joins above it also carry
     // the index scan somewhere in their subtree, but their streamed side
     // mixes in the raw-vector scan — the candidate join's streamed side

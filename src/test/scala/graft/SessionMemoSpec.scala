@@ -98,4 +98,85 @@ class SessionMemoSpec extends SparkSpec {
     assert(bad == 0)
     assert(m2.count() == n && r2.count() == reps.count())
   }
+
+  test("THM artifact: hash pass once per content; restart serves a pure load; file append delta-encodes (r13)") {
+    import graft.operators.AnnIndex
+    val tmp = java.nio.file.Files.createTempDirectory("thm_art").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("thm_root").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    try {
+      (0 until 20).map(i => (i.toLong, s"alpha beta doc ${i % 6}", "en", s"s${i % 2}"))
+        .toDF("doc_id", "text", "lang", "source")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val (e0, a0) = (AnnIndex.thmEncodes.get(), AnnIndex.thmAppends.get())
+      val served = Members.th(spark, tmp)
+      assert(served.count() == 20)
+      assert(AnnIndex.thmEncodes.get() == e0 + 1,
+        "first serve must encode the THM artifact once")
+      // values are exactly the direct hash computation, lang/source ride
+      val direct = spark.read.parquet(s"$tmp/documents.parquet")
+        .select(col("doc_id").as("d2"), md5(col("text")).as("th2"), col("lang").as("l2"))
+      assert(served.join(direct, col("doc_id") === col("d2"))
+        .where(col("th") =!= col("th2") || col("lang") =!= col("l2")).count() == 0)
+      // restart (validation cache cleared): a pure artifact load — no
+      // corpus hash pass, the verdict-r12 #5 contract
+      AnnIndex.resetValidation()
+      assert(AnnIndex.docHashes(spark, tmp).count() == 20)
+      assert(AnnIndex.thmEncodes.get() == e0 + 1 &&
+        AnnIndex.thmAppends.get() == a0,
+        "a new session's serve must be a pure load, not a re-hash")
+      // pure file append: only the delta's rows are encoded
+      (20 until 27).map(i => (i.toLong, s"fresh text $i", "de", "s9"))
+        .toDF("doc_id", "text", "lang", "source")
+        .repartition(1).write.mode("append").parquet(s"$tmp/documents.parquet")
+      val after = Members.th(spark, tmp)
+      assert(after.count() == 27)
+      assert(AnnIndex.thmAppends.get() == a0 + 1 &&
+        AnnIndex.thmEncodes.get() == e0 + 1,
+        "a file append must delta-encode, never re-encode the corpus")
+      assert(after.where(col("doc_id") === 25L).select("lang")
+        .collect()(0).getString(0) == "de")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+    }
+  }
+
+  test("EHM artifact: vector hash pass once per content; append delta-encodes; eh values stable (r13)") {
+    import graft.operators.AnnIndex
+    val tmp = java.nio.file.Files.createTempDirectory("ehm_art").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("ehm_root").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    try {
+      (0 until 16).map(i => (i.toLong,
+        Array.tabulate(4)(j => ((i % 5) * 10 + j).toFloat)))
+        .toDF("vec_id", "embedding")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val (e0, a0) = (AnnIndex.ehmEncodes.get(), AnnIndex.ehmAppends.get())
+      val (members, reps) = Members.eh(spark, tmp)
+      assert(members.count() == 16)
+      assert(reps.count() == 5, "one rep per distinct vector")
+      assert(AnnIndex.ehmEncodes.get() == e0 + 1)
+      AnnIndex.resetValidation()
+      assert(AnnIndex.vecHashes(spark, tmp).count() == 16)
+      assert(AnnIndex.ehmEncodes.get() == e0 + 1 &&
+        AnnIndex.ehmAppends.get() == a0,
+        "restart must serve the EHM artifact, not re-hash the vectors")
+      // append: a duplicate of known content plus a novel vector
+      Seq((16L, Array.tabulate(4)(j => (0 * 10 + j).toFloat)),
+          (17L, Array.tabulate(4)(j => (99 + j).toFloat)))
+        .toDF("vec_id", "embedding")
+        .repartition(1).write.mode("append").parquet(s"$tmp/embeddings.parquet")
+      val (m2, r2) = Members.eh(spark, tmp)
+      assert(AnnIndex.ehmAppends.get() == a0 + 1 &&
+        AnnIndex.ehmEncodes.get() == e0 + 1)
+      assert(m2.count() == 18 && r2.count() == 6)
+      // the duplicate's eh equals its original's (hash purity across
+      // the append boundary)
+      val byId = m2.select("vec_id", "eh").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(byId(16L) == byId(0L))
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+    }
+  }
 }
