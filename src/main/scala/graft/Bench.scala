@@ -118,8 +118,13 @@ object Bench {
         // smoke must not poison the sf0.1 comparison (or vice versa), so
         // the file records its sf and a mismatch disables the trigger
         // rather than comparing apples to a 100x corpus
-        if (""""sf":"([^"]+)"""".r.findFirstMatchIn(s).exists(_.group(1) == sfDir))
-          """"(q[^"]*)":([0-9.Ee+-]+)""".r.findAllMatchIn(s)
+        // whitespace-tolerant: a seed written by another JSON emitter
+        // (e.g. python's json.dump, `"sf": "...", "q": 1.2`) must parse —
+        // the r12-committed seed used `": "` and the strict pattern
+        // silently discarded the WHOLE prior, disabling the 1.5x retime
+        // trigger for the entire run
+        if (""""sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).exists(_.group(1) == sfDir))
+          """"(q[^"]*)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(s)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         else Map.empty
       } else Map.empty

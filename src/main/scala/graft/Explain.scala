@@ -2,27 +2,56 @@ package graft
 
 /** Dev tool: print one query's formatted plan and its isolated wall time.
   * Usage: runMain graft.Explain <query> [sfdir]  (default /root/testdata/sf0.1;
-  * SPARK_GRAFT_CPUS overrides the local core count, default 8).
+  * SPARK_GRAFT_CPUS overrides the local core count, default 8;
+  * SPARK_GRAFT_PASSES overrides the pass count, default 2).
+  *
+  * Each ELAPSED line also carries the pass's scheduled job count and summed
+  * task time: on a noisy multi-tenant host, wall time alone cannot separate
+  * "the engine did more work" from "the host stole cycles" — taskSec is the
+  * engine's own work ledger (r13: the q_dedup_contain regression hid in
+  * wall-time noise for a whole round until taskSec showed 3x the execution
+  * work of the prior tree, pass after pass). STAGE lines flag any stage
+  * over 3 s of task time, the granularity the diagnosis actually needs.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val spark = GraftSession(s"local[$cpus]", 32)
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val q = SparkEntry.registry.find(_.name == args(0)).getOrElse(
       sys.error(s"unknown query '${args(0)}'; known: " +
         SparkEntry.registry.map(_.name).mkString(", ")))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        if (si.taskMetrics.executorRunTime > 3000)
+          println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+            f"runMs=${si.taskMetrics.executorRunTime}%8d " +
+            f"shufOut=${si.taskMetrics.shuffleWriteMetrics.recordsWritten}%8d")
+      }
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+    })
     q.run(spark, d).explain("formatted")
-    // two passes: the first pays JIT/codegen/page-cache warm-up, the second
-    // is comparable to Bench's min-of-two convention. Each pass re-runs
-    // q.run too, matching Bench.timeOne's accounting — for most queries
-    // construction is free, but iterative operators (connectedComponents'
-    // eager label rounds, memoized codebook fits) do real work there and
-    // a build-once harness would silently exclude it.
-    for (pass <- 1 to 2) {
+    // two passes by default: the first pays JIT/codegen/page-cache warm-up,
+    // the second is comparable to Bench's min-of-two convention. Each pass
+    // re-runs q.run too, matching Bench.timeOne's accounting — for most
+    // queries construction is free, but iterative operators
+    // (connectedComponents' eager label rounds, memoized codebook fits) do
+    // real work there and a build-once harness would silently exclude it.
+    for (pass <- 1 to passes) {
       val t0 = System.nanoTime()
       q.run(spark, d).write.format("noop").mode("overwrite").save()
-      println(s"ELAPSED pass $pass: ${(System.nanoTime() - t0) / 1e9}")
+      println(s"ELAPSED pass $pass: ${(System.nanoTime() - t0) / 1e9} " +
+        s"jobs=${jobs.getAndSet(0)} taskSec=${taskMs.getAndSet(0) / 1000.0}")
     }
     spark.stop()
   }

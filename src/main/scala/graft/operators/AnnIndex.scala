@@ -159,6 +159,22 @@ object AnnIndex {
     out.write(content.getBytes("UTF-8")); out.close()
   }
 
+  /** Bound an artifact write's FILE COUNT by its expected row count
+    * (~1M rows/file, min 1, cap 4096). Writes that inherit a
+    * 32-partition exchange (the idHashFamily encode's explicit
+    * repartition, ngPairs' candidate-join shuffle) landed 32 tiny files
+    * per artifact at dev scale — and every serve-side reference then
+    * paid 32 scan TASKS of pure fixed overhead, because the file-split
+    * planner bins one small file per split (openCostInBytes dominates).
+    * Measured r13: q_dedup_contain dropped 2.7 → 1.9 s at sf0.1 once
+    * np_pairs/thm_docs were single files. The repartition is a shuffle
+    * AFTER the encode's narrow compute stages, so encode parallelism is
+    * unchanged; an under-estimated `approxRows` just makes fatter files,
+    * which stay splittable by parquet row group on read.
+    */
+  private def boundFiles(df: DataFrame, approxRows: Long): DataFrame =
+    df.repartition(math.max(1L, math.min(4096L, approxRows / 1000000L + 1L)).toInt)
+
   private def readText(s: SparkSession, path: String): Option[String] =
     if (!exists(s, path)) None
     else {
@@ -860,7 +876,8 @@ object AnnIndex {
         case Some((base, delta, _, params)) if params.nonEmpty =>
           (if (fam == "THM") thmAppends else ehmAppends).incrementAndGet()
           if (chained) {
-            encode(delta).write.mode("overwrite").parquet(s"$vd/$art")
+            boundFiles(encode(delta), cnt)
+              .write.mode("overwrite").parquet(s"$vd/$art")
             val nNew = s.read.parquet(s"$vd/$art").count()
             writeFileList(s, vd, cur)
             writeMeta(s, vd, fam,
@@ -869,7 +886,8 @@ object AnnIndex {
           } else {
             // self-contained: base rows carry verbatim (ids are
             // append-stable), only the delta's rows are ENCODED
-            s.read.parquet(s"$base/$art").unionByName(encode(delta))
+            boundFiles(
+                s.read.parquet(s"$base/$art").unionByName(encode(delta)), cnt)
               .write.mode("overwrite").parquet(s"$vd/$art")
             val n = s.read.parquet(s"$vd/$art").count()
             writeFileList(s, vd, cur)
@@ -879,7 +897,8 @@ object AnnIndex {
           pruneSiblings(s, vd)
         case _ =>
           (if (fam == "THM") thmEncodes else ehmEncodes).incrementAndGet()
-          encode(Seq(table)).write.mode("overwrite").parquet(s"$vd/$art")
+          boundFiles(encode(Seq(table)), cnt)
+            .write.mode("overwrite").parquet(s"$vd/$art")
           val n = s.read.parquet(s"$vd/$art").count()
           writeFileList(s, vd, cur)
           writeMeta(s, vd, fam, None, cnt, n.toString)
@@ -1566,9 +1585,9 @@ object AnnIndex {
             greatest(col("a.th"), col("b.th")).as("th_b"))
     def writeAll(pairs: DataFrame, bsz: DataFrame, ths: DataFrame,
         cur: Seq[(String, Long, Long)]): Unit = {
-      pairs.write.mode("overwrite").parquet(s"$vd/${lc}_pairs")
-      bsz.write.mode("overwrite").parquet(s"$vd/${lc}_bsz")
-      ths.write.mode("overwrite").parquet(s"$vd/${lc}_ths")
+      boundFiles(pairs, cnt).write.mode("overwrite").parquet(s"$vd/${lc}_pairs")
+      boundFiles(bsz, cnt).write.mode("overwrite").parquet(s"$vd/${lc}_bsz")
+      boundFiles(ths, cnt).write.mode("overwrite").parquet(s"$vd/${lc}_ths")
       val nP = s.read.schema(pairSchema).parquet(s"$vd/${lc}_pairs").count()
       writeFileList(s, vd, cur)
       writeMeta(s, vd, fam, None, cnt, nP.toString)
@@ -1786,9 +1805,11 @@ object AnnIndex {
     }
     def writeAll(pairs: DataFrame, cnts: DataFrame, dfAll: DataFrame,
         cur: Seq[(String, Long, Long)]): Unit = {
-      pairs.write.mode("overwrite").parquet(s"$vd/np_pairs")
-      cnts.write.mode("overwrite").parquet(s"$vd/np_cnt")
-      dfAll.write.mode("overwrite").parquet(s"$vd/np_kept")
+      // pairs ≈ O(cnt) under the df cap; np_kept is shingle-df-sized
+      // (~tens of distinct shingles per text) — see boundFiles
+      boundFiles(pairs, cnt).write.mode("overwrite").parquet(s"$vd/np_pairs")
+      boundFiles(cnts, cnt).write.mode("overwrite").parquet(s"$vd/np_cnt")
+      boundFiles(dfAll, cnt * 32).write.mode("overwrite").parquet(s"$vd/np_kept")
       val nP = s.read.schema(pairSchema).parquet(s"$vd/np_pairs").count()
       val nC = s.read.schema(cntSchema).parquet(s"$vd/np_cnt").count()
       writeFileList(s, vd, cur)
@@ -1947,7 +1968,8 @@ object AnnIndex {
     if (!exists(s, s"$vd/_GRAFT_OK_$fam")) return false
     val chain = chainDirs(s, vd, fam)
     if (chain.size <= 1) return false
-    chain.map(c => s.read.parquet(s"$c/$art")).reduce(_ unionByName _)
+    boundFiles(
+        chain.map(c => s.read.parquet(s"$c/$art")).reduce(_ unionByName _), cnt)
       .write.mode("overwrite").parquet(s"$vd/${art}_c")
     val f = fs(s, vd)
     f.delete(new org.apache.hadoop.fs.Path(s"$vd/$art"), true)

