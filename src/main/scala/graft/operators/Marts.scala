@@ -185,7 +185,13 @@ object Marts {
           col("c_custkey"), col("o_orderpriority"),
           lit("GROUPED").as("status_type"),
           col("price_cents"), col("cnt"))
-      val unioned = perRow.unionByName(grouped)
+      // query-lifetime cache: the numbering device below drives THREE
+      // actions over this frame (the width stats pass, the bucket-totals
+      // collect, and the final serve) — uncached, each re-executes the
+      // whole star-join lineage (measured 2.2-2.8 s vs the r12 1.4 s at
+      // sf0.1, the only >1.5x flag of the r13 bench). The frame is the
+      // mart's own output size, MEMORY_AND_DISK, released per query.
+      val unioned = graft.CacheBag.track(perRow.unionByName(grouped))
       import org.apache.spark.sql.expressions.Window
       // Two-phase global numbering over a DETERMINISTIC key-arithmetic
       // bucket (the Assembly.prefixSum device). A bare Window.orderBy
