@@ -110,7 +110,14 @@ object Bench {
     //      the isolated truth was 6.7 s — adjudicating that cost a judge
     //      re-run three rounds straight. A genuine regression re-times to
     //      the same slow number and the extra pass cost one query's time.
-    val priorPath = java.nio.file.Paths.get("bench_prior.json")
+    // ONE PRIOR FILE PER SCALE FACTOR (r13): the read side always guarded
+    // the sf, but the write side rewrote the single file wholesale — so a
+    // 100x smoke REPLACED the sf0.1 ratchet and the next sf0.1 run had no
+    // baseline at all (exactly the poisoning the read-side guard exists to
+    // stop). The default sf keeps the historical repo-tracked name.
+    val priorPath = java.nio.file.Paths.get(
+      if (sfDir == "/root/testdata/sf0.1") "bench_prior.json"
+      else "bench_prior_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".json")
     val prior: Map[String, Double] =
       if (java.nio.file.Files.exists(priorPath)) {
         val s = new String(java.nio.file.Files.readAllBytes(priorPath), "UTF-8")

@@ -1756,9 +1756,10 @@ object AnnIndex {
     * Validation: pair and cnt row counts vs the meta, failing loud.
     *
     * Returns (np_pairs reader, np_cnt reader, exact persisted pair row
-    * count — the expansion-side broadcast-guard bound).
+    * count — the expansion-side broadcast-guard bound — and the exact
+    * distinct-text count, the guard bound for the cnt/idx join sides).
     */
-  private[graft] def ngPairs(s: SparkSession, d: String): (DataFrame, DataFrame, Long) = {
+  private[graft] def ngPairs(s: SparkSession, d: String): (DataFrame, DataFrame, Long, Long) = {
     import org.apache.spark.sql.types._
     val table = s"$d/documents.parquet"
     val cnt = s.read.parquet(table).count()
@@ -1880,7 +1881,7 @@ object AnnIndex {
     validate(vd, "NP2C", nC,
       s.read.schema(cntSchema).parquet(s"$vd/np_cnt").count())
     (s.read.schema(pairSchema).parquet(s"$vd/np_pairs"),
-      s.read.schema(cntSchema).parquet(s"$vd/np_cnt"), nP)
+      s.read.schema(cntSchema).parquet(s"$vd/np_cnt"), nP, nC)
   }
 
   /** Collapse a LEX append chain into one self-contained version — the

@@ -33,6 +33,19 @@ object Dedup {
     */
   private[graft] val broadcastPairCap = 500000L
 
+  /** Guarded broadcast for DISTINCT-CONTENT-sized serve frames (reps/cnt
+    * id mappings, exact row bound from the artifact meta): duplication
+    * does not grow them, so on any duplication-heavy corpus they stay
+    * broadcastable long after the member side does not — but at true
+    * web scale distinct content itself is huge, so past the cap the
+    * planner keeps its exchange-based strategies. Without the hint the
+    * post-join stats estimates inflate and Catalyst SMJ-exchanges these
+    * 5k-row frames on every serve (3 exchanges, ~20 task-sec/pass at
+    * sf0.1 measured on q_dedup_contain).
+    */
+  private[operators] def bcIf(df: DataFrame, bound: Long): DataFrame =
+    if (bound <= broadcastPairCap) broadcast(df) else df
+
   /** The ONE definition of "exact duplicate after normalization":
     * whitespace-collapsed lowercase text. Shared by q_dedup_exact and
     * q_dedup_clusters' exact-edge derivation so the two can't silently
@@ -280,7 +293,7 @@ object Dedup {
     * cluster labels, which never needs the member-doc expansion.
     */
   private[operators] def ngramRepPairs(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Long, Long) = {
       val (members, reps) = collapseExact(s, d)
       // r10: the whole candidate machinery — the df-capped inverted-index
       // SELF-JOIN over shingle hashes, the family's dominant per-session
@@ -293,20 +306,23 @@ object Dedup {
       // artifact: the inverted-index join and intersection counts are
       // identical (64-bit collisions are ~1e-10 at this corpus size and
       // the oracle would catch one).
-      val (pairsTh, cntTh, pairBound) = AnnIndex.ngPairs(s, d)
+      val (pairsTh, cntTh, pairBound, cntBound) = AnnIndex.ngPairs(s, d)
       val idx = reps.select(col("th"), col("doc_id"))
-      val cnt = cntTh.join(idx, "th").select(col("doc_id"), col("nsh"))
+      val cnt = cntTh.join(bcIf(idx, cntBound), "th")
+        .select(col("doc_id"), col("nsh"))
       val repPairs = pairsTh
-        .join(idx.select(col("th").as("th_a"), col("doc_id").as("da")), "th_a")
-        .join(idx.select(col("th").as("th_b"), col("doc_id").as("db")), "th_b")
+        .join(bcIf(idx.select(col("th").as("th_a"), col("doc_id").as("da")),
+          cntBound), "th_a")
+        .join(bcIf(idx.select(col("th").as("th_b"), col("doc_id").as("db")),
+          cntBound), "th_b")
         .select(least(col("da"), col("db")).as("rep_a"),
           greatest(col("da"), col("db")).as("rep_b"),
           col("inter"), col("uni"))
-      (repPairs, members, cnt, reps, pairBound)
+      (repPairs, members, cnt, reps, pairBound, cntBound)
   }
 
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-      val (repPairs, members, cnt, reps, bound) = ngramRepPairs(s, d)
+      val (repPairs, members, cnt, reps, bound, cntBound) = ngramRepPairs(s, d)
       expansionGuard(s, d, "NP2", repPairs,
         reps.select(col("doc_id").as("rep"), col("gsz").as("n")),
         Seq("documents.parquet"), "q_dedup_ngram_rep")
@@ -314,7 +330,8 @@ object Dedup {
       val within = members.as("x")
         .join(members.as("y"),
           col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-        .join(cnt.where(col("nsh") >= 3).as("c"), col("x.rep") === col("c.doc_id"))
+        .join(bcIf(cnt.where(col("nsh") >= 3).as("c"), cntBound),
+          col("x.rep") === col("c.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("c.nsh").as("inter"), col("c.nsh").as("uni"))
       cross.union(within)
@@ -391,10 +408,13 @@ object Dedup {
     // bucket-cap-crossing refit there); this run re-derives only the
     // doc↔th mapping
     val idx = reps.select(col("th"), col("doc_id"))
+    val nDistinct = Members.thDistinct(s, d)
     val (pairsTh, pairBound) = AnnIndex.mhPairs(s, d)
     val repPairs = pairsTh
-      .join(idx.select(col("th").as("th_a"), col("doc_id").as("da")), "th_a")
-      .join(idx.select(col("th").as("th_b"), col("doc_id").as("db")), "th_b")
+      .join(bcIf(idx.select(col("th").as("th_a"), col("doc_id").as("da")),
+        nDistinct), "th_a")
+      .join(bcIf(idx.select(col("th").as("th_b"), col("doc_id").as("db")),
+        nDistinct), "th_b")
       .select(least(col("da"), col("db")).as("rep_a"),
         greatest(col("da"), col("db")).as("rep_b"), col("bands_matching"))
     (repPairs, members, reps, sigs, pairBound)
@@ -479,10 +499,13 @@ object Dedup {
     // bucket-cap-crossing refit there); this run re-derives only the
     // doc↔th mapping
     val idx = reps.select(col("th"), col("doc_id"))
+    val nDistinct = Members.thDistinct(s, d)
     val (pairsTh, pairBound) = AnnIndex.shPairs(s, d)
     val repPairs = pairsTh
-      .join(idx.select(col("th").as("th_a"), col("doc_id").as("da")), "th_a")
-      .join(idx.select(col("th").as("th_b"), col("doc_id").as("db")), "th_b")
+      .join(bcIf(idx.select(col("th").as("th_a"), col("doc_id").as("da")),
+        nDistinct), "th_a")
+      .join(bcIf(idx.select(col("th").as("th_b"), col("doc_id").as("db")),
+        nDistinct), "th_b")
       .select(least(col("da"), col("db")).as("rep_a"),
         greatest(col("da"), col("db")).as("rep_b"), col("hamming"))
     (repPairs, members, reps, pairBound)
@@ -559,7 +582,7 @@ object Dedup {
   val ngramRep: Q = Q(
     "q_dedup_ngram_rep",
     (s, d) => {
-      val (repPairs, _, _, reps, _) = ngramRepPairs(s, d)
+      val (repPairs, _, _, reps, _, _) = ngramRepPairs(s, d)
       // group sizes ride the reps (group) table directly (see simhashRep)
       val sizes = reps.select(col("doc_id").as("rep"), col("gsz").as("n"))
       repPairs
@@ -627,7 +650,7 @@ object Dedup {
   val containment: Q = Q(
     "q_dedup_contain",
     (s, d) => {
-      val (repPairs, members, cnt, reps, bound) = ngramRepPairs(s, d)
+      val (repPairs, members, cnt, reps, bound, cntBound) = ngramRepPairs(s, d)
       // shares NP2's memoized estimate with q_dedup_ngram (same pair
       // graph; the >=0.8 containment filter only shrinks it). No
       // containment-specific rep twin is registered, so the message
@@ -636,8 +659,10 @@ object Dedup {
         reps.select(col("doc_id").as("rep"), col("gsz").as("n")),
         Seq("documents.parquet"), "q_dedup_ngram_rep")
       val cross = repPairs
-        .join(cnt.select(col("doc_id").as("rep_a"), col("nsh").as("na")), "rep_a")
-        .join(cnt.select(col("doc_id").as("rep_b"), col("nsh").as("nb")), "rep_b")
+        .join(bcIf(cnt.select(col("doc_id").as("rep_a"), col("nsh").as("na")),
+          cntBound), "rep_a")
+        .join(bcIf(cnt.select(col("doc_id").as("rep_b"), col("nsh").as("nb")),
+          cntBound), "rep_b")
         .select(col("rep_a"), col("rep_b"), col("inter"),
           least(col("na"), col("nb")).as("n_small"),
           greatest(col("na"), col("nb")).as("n_big"))
@@ -839,7 +864,7 @@ object Dedup {
     // persisted artifact stores — see AnnIndex.ccIndex for why doc ids
     // stay out of the artifact
     def fullBuild(): DataFrame = {
-      val (repPairs, _, _, _, _) = ngramRepPairs(s, d)
+      val (repPairs, _, _, _, _, _) = ngramRepPairs(s, d)
       val repNid = docs.join(nodes, "nth").select(col("doc_id"), col("nid"))
       val ngramE = repPairs
         .where(col("inter").cast("double") / col("uni").cast("double") >= 0.5)

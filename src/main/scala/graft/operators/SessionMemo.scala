@@ -257,13 +257,31 @@ object Members {
     val fs = SessionMemo.frames(s, d, "thg", Seq("documents.parquet")) {
       val groups = th(s, d).groupBy("th")
         .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
+      // members is REPARTITIONED at build: a cached frame freezes its
+      // partitioning for the session, and with th reading a row-bounded
+      // artifact (possibly ONE file) the whole downstream chain would
+      // inherit 1-4 partitions — at 100x the 208M-row simhash expansion
+      // collapsed to 4 tasks (155 s vs 25). Hash by rep: full parallelism
+      // for every consumer, and the cached HashPartitioning lets the
+      // within-group member self-joins (x.rep = y.rep) skip both
+      // exchanges.
       Seq(groups,
         th(s, d).join(groups.select("th", "rep"), "th")
-          .select(col("rep"), col("doc_id"), col("th")))
+          .select(col("rep"), col("doc_id"), col("th"))
+          .repartition(s.sparkContext.defaultParallelism, col("rep")))
     }
     val (groups, members) = (fs(0), fs(1))
     (members, groups.select(col("rep").as("doc_id"), col("th"), col("gsz")))
   }
+
+  /** Exact distinct-text count — the guarded-broadcast bound for the
+    * rep/cnt id-mapping join sides (Dedup.bcIf): one count over the
+    * already-materialized groups cache, memoized per session.
+    */
+  def thDistinct(s: SparkSession, d: String): Long =
+    SessionMemo.scalar(s, d, "thn", Seq("documents.parquet")) {
+      thGroups(s, d)._2.count()
+    }
 
   /** The embedding twin over `embeddings.parquet`:
     * members (rep, vec_id, eh) and reps (vec_id = the group's min member,
@@ -295,9 +313,13 @@ object Members {
         .agg(min("vec_id").as("rep"), min("nrm").as("nrm"),
           count(lit(1)).as("gsz"))
       Seq(
+        // repartitioned at build like the text twin: cached partitioning
+        // is session-frozen and must not inherit a source scan's file
+        // layout; hashing by rep co-partitions the member self-joins
         tagged.select("vec_id", "eh", "v")
           .join(groups.select("eh", "v", "rep"), Seq("eh", "v"))
-          .select(col("rep"), col("vec_id"), col("eh")),
+          .select(col("rep"), col("vec_id"), col("eh"))
+          .repartition(s.sparkContext.defaultParallelism, col("rep")),
         groups.select(col("rep").as("vec_id"), col("eh"), col("v"),
           col("nrm"), col("gsz")))
     }
