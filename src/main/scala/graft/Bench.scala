@@ -18,9 +18,21 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // normalized (absolute, no trailing separator): the per-sf prior file
+    // and its in-file sf guard key on this exact string, so a trailing
+    // slash / relative path / symlink spelling would silently fork a new
+    // prior and disable the re-time ratchet for the run (ADVICE r13)
+    val sfDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      .toAbsolutePath.normalize.toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession(s"local[$cpus]", shufflePartitions = cpus)
+    // deliberate expansion-budget raise for scale smokes that WANT the
+    // quadratic member-pair outputs (the 100× MakeScale corpus is 100×-
+    // duplicated by construction, past the 1e8 default refusal) — the
+    // env spelling makes the raise visible in the run's invocation line
+    sys.env.get("SPARK_GRAFT_EXPAND_MAXROWS")
+      .foreach(v => spark.conf.set("graft.expand.maxRows", v))
     // Warm the JVM/codegen once so per-query numbers measure the plan,
     // not first-call JIT + parquet footer reads.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -118,7 +130,23 @@ object Bench {
     val priorPath = java.nio.file.Paths.get(
       if (sfDir == "/root/testdata/sf0.1") "bench_prior.json"
       else "bench_prior_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".json")
-    val prior: Map[String, Double] =
+    // the prior file carries TWO flat maps since r14: "queries" = the
+    // ratchet (element-wise historical min at this sf — can only fall)
+    // and "last" = the PREVIOUS RUN's recorded mins verbatim. Both must
+    // be parsed scoped to their own object — the same query keys appear
+    // in each, and a whole-string scan would let the later map shadow
+    // the former.
+    def objOf(s: String, name: String): String = {
+      val i = s.indexOf("\"" + name + "\"")
+      if (i < 0) "" else {
+        val a = s.indexOf('{', i); val b = if (a < 0) -1 else s.indexOf('}', a)
+        if (b < 0) "" else s.substring(a, b + 1)
+      }
+    }
+    def qMap(s: String): Map[String, Double] =
+      """"(q[^"]*)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val (prior, lastRun): (Map[String, Double], Map[String, Double]) =
       if (java.nio.file.Files.exists(priorPath)) {
         val s = new String(java.nio.file.Files.readAllBytes(priorPath), "UTF-8")
         // the prior is only a baseline at the SAME scale factor: a 100x
@@ -131,10 +159,9 @@ object Bench {
         // silently discarded the WHOLE prior, disabling the 1.5x retime
         // trigger for the entire run
         if (""""sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).exists(_.group(1) == sfDir))
-          """"(q[^"]*)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(s)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        else Map.empty
-      } else Map.empty
+          (qMap(objOf(s, "queries")), qMap(objOf(s, "last")))
+        else (Map.empty, Map.empty)
+      } else (Map.empty, Map.empty)
     // SPARK_GRAFT_FORCE_P3: comma-separated query names whose p3 re-time
     // runs unconditionally — makes the SUSTAINED-re-execution regime (the
     // one that OOM'd q_found_agg at 100× in r7 after both scored passes)
@@ -146,6 +173,11 @@ object Bench {
     // threshold — a reading the verdict would flag gets re-timed in-run,
     // not adjudicated a round later), and every suspect is recorded in
     // the artifact with its trigger so the re-time is self-documenting.
+    // r14 (verdict r13 #3) adds trigger (c): min ≥ 1.3× the PREVIOUS
+    // run's recorded min — the ratchet alone only fires above the
+    // historical BEST, so a query that regresses round-over-round while
+    // staying under a noisy old reading escaped adjudication (q_ann_topk
+    // 2.4 vs 1.4 at 100× in r13).
     val suspectWhy = SparkEntry.registry.flatMap { q =>
       val why = (p1(q.name)._1, p2(q.name)._1) match {
         case (Right(a), Right(b)) =>
@@ -153,6 +185,8 @@ object Bench {
           if (mn > 0.3 && math.max(a, b) > 3 * mn) Some("pass_disagree")
           else if (prior.get(q.name).exists(p => mn > 0.3 && mn > 1.5 * p))
             Some("above_prior")
+          else if (lastRun.get(q.name).exists(p => mn > 0.3 && mn > 1.3 * p))
+            Some("above_last")
           else if (forced(q.name)) Some("forced") else None
         case _ => if (forced(q.name)) Some("forced") else None
       }
@@ -199,7 +233,8 @@ object Bench {
         case Left(e) => "\"" + jesc(e) + "\""
       }
       "\"" + q.name + "\":{\"why\":\"" + suspectWhy(q.name) + "\",\"p3\":" + p3v +
-        prior.get(q.name).map(p => s""","prior":$p""").getOrElse("") + "}"
+        prior.get(q.name).map(p => s""","prior":$p""").getOrElse("") +
+        lastRun.get(q.name).map(p => s""","last":$p""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val loads = passLoads.map { case (n, (a, b)) => s""""$n":[$a,$b]""" }
       .mkString("{", ",", "}")
@@ -222,8 +257,14 @@ object Bench {
     val ratchet = results.map { case (k, v) =>
       "\"" + k + "\":" + prior.get(k).map(math.min(_, v)).getOrElse(v)
     }.mkString("{", ",", "}")
+    // "last" = THIS run's mins verbatim (next run's round-over-round
+    // baseline for the 1.3x trigger) — unlike the ratchet it follows the
+    // current tree both up and down
+    val lastJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     java.nio.file.Files.write(priorPath,
-      (s"""{"sf":"$sfDir","queries":$ratchet}""" + "\n").getBytes("UTF-8"))
+      (s"""{"sf":"$sfDir","queries":$ratchet,"last":$lastJson}""" + "\n")
+        .getBytes("UTF-8"))
     println(line)
     // Compact totals-only line printed LAST: the driver captures a
     // 2000-char stdout tail, and the full 71-query line overflows it

@@ -41,6 +41,17 @@ object Explain {
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
     })
     q.run(spark, d).explain("formatted")
+    // listener events arrive asynchronously on the listener bus — read
+    // the counters only after the bus drains, or in-flight onTaskEnd
+    // events from this pass bleed into the next pass's ledger (and jobs
+    // run during the explain/construction phase above would be charged
+    // to pass 1). ADVICE r13. The bus has no public flush (listenerBus is
+    // private[spark]); empirically local-mode events land within
+    // milliseconds of the job end, so a 300 ms settle bounds the bleed to
+    // noise for a ledger read in whole task-seconds. Counters then reset
+    // at the START of each pass so the attribution window is exactly
+    // [q.run, settle].
+    def drain(): Unit = Thread.sleep(300)
     // two passes by default: the first pays JIT/codegen/page-cache warm-up,
     // the second is comparable to Bench's min-of-two convention. Each pass
     // re-runs q.run too, matching Bench.timeOne's accounting — for most
@@ -48,10 +59,13 @@ object Explain {
     // (connectedComponents' eager label rounds, memoized codebook fits) do
     // real work there and a build-once harness would silently exclude it.
     for (pass <- 1 to passes) {
+      drain(); jobs.set(0); taskMs.set(0)
       val t0 = System.nanoTime()
       q.run(spark, d).write.format("noop").mode("overwrite").save()
-      println(s"ELAPSED pass $pass: ${(System.nanoTime() - t0) / 1e9} " +
-        s"jobs=${jobs.getAndSet(0)} taskSec=${taskMs.getAndSet(0) / 1000.0}")
+      val wall = (System.nanoTime() - t0) / 1e9
+      drain()
+      println(s"ELAPSED pass $pass: $wall " +
+        s"jobs=${jobs.get()} taskSec=${taskMs.get() / 1000.0}")
     }
     spark.stop()
   }

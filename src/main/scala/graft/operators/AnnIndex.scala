@@ -289,6 +289,21 @@ object AnnIndex {
     * siblings die on the family's next full refit into a new version
     * (chain = {new vd}), which is when pruning them becomes safe.
     */
+  // retired layouts (markers a PREVIOUS release wrote, no longer
+  // served): without the exemption the keep-forever rule for
+  // not-yet-rebuilt families would preserve their corpus-sized
+  // artifacts indefinitely
+  private val retiredFams = Set(
+    "LEX", // r8 doc-keyed postings, superseded by LXT
+    "NP",  // r10 kept-only shingle-df layout, superseded by NP2
+    // r7-r11 vec_id-keyed vector indexes, superseded by the r12
+    // eh-keyed layouts (one row per DISTINCT vector)
+    "IVF", "PQ", "LSH", "IVFPQ",
+    // r11 bucket-pair layouts with kept-only bucket tables, superseded
+    // by MP2/SP2 (full bucket-size table + th registry — batch-sized
+    // append deltas, the NP2 device)
+    "MP", "SP")
+
   private def pruneSiblings(s: SparkSession, vd: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(vd)
     val parent = p.getParent
@@ -296,24 +311,10 @@ object AnnIndex {
     if (!f.exists(parent)) return
     val sibs = f.listStatus(parent).toSeq.filter(_.isDirectory)
       .map(_.getPath.toUri.getPath)
-    // retired layouts (markers a PREVIOUS release wrote, no longer
-    // served): without the exemption the keep-forever rule for
-    // not-yet-rebuilt families would preserve their corpus-sized
-    // artifacts indefinitely
-    val retired = Set(
-      "LEX", // r8 doc-keyed postings, superseded by LXT
-      "NP",  // r10 kept-only shingle-df layout, superseded by NP2
-      // r7-r11 vec_id-keyed vector indexes, superseded by the r12
-      // eh-keyed layouts (one row per DISTINCT vector)
-      "IVF", "PQ", "LSH", "IVFPQ",
-      // r11 bucket-pair layouts with kept-only bucket tables, superseded
-      // by MP2/SP2 (full bucket-size table + th registry — batch-sized
-      // append deltas, the NP2 device)
-      "MP", "SP")
     val fams = sibs.flatMap(b => f.listStatus(new org.apache.hadoop.fs.Path(b))
         .toSeq.map(_.getPath.getName).filter(_.startsWith("_GRAFT_OK_"))
         .map(_.stripPrefix("_GRAFT_OK_"))).distinct
-      .filterNot(retired)
+      .filterNot(retiredFams)
     val keep = fams.flatMap { fam =>
       if (exists(s, s"$vd/_GRAFT_OK_$fam")) chainDirs(s, vd, fam)
       else sibs.filter(b => exists(s, s"$b/_GRAFT_OK_$fam"))
@@ -322,6 +323,64 @@ object AnnIndex {
     f.listStatus(parent).foreach { st =>
       if (!keep(st.getPath.getName)) f.delete(st.getPath, true)
     }
+  }
+
+  /** GC sweep over a table's version dirs (r14, verdict r13 #7) — the
+    * MAINTENANCE-cadence complement to [[pruneSiblings]]'s build-time
+    * prune. Prune's keep-forever rule preserves EVERY sibling where a
+    * family not yet rebuilt in `vd` is complete — correct at build time
+    * (any completion order must not orphan another family's chain, the
+    * r11 hazard) but it accumulates: once a family lags a few content
+    * versions, each of its old complete dirs is pinned by every later
+    * prune even though only the NEWEST of them can ever serve again.
+    * The sweep keeps, per (non-retired) family:
+    *  - complete in the CURRENT content's `vd` → that chain (a live
+    *    chain dir is never deleted — spec-pinned), else
+    *  - the deepest-inventory sibling whose recorded file inventory is
+    *    still a SUBSET of the current table files (the one usable
+    *    append base, same selection rule as [[appendBase]]) plus its
+    *    chain; a dir whose inventory no longer subsets the table (the
+    *    table was rewritten) can never serve again and is dead weight.
+    * Deleting an in-principle-usable older base only costs a refit,
+    * never correctness: every serve path revalidates (fp, n) and
+    * rebuilds from the table on a miss. Returns the deleted-dir count.
+    * Disk bound after a sweep: ≤ one version chain per family per table.
+    */
+  private[graft] def sweepVersions(s: SparkSession, tablePath: String): Int = {
+    if (!exists(s, tablePath)) return 0
+    val cnt = s.read.parquet(tablePath).count()
+    val fp = Similarity.tableFingerprint(s, tablePath)
+    sweepAt(s, tablePath, versionDirFor(s, tablePath, math.max(cnt, 1L), fp))
+  }
+
+  private def sweepAt(s: SparkSession, tablePath: String, vd: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(vd)
+    val parent = p.getParent
+    val f = fs(s, vd)
+    if (!f.exists(parent)) return 0
+    val cur = physFiles(s, tablePath).toSet
+    val sibs = f.listStatus(parent).toSeq.filter(_.isDirectory)
+      .map(_.getPath.toUri.getPath)
+    val fams = sibs.flatMap(b => f.listStatus(new org.apache.hadoop.fs.Path(b))
+        .toSeq.map(_.getPath.getName).filter(_.startsWith("_GRAFT_OK_"))
+        .map(_.stripPrefix("_GRAFT_OK_"))).distinct
+      .filterNot(retiredFams)
+    val keep = fams.flatMap { fam =>
+      if (exists(s, s"$vd/_GRAFT_OK_$fam")) chainDirs(s, vd, fam)
+      else sibs.filter(b => exists(s, s"$b/_GRAFT_OK_$fam"))
+        .flatMap(b => readFileList(s, b).map(fl => (b, fl)))
+        .filter { case (_, fl) => fl.toSet.subsetOf(cur) }
+        .sortBy { case (b, fl) => (-fl.size, b) }
+        .headOption.toSeq
+        .flatMap { case (b, _) => chainDirs(s, b, fam) }
+    }.map(new org.apache.hadoop.fs.Path(_).getName).toSet + p.getName
+    var n = 0
+    f.listStatus(parent).foreach { st =>
+      if (st.isDirectory && !keep(st.getPath.getName)) {
+        f.delete(st.getPath, true); n += 1
+      }
+    }
+    n
   }
 
   /** The delta rows, read from ONLY the appended files, projected exactly
@@ -876,7 +935,15 @@ object AnnIndex {
         case Some((base, delta, _, params)) if params.nonEmpty =>
           (if (fam == "THM") thmAppends else ehmAppends).incrementAndGet()
           if (chained) {
-            boundFiles(encode(delta), cnt)
+            // the delta segment is sized by the DELTA's own rows (one
+            // output row per appended id), never the full-table cnt —
+            // cnt-sizing wrote ~cnt/1M near-empty files for a small
+            // append onto a large base, reintroducing the per-serve
+            // tiny-file scan tax on every chained read (ADVICE r13).
+            // The count is a metadata-cheap scan of the delta files
+            // only, once per append.
+            val dRows = s.read.parquet(delta: _*).count()
+            boundFiles(encode(delta), math.max(1L, dRows))
               .write.mode("overwrite").parquet(s"$vd/$art")
             val nNew = s.read.parquet(s"$vd/$art").count()
             writeFileList(s, vd, cur)
@@ -1585,9 +1652,15 @@ object AnnIndex {
             greatest(col("a.th"), col("b.th")).as("th_b"))
     def writeAll(pairs: DataFrame, bsz: DataFrame, ths: DataFrame,
         cur: Seq[(String, Long, Long)]): Unit = {
+      // side tables are DISTINCT-TEXT-bounded (ths = the content
+      // registry, bsz ≤ bands × distinct texts) — sizing them by the
+      // corpus cnt wrote mostly-empty files on any duplication-heavy
+      // corpus (ADVICE r13); the memoized exact distinct count prices
+      // no extra job here (every MP/SP consumer builds it anyway)
+      val thN = Members.thDistinct(s, d)
       boundFiles(pairs, cnt).write.mode("overwrite").parquet(s"$vd/${lc}_pairs")
-      boundFiles(bsz, cnt).write.mode("overwrite").parquet(s"$vd/${lc}_bsz")
-      boundFiles(ths, cnt).write.mode("overwrite").parquet(s"$vd/${lc}_ths")
+      boundFiles(bsz, thN * 16).write.mode("overwrite").parquet(s"$vd/${lc}_bsz")
+      boundFiles(ths, thN).write.mode("overwrite").parquet(s"$vd/${lc}_ths")
       val nP = s.read.schema(pairSchema).parquet(s"$vd/${lc}_pairs").count()
       writeFileList(s, vd, cur)
       writeMeta(s, vd, fam, None, cnt, nP.toString)
@@ -1806,11 +1879,15 @@ object AnnIndex {
     }
     def writeAll(pairs: DataFrame, cnts: DataFrame, dfAll: DataFrame,
         cur: Seq[(String, Long, Long)]): Unit = {
-      // pairs ≈ O(cnt) under the df cap; np_kept is shingle-df-sized
-      // (~tens of distinct shingles per text) — see boundFiles
+      // pairs ≈ O(cnt) under the df cap; np_cnt and np_kept are
+      // DISTINCT-TEXT-bounded (≤1 row per distinct text / ~tens of kept
+      // shingles per distinct text) — cnt-sizing them wrote mostly-empty
+      // files on a duplication-heavy corpus (ADVICE r13); the memoized
+      // distinct count prices no extra job
+      val thN = Members.thDistinct(s, d)
       boundFiles(pairs, cnt).write.mode("overwrite").parquet(s"$vd/np_pairs")
-      boundFiles(cnts, cnt).write.mode("overwrite").parquet(s"$vd/np_cnt")
-      boundFiles(dfAll, cnt * 32).write.mode("overwrite").parquet(s"$vd/np_kept")
+      boundFiles(cnts, thN).write.mode("overwrite").parquet(s"$vd/np_cnt")
+      boundFiles(dfAll, thN * 32).write.mode("overwrite").parquet(s"$vd/np_kept")
       val nP = s.read.schema(pairSchema).parquet(s"$vd/np_pairs").count()
       val nC = s.read.schema(cntSchema).parquet(s"$vd/np_cnt").count()
       writeFileList(s, vd, cur)
@@ -1947,7 +2024,9 @@ object AnnIndex {
     // dirs (documents-keyed THM) — collapse them in the same maintenance
     // tick, or their chain keeps the LEX bases alive past the prune
     compactIdHash(s, d, "THM", "documents.parquet", "thm_docs")
-    pruneSiblings(s, vd)
+    // r14: compaction IS the maintenance cadence, so the superseded-
+    // version GC runs here (strictly ⊆ what pruneSiblings would keep)
+    sweepAt(s, table, vd)
     validatedVersions.remove(s"$vd#LXT") // next serve re-proves token mass
     true
   }
@@ -1979,7 +2058,7 @@ object AnnIndex {
       throw new IllegalStateException(s"compactIdHash: rename of $art failed")
     val (_, nFit, params) = readMeta(s, vd, fam).get
     writeMeta(s, vd, fam, None, nFit, params)
-    pruneSiblings(s, vd)
+    sweepAt(s, table, vd) // maintenance cadence — see compactLex
     validatedVersions.remove(s"$vd#$fam")
     // the session memo may hold a chain READER over the just-pruned
     // segment files (same table fingerprint, different artifact layout —

@@ -158,41 +158,43 @@ object Marts {
             |ORDER BY ALL""".stripMargin)
   )
 
-  /** B. Conditional split → per-row branch + grouped branch → UNION ALL →
-    * deterministic row_number id + log-scale zero fixup
-    * (log_for_tableau.sql). The row_number window is the only single-task
-    * stage; everything feeding it is fully parallel.
+  /** The unioned (pre-numbering) mart frame — log_for_tableau's two
+    * conditional branches. Pure function of orders+customer; consumed
+    * only by [[martTable]]'s once-per-session build.
     */
-  val martUnion: Q = Q(
-    "q_mart_union",
-    (s, d) => {
-      val o = T.orders(s, d)
-      val c = T.customer(s, d)
-      val base = o.join(c, o("o_custkey") === c("c_custkey"))
-      val perRow = base.where(c("c_mktsegment") === "BUILDING").select(
-        o("o_orderkey").as("log_id"),
-        c("c_custkey"),
-        o("o_orderpriority"),
-        o("o_orderstatus").as("status_type"),
-        Num.cents(o("o_totalprice")).as("price_cents"),
-        lit(1L).as("cnt"))
-      val grouped = base.where(c("c_mktsegment") =!= "BUILDING")
-        .groupBy(c("c_custkey"), o("o_orderpriority"))
-        .agg(sum(Num.cents(o("o_totalprice"))).as("price_cents"),
-          count(lit(1)).as("cnt"))
-        .select(
-          lit(null).cast("long").as("log_id"),
-          col("c_custkey"), col("o_orderpriority"),
-          lit("GROUPED").as("status_type"),
-          col("price_cents"), col("cnt"))
-      // query-lifetime cache: the numbering device below drives THREE
-      // actions over this frame (the width stats pass, the bucket-totals
-      // collect, and the final serve) — uncached, each re-executes the
-      // whole star-join lineage (measured 2.2-2.8 s vs the r12 1.4 s at
-      // sf0.1, the only >1.5x flag of the r13 bench). The frame is the
-      // mart's own output size, MEMORY_AND_DISK, released per query.
-      val unioned = graft.CacheBag.track(perRow.unionByName(grouped))
-      import org.apache.spark.sql.expressions.Window
+  private def martUnionInput(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d)
+    val c = T.customer(s, d)
+    val base = o.join(c, o("o_custkey") === c("c_custkey"))
+    val perRow = base.where(c("c_mktsegment") === "BUILDING").select(
+      o("o_orderkey").as("log_id"),
+      c("c_custkey"),
+      o("o_orderpriority"),
+      o("o_orderstatus").as("status_type"),
+      Num.cents(o("o_totalprice")).as("price_cents"),
+      lit(1L).as("cnt"))
+    val grouped = base.where(c("c_mktsegment") =!= "BUILDING")
+      .groupBy(c("c_custkey"), o("o_orderpriority"))
+      .agg(sum(Num.cents(o("o_totalprice"))).as("price_cents"),
+        count(lit(1)).as("cnt"))
+      .select(
+        lit(null).cast("long").as("log_id"),
+        col("c_custkey"), col("o_orderpriority"),
+        lit("GROUPED").as("status_type"),
+        col("price_cents"), col("cnt"))
+    perRow.unionByName(grouped)
+  }
+
+  /** The deterministic two-phase global numbering device over a mart
+    * frame with columns (log_id, c_custkey, o_orderpriority, status_type,
+    * price_cents, cnt). `nB` sizes the bucket widths ONLY — the served
+    * ids are identical for every nB and every physical placement
+    * (GuardsSpec pins nB=1 vs nB=32, single-partition input, and
+    * exchange-reuse disabled against the global row_number).
+    */
+  private[graft] def numberMart(s: SparkSession, unioned: DataFrame,
+      nB: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
       // Two-phase global numbering over a DETERMINISTIC key-arithmetic
       // bucket (the Assembly.prefixSum device). A bare Window.orderBy
       // would funnel the whole mart through one task (WindowExec: No
@@ -224,7 +226,6 @@ object Marts {
       val (mnL, mxL, mnC, mxC) =
         if (st.isNullAt(0)) (0L, 0L, 0L, 0L)
         else (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
-      val nB = math.max(1, s.sparkContext.defaultParallelism)
       val wL = math.max(1L, (mxL - mnL) / nB + 1L)
       val wC = math.max(1L, (mxC - mnC) / nB + 1L)
       // exact long floor division (`div`), monotone in its key; grouped
@@ -259,8 +260,44 @@ object Marts {
           when(col("price_cents") === 0L, 1L).otherwise(col("price_cents")))
         .select("id", "log_id", "c_custkey", "o_orderpriority", "status_type",
           "price_cents", "price_cents_fixed", "cnt")
-        .transform(Det.sortAll)
-    },
+  }
+
+  /** The numbered mart, MATERIALIZED ONCE PER SESSION — the dbt move: the
+    * reference builds log_for_tableau once per run (dbt/models/marts/
+    * log_for_tableau.sql) and every consumer reads the TABLE; here the
+    * numbered frame joins the SessionMemo discipline the signature
+    * families already follow (fingerprint-keyed on orders+customer, so an
+    * in-session rewrite rebuilds). r13 rebuilt the mart per query and its
+    * numbering device drove three actions over a query-lifetime cache —
+    * the round's one deliberate perf regression (1.42→2.31 s at sf0.1);
+    * now the three actions run once per session and a serve is a read of
+    * the materialized mart-sized frame.
+    */
+  private[graft] def martTable(s: SparkSession, d: String): DataFrame =
+    SessionMemo.frames(s, d, "mart", Seq("orders.parquet", "customer.parquet")) {
+      import org.apache.spark.storage.StorageLevel
+      // build-scoped cache: the numbering device drives three actions
+      // over the unioned frame (width stats, bucket totals, the final
+      // materialization) — cached for the build, released as soon as the
+      // numbered mart is materialized, so only the mart-sized OUTPUT
+      // occupies storage for the session's life
+      val unioned = martUnionInput(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val numbered = numberMart(s, unioned,
+        math.max(1, s.sparkContext.defaultParallelism))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      numbered.count()
+      unioned.unpersist(blocking = false)
+      Seq(numbered)
+    }.head
+
+  /** B. Conditional split → per-row branch + grouped branch → UNION ALL →
+    * deterministic row_number id + log-scale zero fixup
+    * (log_for_tableau.sql). Serves the session-materialized [[martTable]];
+    * the numbering device itself is [[numberMart]].
+    */
+  val martUnion: Q = Q(
+    "q_mart_union",
+    (s, d) => martTable(s, d).transform(Det.sortAll),
     Some("""WITH per_row AS (
             |  SELECT o.o_orderkey AS log_id, c.c_custkey, o.o_orderpriority,
             |         o.o_orderstatus AS status_type,

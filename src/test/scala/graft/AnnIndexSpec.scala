@@ -1151,4 +1151,58 @@ class AnnIndexSpec extends SparkSpec {
       rmTree(tmp); rmTree(idxRoot); rmTree(freshRoot)
     }
   }
+
+  test("GC sweep: superseded version dirs die on the maintenance cadence; live chains and usable append bases survive (verdict r13 #7)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftswp").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftswproot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    try {
+      // v1: LSH2 (chained family) + EHM (self-contained) complete in dir1
+      writeVecs(tmp, 0, n = 64)
+      Similarity.annLsh.run(spark, tmp).collect()
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val v1 = tableDir.listFiles().map(_.getName).toSet
+      assert(v1.size == 1)
+      // REWRITE -> v2: rebuild ONLY EHM. Build-time prune must keep dir1
+      // (the lagging LSH2's keep-forever rule, the r11 orphaning fix) --
+      // which is exactly the accumulation the sweep exists to close.
+      writeVecs(tmp, 3, n = 64)
+      Similarity.clearMemos()
+      AnnIndex.vecHashes(spark, tmp).count()
+      assert(tableDir.listFiles().length == 2,
+        "build-time prune must keep the lagging family's dir")
+      // sweep: dir1's recorded inventory no longer subsets the rewritten
+      // table -- it can never serve or seed an append again; dir2 holds
+      // the live EHM version and must survive
+      assert(AnnIndex.sweepVersions(spark, s"$tmp/embeddings.parquet") == 1,
+        "the unusable superseded dir must be deleted")
+      val left = tableDir.listFiles().map(_.getName).toSet
+      assert(left.size == 1 && (left & v1).isEmpty)
+      val (e0, a0) = (AnnIndex.ehmEncodes.get(), AnnIndex.ehmAppends.get())
+      assert(AnnIndex.vecHashes(spark, tmp).count() == 64L)
+      assert(AnnIndex.ehmEncodes.get() == e0 && AnnIndex.ehmAppends.get() == a0,
+        "a sweep must never invalidate the live version: serve = pure load")
+      // pure file APPEND -> v3 pending: BEFORE any build lands at v3 the
+      // sweep must keep dir2, the usable append base (inventory subset of
+      // the current files) -- deleting it would force a full re-encode
+      appendVecs(tmp, 64 until 80, seed = 3)
+      assert(AnnIndex.sweepVersions(spark, s"$tmp/embeddings.parquet") == 0,
+        "a usable append base was deleted")
+      AnnIndex.vecHashes(spark, tmp).count()
+      assert(AnnIndex.ehmAppends.get() == a0 + 1,
+        "the surviving base must serve the append as a delta encode")
+      // with EHM now complete at v3 (self-contained), dir2 is genuinely
+      // superseded -- reclaimed by the build-time prune or the sweep;
+      // either way exactly the live version remains and the tip still
+      // serves with zero re-encode
+      AnnIndex.sweepVersions(spark, s"$tmp/embeddings.parquet")
+      assert(tableDir.listFiles().length == 1)
+      val (e1, a1) = (AnnIndex.ehmEncodes.get(), AnnIndex.ehmAppends.get())
+      assert(AnnIndex.vecHashes(spark, tmp).count() == 80L)
+      assert(AnnIndex.ehmEncodes.get() == e1 && AnnIndex.ehmAppends.get() == a1)
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
 }

@@ -124,7 +124,7 @@ class NullContractSpec extends SparkSpec {
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .repartition(1).write.mode("append").parquet(s"$tmp/documents.parquet")
       val perDoc = SparkEntry.registry
-        .filter(q => Set("keep", "drop")(contract(q.name)))
+        .filter(q => Set("keep", "drop", "any")(contract(q.name)))
       for (q <- perDoc) {
         val present =
           try q.run(spark, tmp).where(col("doc_id") === 999999L).count() > 0
@@ -134,7 +134,16 @@ class NullContractSpec extends SparkSpec {
             s"${q.name}: the null-text doc must keep a row (declared keep)")
           case "drop" => assert(!present,
             s"${q.name}: the null-text doc must be excluded (declared drop)")
-          case _ => ()
+          case _ =>
+            // `any` (sampling decides membership): the pin is
+            // DETERMINISM, not a fixed verdict — the same corpus must
+            // sample the same rows on every run (r14, verdict r13 #8:
+            // no registry class is assertion-free)
+            val again =
+              try q.run(spark, tmp).where(col("doc_id") === 999999L).count() > 0
+              finally CacheBag.release()
+            assert(present == again,
+              s"${q.name}: sampled membership of the probe doc must be deterministic")
         }
       }
     } finally {
