@@ -474,15 +474,21 @@ object Similarity {
     * group mass is self-excluded before counting).
     */
   /** The ≤20 member queries with their group hash and raw vector, from
-    * the session memo — no corpus scan (r12).
+    * the session memo — no corpus scan (r12). r14: the frame itself is a
+    * SESSION-MEMOIZED materialization — five serve families reference it
+    * one-to-three times each, and un-memoized every reference re-ran the
+    * members×reps join (plus its broadcast build) inside the serve DAG;
+    * the taskSec ledger showed it as pure fixed serve cost. ≤20 rows
+    * persisted, fingerprint-validated like every memo frame.
     */
-  private[graft] def memberQueries(s: SparkSession, d: String): DataFrame = {
-    val (members, reps) = Members.eh(s, d)
-    members.where(col("vec_id") < 20)
-      .join(reps.select(col("eh"), col("v"), col("nrm")), "eh")
-      .select(col("vec_id").as("query_id"), col("eh").as("eh_q"),
-        col("v").as("qv"), col("nrm").as("qnrm"))
-  }
+  private[graft] def memberQueries(s: SparkSession, d: String): DataFrame =
+    SessionMemo.frames(s, d, "annq", Seq("embeddings.parquet")) {
+      val (members, reps) = Members.eh(s, d)
+      Seq(members.where(col("vec_id") < 20)
+        .join(reps.select(col("eh"), col("v"), col("nrm")), "eh")
+        .select(col("vec_id").as("query_id"), col("eh").as("eh_q"),
+          col("v").as("qv"), col("nrm").as("qnrm")))
+    }.head
 
   /** Rep-level top-k tail shared by the whole ANN family (r12): trim the
     * exact-scored distinct-vector candidates by cumulative member mass (a
