@@ -614,11 +614,17 @@ object Similarity {
       // its hamming-≤radius neighbor codes, recovering the recall the r4
       // band clamp gave up — the corpus side stays exact codes. Query
       // signatures come from the capped table itself (a query whose rows
-      // were capped out probes nothing — unchanged semantics).
-      val qb = expandProbes(
-        capped.join(broadcast(q.select(col("eh_q").as("eh"), col("query_id"))), "eh")
-          .select("query_id", "band_idx", "code"),
-        "query_id", bits, radius)
+      // were capped out probes nothing — unchanged semantics). r14: the
+      // ≤20×bands signature rows are SESSION-MEMOIZED — the lookup is a
+      // pure function of table content (the capped table is
+      // fingerprint-versioned), and un-memoized it re-scanned the whole
+      // signature artifact once per serve just to find 20 queries' rows.
+      val qsigs = SessionMemo.frames(s, d, "annqs", Seq("embeddings.parquet")) {
+        Seq(capped
+          .join(broadcast(q.select(col("eh_q").as("eh"), col("query_id"))), "eh")
+          .select("query_id", "band_idx", "code"))
+      }.head
+      val qb = expandProbes(qsigs, "query_id", bits, radius)
       val cand = capped.join(broadcast(qb), Seq("band_idx", "code"))
         .select("query_id", "eh").distinct()
       val scored = cand
@@ -842,18 +848,23 @@ object Similarity {
       // instead of re-running Lloyd and re-assigning the corpus — at
       // 100 TB, re-assignment is a full corpus pass)
       val (cb, cells) = AnnIndex.ivf(s, d, vecsRaw(s, d))
-      // query side: 20 vectors × k centroids through the tiny window
-      val centroids = broadcast(
-        s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
-      val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
-      val queries = memberQueries(s, d)
-        .crossJoin(centroids)
-        .withColumn("ccos",
-          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
-        .withColumn("crank", row_number().over(wq))
-        .where(col("crank") <= 4)
-        .select(col("query_id"), col("eh_q"), col("qv"), col("qnrm"),
-          col("c_id").as("qcluster"))
+      // query side: 20 vectors × k centroids through the tiny window.
+      // r14: the probed-assignment frame is SESSION-MEMOIZED (a pure
+      // function of table content — the codebook is content-keyed), so
+      // a serve no longer re-runs the crossJoin + window per query.
+      val queries = SessionMemo.frames(s, d, "annqc", Seq("embeddings.parquet")) {
+        val centroids = broadcast(
+          s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
+        val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
+        Seq(memberQueries(s, d)
+          .crossJoin(centroids)
+          .withColumn("ccos",
+            Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+          .withColumn("crank", row_number().over(wq))
+          .where(col("crank") <= 4)
+          .select(col("query_id"), col("eh_q"), col("qv"), col("qnrm"),
+            col("c_id").as("qcluster")))
+      }.head
       // the probed cell ids are driver-known (nprobe·|queries| ≤ 80 values
       // — partition METADATA, the offsets size class), so the cells scan
       // is statically PARTITION-PRUNED: the inverted-file read touches
@@ -983,9 +994,13 @@ object Similarity {
       // corpus ADC-scores 1/k of the rows
       val (cents, _, corpus) = AnnIndex.pq(s, d, vecsRaw(s, d))
       val q = memberQueries(s, d)
-      val queries = q.select(col("query_id"), col("eh_q"),
-        Vectors.pqLut(col("qv"), cents, pqM, pqKsub).as("lut"),
-        col("qnrm"))
+      // r14: the ≤20-row ADC-table frame is session-memoized (LUTs are a
+      // pure function of content — the codebook is content-keyed)
+      val queries = SessionMemo.frames(s, d, "annql", Seq("embeddings.parquet")) {
+        Seq(q.select(col("query_id"), col("eh_q"),
+          Vectors.pqLut(col("qv"), cents, pqM, pqKsub).as("lut"),
+          col("qnrm")))
+      }.head
       // ADC ranks by cosine ≈ adc/(‖q‖·‖x‖) — within a query ‖q‖ is
       // constant but keeping the exact stored norm in the denominator
       // makes the score the actual cosine estimate. The rescore window
@@ -1036,21 +1051,24 @@ object Similarity {
     "q_ann_ivfpq",
     (s, d) => {
       val (cb, cents, codes) = AnnIndex.ivfpq(s, d, vecsRaw(s, d))
-      val centroids = broadcast(
-        s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
-      val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
       // query side: 20 vectors × k centroids through the tiny window picks
       // nprobe cells, then each probe row carries the query's ADC table
-      // (m·ksub doubles — 20·nprobe rows of it, driver-pennies)
+      // (m·ksub doubles — 20·nprobe rows of it, driver-pennies).
+      // r14: session-memoized like the IVF probe assignments and PQ LUTs.
       val q = memberQueries(s, d)
-      val queries = q
-        .crossJoin(centroids)
-        .withColumn("ccos",
-          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
-        .withColumn("crank", row_number().over(wq))
-        .where(col("crank") <= 4)
-        .select(col("query_id"), col("eh_q"), col("c_id").as("qcluster"),
-          Vectors.pqLut(col("qv"), cents, pqM, pqKsub).as("lut"), col("qnrm"))
+      val queries = SessionMemo.frames(s, d, "annqp", Seq("embeddings.parquet")) {
+        val centroids = broadcast(
+          s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
+        val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
+        Seq(q
+          .crossJoin(centroids)
+          .withColumn("ccos",
+            Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+          .withColumn("crank", row_number().over(wq))
+          .where(col("crank") <= 4)
+          .select(col("query_id"), col("eh_q"), col("c_id").as("qcluster"),
+            Vectors.pqLut(col("qv"), cents, pqM, pqKsub).as("lut"), col("qnrm")))
+      }.head
       val probed = queries.select("qcluster").distinct()
         .collect().map(_.getLong(0))
       // probed cells are driver-known ⇒ the codes scan is statically
