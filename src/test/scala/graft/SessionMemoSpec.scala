@@ -99,6 +99,47 @@ class SessionMemoSpec extends SparkSpec {
     assert(m2.count() == n && r2.count() == reps.count())
   }
 
+  test("ANN query-side memos build once per session and revalidate on rewrite (r14)") {
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("memo_annq").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("memo_annqroot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def write(seed: Int): Unit =
+      (0 until 48).map(i => (i.toLong,
+        Array.tabulate(8)(j => (((i * 3 + j * 7 + seed) % 13) - 6).toFloat)))
+        .toDF("vec_id", "embedding")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    try {
+      write(0)
+      val before = Seq("annq", "annqs", "annqc", "annql", "annqp")
+        .map(f => f -> SessionMemo.buildsOf(f)).toMap
+      // two serves of each family: the query frame / signature lookup /
+      // probe assignment / ADC table derivations must build ONCE
+      for (_ <- 1 to 2) {
+        Similarity.annLsh.run(spark, tmp).collect()
+        Similarity.annIvf.run(spark, tmp).collect()
+        Similarity.annPq.run(spark, tmp).collect()
+        Similarity.annIvfPq.run(spark, tmp).collect()
+      }
+      for ((f, b) <- before)
+        assert(SessionMemo.buildsOf(f) == b + 1,
+          s"memo family $f must build exactly once per session+content")
+      // rewrite → fingerprint differs → every query-side memo rebuilds
+      // (a stale probe assignment would silently serve the wrong cells)
+      write(5)
+      Similarity.clearMemos()
+      Similarity.annLsh.run(spark, tmp).collect()
+      Similarity.annIvf.run(spark, tmp).collect()
+      Similarity.annPq.run(spark, tmp).collect()
+      Similarity.annIvfPq.run(spark, tmp).collect()
+      for ((f, b) <- before)
+        assert(SessionMemo.buildsOf(f) == b + 2,
+          s"memo family $f must rebuild on an in-place rewrite")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+    }
+  }
+
   test("THM artifact: hash pass once per content; restart serves a pure load; file append delta-encodes (r13)") {
     import graft.operators.AnnIndex
     val tmp = java.nio.file.Files.createTempDirectory("thm_art").toString
