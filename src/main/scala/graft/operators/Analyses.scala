@@ -144,16 +144,29 @@ object Analyses {
     (s, d) => {
       val l = T.lineitem(s, d)
       val o = T.orders(s, d)
+      // The link/status strings RENDER AFTER the aggregation (r14): the
+      // collected structs carry only what the sort semantics need — the
+      // partkey DIGIT string (1-7 chars; l_linenumber is NOT unique per
+      // order in this corpus, so for equal line numbers the old
+      // struct(lineno, link) order was decided by the link string, i.e.
+      // by the partkey rendered as text — the constant prefix never
+      // discriminates) and the 1-char return flag (for equal line
+      // numbers the old status string "lineno flag" shares its prefix,
+      // so flag alone decides). Per input row the shuffle and the
+      // per-group collect buffers shed the ~19-char link prefix and the
+      // rendered status — a multi-GB cut at 100× for a byte-identical
+      // output (the hash gate proves it).
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .where(o("o_orderstatus") === "F")
         .select(o("o_orderkey"), o("o_orderpriority"), l("l_linenumber"),
-          concat(lit("https://item/"), l("l_partkey").cast("string")).as("link"),
-          concat(l("l_linenumber").cast("string"), lit(" "), l("l_returnflag")).as("status"))
+          l("l_partkey").cast("string").as("pk"), l("l_returnflag"))
         .groupBy(col("o_orderkey"), col("o_orderpriority"))
         .agg(
           count(lit(1)).as("video_cnt"),
-          expr("array_join(transform(array_sort(collect_list(struct(l_linenumber, link))), x -> x.link), '; ')").as("links"),
-          expr("array_join(transform(array_sort(collect_list(struct(l_linenumber, status))), x -> x.status), '; ')").as("statuses"))
+          expr("array_join(transform(array_sort(collect_list(struct(l_linenumber, pk)))," +
+            " x -> concat('https://item/', x.pk)), '; ')").as("links"),
+          expr("array_join(transform(array_sort(collect_list(struct(l_linenumber, l_returnflag)))," +
+            " x -> concat(CAST(x.l_linenumber AS STRING), ' ', x.l_returnflag)), '; ')").as("statuses"))
         .where(col("video_cnt") > 1)
         .transform(Det.sortAll)
     },
