@@ -177,6 +177,55 @@ class GuardsSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.exchangeReuseEnabled")
   }
 
+  test("mart numbering: edge shapes — empty, single row, one bucket class only, seeded random sweeps") {
+    import org.apache.spark.sql.DataFrame
+    def served(in: DataFrame, nB: Int): Seq[((String, Long, Long), Int)] =
+      Marts.numberMart(spark, in, nB).collect().map { r =>
+        val lid = if (r.isNullAt(r.fieldIndex("log_id"))) -1L
+          else r.getAs[Long]("log_id")
+        ((r.getAs[String]("o_orderpriority"), lid,
+          r.getAs[Long]("c_custkey")), r.getAs[Int]("id"))
+      }.toSeq.sortBy(_._2)
+    def expect(rows: Seq[(Option[Long], Long, String, String, Long, Long)])
+        : Seq[((String, Long, Long), Int)] =
+      rows.sortBy { case (lid, ck, p, _, _, _) => (p, lid.getOrElse(-1L), ck) }
+        .zipWithIndex
+        .map { case ((lid, ck, p, _, _, _), i) => ((p, lid.getOrElse(-1L), ck), i + 1) }
+    def df(rows: Seq[(Option[Long], Long, String, String, Long, Long)]): DataFrame =
+      rows.toDF("log_id", "c_custkey", "o_orderpriority", "status_type",
+        "price_cents", "cnt")
+    val empty = Seq.empty[(Option[Long], Long, String, String, Long, Long)]
+    assert(Marts.numberMart(spark, df(empty), 4).collect().isEmpty)
+    val one = Seq((Some(7L), 3L, "1-P", "O", 5L, 1L))
+    assert(served(df(one), 4) == expect(one))
+    val groupedOnly = (1 to 9).map(i =>
+      (None: Option[Long], i.toLong, "2-Q", "GROUPED", i.toLong, 2L))
+    assert(served(df(groupedOnly), 4) == expect(groupedOnly))
+    val perRowOnly = (1 to 9).map(i =>
+      (Some(i.toLong * 5), (i % 3).toLong, "3-R", "O", i.toLong, 1L))
+    assert(served(df(perRowOnly), 4) == expect(perRowOnly))
+    // seeded random sweeps: arbitrary key ranges (incl. negative
+    // custkeys), skewed priorities, nB larger than the row count
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val prios = Seq("1-A", "2-B", "3-C").take(1 + rnd.nextInt(3))
+      val grouped = prios.flatMap { p =>
+        rnd.shuffle((1 to 30).toList).take(10 + rnd.nextInt(15)).map(i =>
+          (None: Option[Long], i.toLong - 12L, p, "GROUPED",
+            rnd.nextInt(1000).toLong, 2L))
+      }
+      val perRow = prios.flatMap { p =>
+        rnd.shuffle((1 to 200).toList).take(20 + rnd.nextInt(20)).map(i =>
+          (Some(i.toLong * 7 + prios.indexOf(p) * 10000L),
+            rnd.nextInt(40).toLong - 20L, p, "O", rnd.nextInt(1000).toLong, 1L))
+      }
+      val rows = rnd.shuffle(grouped ++ perRow)
+      assert(served(df(rows).repartition(1 + rnd.nextInt(8)),
+        Seq(1, 3, 64)(rnd.nextInt(3))) == expect(rows),
+        s"seed $seed: numbering diverged from the global row_number")
+    }
+  }
+
   test("mart table is session-materialized: one build serves repeated q_mart_union runs (verdict r13 #1)") {
     import graft.operators.SessionMemo
     // an earlier case in this suite may already have paid the build —
