@@ -24,6 +24,7 @@ object Explain {
         SparkEntry.registry.map(_.name).mkString(", ")))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -34,11 +35,22 @@ object Explain {
         if (si.taskMetrics.executorRunTime > 3000)
           println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d " +
             f"runMs=${si.taskMetrics.executorRunTime}%8d " +
+            f"cpuMs=${si.taskMetrics.executorCpuTime / 1000000}%8d " +
             f"shufOut=${si.taskMetrics.shuffleWriteMetrics.recordsWritten}%8d")
       }
       override def onTaskEnd(
           t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+        if (t.taskInfo != null) {
+          taskMs.addAndGet(t.taskInfo.duration)
+          // executorCpuTime is ACTUAL CPU nanoseconds (OS thread time) —
+          // hypervisor steal and I/O wait inflate taskSec (per-task wall)
+          // but not cpuSec, so the pair decomposes "the engine did more
+          // work" from "the host stole cycles / the disk was cold" (r14:
+          // the 100× corpus is 1.6 GB against 120 GB of page cache, so
+          // taskSec drift on scan-heavy queries is steal, not I/O —
+          // cpuSec is the arbiter)
+          if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+        }
     })
     q.run(spark, d).explain("formatted")
     // listener events arrive asynchronously on the listener bus — read
@@ -59,13 +71,14 @@ object Explain {
     // (connectedComponents' eager label rounds, memoized codebook fits) do
     // real work there and a build-once harness would silently exclude it.
     for (pass <- 1 to passes) {
-      drain(); jobs.set(0); taskMs.set(0)
+      drain(); jobs.set(0); taskMs.set(0); cpuNs.set(0)
       val t0 = System.nanoTime()
       q.run(spark, d).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       drain()
       println(s"ELAPSED pass $pass: $wall " +
-        s"jobs=${jobs.get()} taskSec=${taskMs.get() / 1000.0}")
+        s"jobs=${jobs.get()} taskSec=${taskMs.get() / 1000.0} " +
+        s"cpuSec=${cpuNs.get() / 1e9}")
     }
     spark.stop()
   }
