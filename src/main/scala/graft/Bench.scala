@@ -17,6 +17,15 @@ object Bench {
       case c => c.toString
     }
 
+  /** One timed execution: wall (or the failure class), whether a
+    * fit/append/memo-build counter moved (cold), and the pass's summed
+    * executorCpuTime — the steal-proof work ledger (r15, verdict r14 #1:
+    * three untouched-code 100x drifts each cost an isolated re-time cycle
+    * to adjudicate because the artifact recorded only wall).
+    */
+  private final case class Timed(wall: Either[String, Double], cold: Boolean,
+      cpuSec: Double)
+
   def main(args: Array[String]): Unit = {
     // normalized (absolute, no trailing separator): the per-sf prior file
     // and its in-file sf guard key on this exact string, so a trailing
@@ -33,6 +42,7 @@ object Bench {
     // env spelling makes the raise visible in the run's invocation line
     sys.env.get("SPARK_GRAFT_EXPAND_MAXROWS")
       .foreach(v => spark.conf.set("graft.expand.maxRows", v))
+    val ledger = new TaskLedger(spark.sparkContext)
     // Warm the JVM/codegen once so per-query numbers measure the plan,
     // not first-call JIT + parquet footer reads.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -79,16 +89,25 @@ object Bench {
       // lifetime memo build (found-on-try provenance + the doc↔th /
       // vec↔eh member mappings) — the one pass paying a build is flagged
     }
-    def timeOne(q: Q): (Either[String, Double], Boolean) = {
+    // cpuSec attribution window per timing: drain the listener bus, reset
+    // the ledger, run, drain again (TaskLedger's waitUntilEmpty barrier —
+    // ms-scale in local mode, so ~250 drains price nothing against a
+    // multi-minute run). In-flight events from a previous query can no
+    // longer bleed into this query's ledger.
+    def timeOne(q: Q): Timed = {
+      ledger.drain(); ledger.reset()
       val t0 = System.nanoTime()
       val f0 = fitCount()
       try {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (Right((System.nanoTime() - t0) / 1e9), fitCount() != f0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        ledger.drain()
+        Timed(Right(wall), fitCount() != f0, ledger.cpuSec)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name}: $e")
-          (Left(e.getClass.getSimpleName), fitCount() != f0)
+          ledger.drain()
+          Timed(Left(e.getClass.getSimpleName), fitCount() != f0, ledger.cpuSec)
       } finally CacheBag.release() // drop query-lifetime cache entries so
       // storage doesn't accumulate across the 70+-query × 2-pass run
     }
@@ -102,8 +121,7 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val passLoads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    def pass(name: String, qs: Seq[Q], seed: Int)
-        : Map[String, (Either[String, Double], Boolean)] = {
+    def pass(name: String, qs: Seq[Q], seed: Int): Map[String, Timed] = {
       val l0 = loadAvg()
       val r = new scala.util.Random(seed).shuffle(qs).map(q => q.name -> timeOne(q)).toMap
       passLoads(name) = (l0, loadAvg())
@@ -130,23 +148,53 @@ object Bench {
     val priorPath = java.nio.file.Paths.get(
       if (sfDir == "/root/testdata/sf0.1") "bench_prior.json"
       else "bench_prior_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".json")
-    // the prior file carries TWO flat maps since r14: "queries" = the
-    // ratchet (element-wise historical min at this sf — can only fall)
-    // and "last" = the PREVIOUS RUN's recorded mins verbatim. Both must
-    // be parsed scoped to their own object — the same query keys appear
-    // in each, and a whole-string scan would let the later map shadow
-    // the former.
-    def objOf(s: String, name: String): String = {
-      val i = s.indexOf("\"" + name + "\"")
-      if (i < 0) "" else {
-        val a = s.indexOf('{', i); val b = if (a < 0) -1 else s.indexOf('}', a)
-        if (b < 0) "" else s.substring(a, b + 1)
+    // the prior file carries FOUR flat maps since r15: "queries" = the
+    // wall ratchet (element-wise historical min at this sf — can only
+    // fall), "last" = the PREVIOUS RUN's wall mins verbatim, and their
+    // cpuSec twins "cpu" / "cpu_last" — the steal-proof baselines the
+    // re-time triggers actually compare (verdict r14 #1). Each map is
+    // parsed scoped to its own object with BALANCED-brace extraction,
+    // anchored after the end of the previous map (ADVICE r14: the old
+    // scan-to-first-'}' truncated on any nested value, and indexOf found
+    // the key anywhere in the file) — and a present-but-unparseable map
+    // warns loudly instead of silently disabling the triggers.
+    def objOf(s: String, name: String, from: Int): (String, Int) = {
+      val i = s.indexOf("\"" + name + "\"", from)
+      if (i < 0) return ("", from)
+      val a = s.indexOf('{', i)
+      if (a < 0) return ("", from)
+      var depth = 0
+      var j = a
+      while (j < s.length) {
+        s.charAt(j) match {
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) return (s.substring(a, j + 1), j + 1)
+          case _ => ()
+        }
+        j += 1
       }
+      ("", from) // unbalanced — treated as absent, warned below
     }
     def qMap(s: String): Map[String, Double] =
       """"(q[^"]*)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(s)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val (prior, lastRun): (Map[String, Double], Map[String, Double]) =
+    def parsePrior(s: String): Map[String, Map[String, Double]] = {
+      var pos = 0
+      Seq("queries", "last", "cpu", "cpu_last").map { k =>
+        val present = s.indexOf("\"" + k + "\"", pos) >= 0
+        val (obj, next) = objOf(s, k, pos)
+        pos = next
+        val m = qMap(obj)
+        if (present && m.isEmpty && obj != "{}")
+          System.err.println(s"[bench] WARNING: prior map '$k' present in " +
+            s"$priorPath but unparseable — its re-time trigger is disabled " +
+            "for this run")
+        k -> m
+      }.toMap
+    }
+    val priorMaps: Map[String, Map[String, Double]] =
       if (java.nio.file.Files.exists(priorPath)) {
         val s = new String(java.nio.file.Files.readAllBytes(priorPath), "UTF-8")
         // the prior is only a baseline at the SAME scale factor: a 100x
@@ -159,9 +207,13 @@ object Bench {
         // silently discarded the WHOLE prior, disabling the 1.5x retime
         // trigger for the entire run
         if (""""sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).exists(_.group(1) == sfDir))
-          (qMap(objOf(s, "queries")), qMap(objOf(s, "last")))
-        else (Map.empty, Map.empty)
-      } else (Map.empty, Map.empty)
+          parsePrior(s)
+        else Map.empty[String, Map[String, Double]].withDefaultValue(Map.empty)
+      } else Map.empty[String, Map[String, Double]].withDefaultValue(Map.empty)
+    val prior = priorMaps.getOrElse("queries", Map.empty)
+    val lastRun = priorMaps.getOrElse("last", Map.empty)
+    val cpuPrior = priorMaps.getOrElse("cpu", Map.empty)
+    val cpuLast = priorMaps.getOrElse("cpu_last", Map.empty)
     // SPARK_GRAFT_FORCE_P3: comma-separated query names whose p3 re-time
     // runs unconditionally — makes the SUSTAINED-re-execution regime (the
     // one that OOM'd q_found_agg at 100× in r7 after both scored passes)
@@ -178,15 +230,30 @@ object Bench {
     // historical BEST, so a query that regresses round-over-round while
     // staying under a noisy old reading escaped adjudication (q_ann_topk
     // 2.4 vs 1.4 at 100× in r13).
+    // r15 (verdict r14 #1): where a cpuSec baseline exists, triggers (b)
+    // and (c) compare cpuSec — steal and cold I/O inflate wall but not
+    // executorCpuTime, so a cpu-flat wall drift no longer costs a p3 (and
+    // a cpu regression can't hide under a noisy wall prior). Wall is the
+    // fallback for the first run after this change (no cpu maps in the
+    // prior yet) and stays in the artifact for reporting.
+    def cpuMin(q: String): Option[Double] = {
+      val cs = Seq(p1(q), p2(q)).collect { case Timed(Right(_), _, c) => c }
+      if (cs.isEmpty) None else Some(cs.min)
+    }
     val suspectWhy = SparkEntry.registry.flatMap { q =>
-      val why = (p1(q.name)._1, p2(q.name)._1) match {
+      val why = (p1(q.name).wall, p2(q.name).wall) match {
         case (Right(a), Right(b)) =>
           val mn = math.min(a, b)
+          val cmn = cpuMin(q.name)
+          def above(baseline: Map[String, Double], cpuBaseline: Map[String, Double],
+              factor: Double): Boolean =
+            (cpuBaseline.get(q.name), cmn) match {
+              case (Some(p), Some(c)) => c > 0.3 && c > factor * p
+              case _ => baseline.get(q.name).exists(p => mn > 0.3 && mn > factor * p)
+            }
           if (mn > 0.3 && math.max(a, b) > 3 * mn) Some("pass_disagree")
-          else if (prior.get(q.name).exists(p => mn > 0.3 && mn > 1.5 * p))
-            Some("above_prior")
-          else if (lastRun.get(q.name).exists(p => mn > 0.3 && mn > 1.3 * p))
-            Some("above_last")
+          else if (above(prior, cpuPrior, 1.5)) Some("above_prior")
+          else if (above(lastRun, cpuLast, 1.3)) Some("above_last")
           else if (forced(q.name)) Some("forced") else None
         case _ => if (forced(q.name)) Some("forced") else None
       }
@@ -194,52 +261,72 @@ object Bench {
     }.toMap
     val suspects = SparkEntry.registry.filter(q => suspectWhy.contains(q.name))
     val p3 = pass("p3", suspects, 3)
+    def allTimed(q: String): Seq[Timed] =
+      Seq(p1(q), p2(q)) ++ p3.get(q).toSeq
     val results = SparkEntry.registry.flatMap { q =>
-      val timed = Seq(p1(q.name), p2(q.name),
-          p3.getOrElse(q.name, (Left(""): Either[String, Double], false)))
-        .collect { case (Right(t), _) => t }
+      val timed = allTimed(q.name).collect { case Timed(Right(t), _, _) => t }
       if (timed.isEmpty) None else Some(q.name -> timed.min)
     }
+    // per-query cpuSec of record: min over SUCCESSFUL passes (a failed
+    // pass's partial cpu is not a work floor for the query)
+    val cpuResults = SparkEntry.registry.flatMap { q =>
+      val cs = allTimed(q.name).collect { case Timed(Right(_), _, c) => c }
+      if (cs.isEmpty) None else Some(q.name -> cs.min)
+    }
     val failed = SparkEntry.registry.map(_.name)
-      .filter(n => p1(n)._1.isLeft && p2(n)._1.isLeft)
+      .filter(n => p1(n).wall.isLeft && p2(n).wall.isLeft)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val cpuJson = cpuResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // Raw per-pass times (p1, p2, and the targeted p3 where it ran):
     // min≪max within a query's passes is self-evident host contention, so
     // a noisy driver-side reading can be adjudicated from the artifact
     // alone instead of costing a judge re-run (r5: BENCH_r05 read 99.3 s
     // on provably-unchanged queries; a full re-run measured 80.6 s).
     val passes = SparkEntry.registry.map { q =>
-      val ts = (Seq(p1(q.name), p2(q.name)) ++ p3.get(q.name).toSeq)
-        .map { case (Right(t), _) => t.toString
-               case (Left(e), _) => "\"" + jesc(e) + "\"" }
+      val ts = allTimed(q.name).map {
+        case Timed(Right(t), _, _) => t.toString
+        case Timed(Left(e), _, _) => "\"" + jesc(e) + "\""
+      }
       "\"" + q.name + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // per-pass cpuSec aligned with "passes" — the in-artifact evidence
+    // that separates "wall drifted, cpu flat" (steal) from "cpu moved"
+    // (the engine did more work)
+    val cpuPasses = SparkEntry.registry.map { q =>
+      "\"" + q.name + "\":" +
+        allTimed(q.name).map(_.cpuSec).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Which passes paid an index fit/append (vs a pure warm serve) — the
     // warm-vs-cold attribution for every ANN timing in "passes"
     val cold = SparkEntry.registry.flatMap { q =>
-      val cs = (Seq(p1(q.name), p2(q.name)) ++ p3.get(q.name).toSeq).map(_._2)
+      val cs = allTimed(q.name).map(_.cold)
       if (cs.contains(true))
         Some("\"" + q.name + "\":" + cs.mkString("[", ",", "]"))
       else None
     }.mkString("{", ",", "}")
     val fs = failed.map(n => "\"" + jesc(n) + "\"").mkString("[", ",", "]")
     // self-adjudication block: which queries were re-timed, why, and what
-    // the isolated p3 read — plus per-pass host load. A reader (or the
-    // judge) can tell "ambient contention, re-timed in-band" from "real
-    // regression" without any out-of-artifact evidence.
+    // the isolated p3 read (wall AND cpu) — plus per-pass host load. A
+    // reader (or the judge) can tell "ambient contention, re-timed
+    // in-band" from "real regression" without any out-of-artifact
+    // evidence.
     val retimed = suspects.map { q =>
-      val p3v = p3(q.name)._1 match {
+      val p3v = p3(q.name).wall match {
         case Right(t) => t.toString
         case Left(e) => "\"" + jesc(e) + "\""
       }
       "\"" + q.name + "\":{\"why\":\"" + suspectWhy(q.name) + "\",\"p3\":" + p3v +
+        s""","p3_cpu":${p3(q.name).cpuSec}""" +
         prior.get(q.name).map(p => s""","prior":$p""").getOrElse("") +
-        lastRun.get(q.name).map(p => s""","last":$p""").getOrElse("") + "}"
+        lastRun.get(q.name).map(p => s""","last":$p""").getOrElse("") +
+        cpuPrior.get(q.name).map(p => s""","cpu_prior":$p""").getOrElse("") +
+        cpuLast.get(q.name).map(p => s""","cpu_last":$p""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val loads = passLoads.map { case (n, (a, b)) => s""""$n":[$a,$b]""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"cold":$cold,"retimed":$retimed,"load":$loads,"failed":$fs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuJson,"passes":$passes,"cpu_passes":$cpuPasses,"cold":$cold,"retimed":$retimed,"load":$loads,"failed":$fs,"drain":"${ledger.drainMode}","sf":"$sfDir"}"""
     // land the full line as a file, so per-query numbers are machine-
     // readable without scraping an sbt log tail (cwd-relative; create the
     // parent so a non-sbt launcher's cwd can't fail a finished run)
@@ -254,16 +341,20 @@ object Bench {
     // re-times — and self-adjudicates via the retimed block — anything
     // slower than the best this code has ever measured at this sf).
     // Prior-only queries (retired from the registry this run) drop out.
-    val ratchet = results.map { case (k, v) =>
-      "\"" + k + "\":" + prior.get(k).map(math.min(_, v)).getOrElse(v)
-    }.mkString("{", ",", "}")
+    // r15: the cpuSec twins follow the same discipline — "cpu" ratchets,
+    // "cpu_last" is this run's mins verbatim.
+    def flat(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ratchet = flat(results.map { case (k, v) =>
+      k -> prior.get(k).map(math.min(_, v)).getOrElse(v) })
+    val cpuRatchet = flat(cpuResults.map { case (k, v) =>
+      k -> cpuPrior.get(k).map(math.min(_, v)).getOrElse(v) })
     // "last" = THIS run's mins verbatim (next run's round-over-round
     // baseline for the 1.3x trigger) — unlike the ratchet it follows the
     // current tree both up and down
-    val lastJson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     java.nio.file.Files.write(priorPath,
-      (s"""{"sf":"$sfDir","queries":$ratchet,"last":$lastJson}""" + "\n")
+      (s"""{"sf":"$sfDir","queries":$ratchet,"last":${flat(results)},""" +
+        s""""cpu":$cpuRatchet,"cpu_last":${flat(cpuResults)}}""" + "\n")
         .getBytes("UTF-8"))
     println(line)
     // Compact totals-only line printed LAST: the driver captures a

@@ -5,13 +5,15 @@ package graft
   * SPARK_GRAFT_CPUS overrides the local core count, default 8;
   * SPARK_GRAFT_PASSES overrides the pass count, default 2).
   *
-  * Each ELAPSED line also carries the pass's scheduled job count and summed
-  * task time: on a noisy multi-tenant host, wall time alone cannot separate
-  * "the engine did more work" from "the host stole cycles" — taskSec is the
-  * engine's own work ledger (r13: the q_dedup_contain regression hid in
-  * wall-time noise for a whole round until taskSec showed 3x the execution
-  * work of the prior tree, pass after pass). STAGE lines flag any stage
-  * over 3 s of task time, the granularity the diagnosis actually needs.
+  * Each ELAPSED line also carries the pass's scheduled job count, summed
+  * task time, and summed executorCpuTime: on a noisy multi-tenant host,
+  * wall time alone cannot separate "the engine did more work" from "the
+  * host stole cycles" — taskSec is the engine's own work ledger (r13: the
+  * q_dedup_contain regression hid in wall-time noise for a whole round
+  * until taskSec showed 3x the execution work of the prior tree, pass
+  * after pass) and cpuSec is steal-proof (see [[TaskLedger]]). STAGE lines
+  * flag any stage over 3 s of task time, the granularity the diagnosis
+  * actually needs.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -22,48 +24,23 @@ object Explain {
     val q = SparkEntry.registry.find(_.name == args(0)).getOrElse(
       sys.error(s"unknown query '${args(0)}'; known: " +
         SparkEntry.registry.map(_.name).mkString(", ")))
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        if (si.taskMetrics.executorRunTime > 3000)
-          println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d " +
-            f"runMs=${si.taskMetrics.executorRunTime}%8d " +
-            f"cpuMs=${si.taskMetrics.executorCpuTime / 1000000}%8d " +
-            f"shufOut=${si.taskMetrics.shuffleWriteMetrics.recordsWritten}%8d")
-      }
-      override def onTaskEnd(
-          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskInfo != null) {
-          taskMs.addAndGet(t.taskInfo.duration)
-          // executorCpuTime is ACTUAL CPU nanoseconds (OS thread time) —
-          // hypervisor steal and I/O wait inflate taskSec (per-task wall)
-          // but not cpuSec, so the pair decomposes "the engine did more
-          // work" from "the host stole cycles / the disk was cold" (r14:
-          // the 100× corpus is 1.6 GB against 120 GB of page cache, so
-          // taskSec drift on scan-heavy queries is steal, not I/O —
-          // cpuSec is the arbiter)
-          if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
-        }
-    })
+    val ledger = new TaskLedger(spark.sparkContext)
+    ledger.onStage = { sc =>
+      val si = sc.stageInfo
+      if (si.taskMetrics.executorRunTime > 3000)
+        println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+          f"runMs=${si.taskMetrics.executorRunTime}%8d " +
+          f"cpuMs=${si.taskMetrics.executorCpuTime / 1000000}%8d " +
+          f"shufOut=${si.taskMetrics.shuffleWriteMetrics.recordsWritten}%8d")
+    }
     q.run(spark, d).explain("formatted")
-    // listener events arrive asynchronously on the listener bus — read
-    // the counters only after the bus drains, or in-flight onTaskEnd
-    // events from this pass bleed into the next pass's ledger (and jobs
-    // run during the explain/construction phase above would be charged
-    // to pass 1). ADVICE r13. The bus has no public flush (listenerBus is
-    // private[spark]); empirically local-mode events land within
-    // milliseconds of the job end, so a 300 ms settle bounds the bleed to
-    // noise for a ledger read in whole task-seconds. Counters then reset
-    // at the START of each pass so the attribution window is exactly
-    // [q.run, settle].
-    def drain(): Unit = Thread.sleep(300)
+    // Counters are read only between drained bus states (r15: a true
+    // waitUntilEmpty barrier via TaskLedger, replacing the fixed 300 ms
+    // sleep — ADVICE r13/r14), then reset at the START of each pass so
+    // the attribution window is exactly [q.run, drain] (jobs run during
+    // the explain/construction phase above would otherwise be charged to
+    // pass 1).
+    println(s"DRAIN mode=${ledger.drainMode}")
     // two passes by default: the first pays JIT/codegen/page-cache warm-up,
     // the second is comparable to Bench's min-of-two convention. Each pass
     // re-runs q.run too, matching Bench.timeOne's accounting — for most
@@ -71,14 +48,14 @@ object Explain {
     // (connectedComponents' eager label rounds, memoized codebook fits) do
     // real work there and a build-once harness would silently exclude it.
     for (pass <- 1 to passes) {
-      drain(); jobs.set(0); taskMs.set(0); cpuNs.set(0)
+      ledger.drain(); ledger.reset()
       val t0 = System.nanoTime()
       q.run(spark, d).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      drain()
+      ledger.drain()
       println(s"ELAPSED pass $pass: $wall " +
-        s"jobs=${jobs.get()} taskSec=${taskMs.get() / 1000.0} " +
-        s"cpuSec=${cpuNs.get() / 1e9}")
+        s"jobs=${ledger.jobs.get()} taskSec=${ledger.taskSec} " +
+        s"cpuSec=${ledger.cpuSec}")
     }
     spark.stop()
   }

@@ -1,21 +1,41 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-smoke corpus builder: replicates an SF directory `factor`× with
   * key offsets, so Bench can be pointed at a corpus one order of magnitude
   * larger than the largest driver-generated SF.
   *
-  * Facts (orders/lineitem/events) get offset join keys per replica so join
-  * cardinalities scale linearly, like a real bigger SF. Dimensions are
-  * copied as-is (dims grow sub-linearly in every star schema). documents /
-  * embeddings keep their text/vectors VERBATIM across replicas on purpose:
-  * 10 exact copies of every doc is precisely the mass-duplicate hot-bucket
-  * stress that the dedup family's candidate caps (SURVEY §5) must survive —
-  * an adversarial corpus, not a convenient one.
+  * Two modes (r15, verdict r14 #3):
   *
-  * Usage: runMain graft.MakeScale <srcDir> <outDir> [factor]
+  * `dup` (default, the historical behavior): facts (orders/lineitem/
+  * events) get offset join keys per replica so join cardinalities scale
+  * linearly, like a real bigger SF. Dimensions are copied as-is (dims
+  * grow sub-linearly in every star schema). documents / embeddings keep
+  * their text/vectors VERBATIM across replicas on purpose: 10 exact
+  * copies of every doc is precisely the mass-duplicate hot-bucket stress
+  * that the dedup family's candidate caps (SURVEY §5) must survive — an
+  * adversarial corpus, not a convenient one.
+  *
+  * `renum`: the NON-pathological twin. Pure duplication makes every scale
+  * smoke a mega-dup stress test — right for the dedup guards, wrong for
+  * scan/join scaling, because 100 duplicated replicas dictionary-encode
+  * to almost nothing and collapse to 1/100 distinct content, nothing like
+  * real 100× data. Renumber mode deterministically varies the VALUES per
+  * replica (the q_merge_upsert %-arithmetic device — pure key math, no
+  * randomness):
+  *  - fact foreign keys (l_partkey, l_suppkey, o_custkey) rotate within
+  *    their dimension's key span per replica, so each replica joins a
+  *    different slice of the dims instead of hammering the same rows;
+  *  - document texts gain a per-replica token, so distinct content (th
+  *    groups, signature tables, inverted indexes) scales ×factor the way
+  *    a real corpus does;
+  *  - embeddings perturb one coordinate per replica, so distinct vectors
+  *    (eh groups, ANN index rows) scale ×factor.
+  * Replica 0 keeps the source rows verbatim in both modes.
+  *
+  * Usage: runMain graft.MakeScale <srcDir> <outDir> [factor] [dup|renum]
   */
 object MakeScale {
   private val Off = 100000000L // replica key offset; far above any sf0.1 key
@@ -24,15 +44,35 @@ object MakeScale {
     val src    = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out    = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode   = args.lift(3).getOrElse("dup")
+    require(mode == "dup" || mode == "renum", s"unknown mode '$mode'")
     val spark  = GraftSession("local[32]", shufflePartitions = 32)
-    try build(spark, src, out, factor)
+    try build(spark, src, out, factor, renumber = mode == "renum")
     finally spark.stop()
   }
 
-  def build(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  def build(spark: SparkSession, src: String, out: String, factor: Int,
+      renumber: Boolean = false): Unit = {
     val reps = spark.range(factor).withColumnRenamed("id", "rep")
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+
+    // Rotate a foreign key within [mn, mx] by a replica-dependent stride —
+    // deterministic, referential integrity preserved (dims are copied
+    // as-is, so every rotated key still resolves), and each replica's
+    // fact→dim join pattern lands on different dim rows. The stride is a
+    // prime so consecutive replicas decorrelate even on dense key spans.
+    def rotate(k: Column, mn: Long, mx: Long): Column = {
+      val span = mx - mn + 1L
+      (k - mn + col("rep") * (7919L % span)) % span + mn
+    }
+    def keySpan(t: String, k: String): (Long, Long) = {
+      val r = load(t).agg(min(col(k)), max(col(k))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    lazy val (pMn, pMx) = keySpan("part", "p_partkey")
+    lazy val (sMn, sMx) = keySpan("supplier", "s_suppkey")
+    lazy val (cMn, cMx) = keySpan("customer", "c_custkey")
 
     // One scan per table; crossJoin with the tiny replica range broadcasts
     // the range side, so replication is a narrow map over the source scan.
@@ -47,6 +87,29 @@ object MakeScale {
       // rather than `factor` perfectly coincident streams — offset in nanos.
       for (c <- tsCols)
         df = df.withColumn(c, col(c) + col("rep") * 1000000000L)
+      if (renumber) t match {
+        case "lineitem" => df = df
+          .withColumn("l_partkey", rotate(col("l_partkey"), pMn, pMx))
+          .withColumn("l_suppkey", rotate(col("l_suppkey"), sMn, sMx))
+        case "orders" => df = df
+          .withColumn("o_custkey", rotate(col("o_custkey"), cMn, cMx))
+        case "documents" => df = df
+          // one appended token per non-zero replica: every replica's text
+          // is DISTINCT content, so th groups / signature tables /
+          // postings scale ×factor like a real corpus (and token-level
+          // stats shift only by the one marker token)
+          .withColumn("text", when(col("rep") === 0L, col("text"))
+            .otherwise(concat(col("text"), lit(" rv"), col("rep"))))
+        case "embeddings" => df = df
+          // perturb coordinate 0 by a per-replica epsilon: distinct
+          // vectors (eh groups, ANN rows) scale ×factor; geometry moves
+          // negligibly so recall floors stay meaningful
+          .withColumn("embedding", when(col("rep") === 0L, col("embedding"))
+            .otherwise(transform(col("embedding"), (x, i) =>
+              when(i === 0, x + (col("rep") % 1000L).cast("float") * lit(1e-4f))
+                .otherwise(x))))
+        case _ => ()
+      }
       df.drop("rep")
     }
 
@@ -75,6 +138,6 @@ object MakeScale {
         else df.repartition(outParts)
       spread.write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    println(s"[makescale] wrote ${factor}x $src -> $out")
+    println(s"[makescale] wrote ${factor}x (${if (renumber) "renum" else "dup"}) $src -> $out")
   }
 }

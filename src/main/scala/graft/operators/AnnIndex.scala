@@ -875,6 +875,13 @@ object AnnIndex {
           pruneSiblings(s, vd)
       }
     }
+    // r15: automatic compaction cadence (verdict r14 #8 extended to the
+    // corpus-classed chains). LXT segments are distinct-content × terms —
+    // a merged rewrite is real work, so the threshold is deeper than the
+    // signature families' sigMaxChain=2: the rewrite amortizes over
+    // corpusMaxChain micro-batch appends instead of firing every other
+    // one, and a serve still never unions an unbounded segment list.
+    if (chainDirs(s, vd, "LXT").size > corpusMaxChain) compactLex(s, d)
     // explicit schema pins tslot LongType against hive partition-column
     // inference (the IVF cells defense: an int-inferred partition column
     // wraps the attribute in a cast and blocks partition pruning)
@@ -973,12 +980,27 @@ object AnnIndex {
           pruneSiblings(s, vd)
       }
     }
+    // r15: automatic compaction cadence for the chained id-hash family
+    // (THM — verdict r14 #8 extended): the merged rewrite is CORPUS-sized
+    // (one row per id), exactly the per-append cost the chain exists to
+    // avoid, so it amortizes over corpusMaxChain appends rather than
+    // firing every other one like the distinct-content-sized signature
+    // chains do at sigMaxChain.
+    if (chained && chainDirs(s, vd, fam).size > corpusMaxChain)
+      compactIdHash(s, d, fam, tableName, art)
     val rows = chainDirs(s, vd, fam).map(c => s.read.parquet(s"$c/$art"))
       .reduce(_ unionByName _)
     val (_, _, params) = readMeta(s, vd, fam).get
     validate(vd, fam, params.toLong, rows.count())
     rows
   }
+
+  /** Serve-side segment bound for the CORPUS-classed chains (THM id-hash
+    * rows, LXT postings): compaction rewrites corpus-scale artifacts, so
+    * the cadence is one merge per this many appends — segment decay stays
+    * bounded without re-paying the per-append rewrite the chain avoids.
+    */
+  private[graft] val corpusMaxChain = 8
 
   /** Persisted (doc_id, th, nth, lang, source) member mapping — family
     * THM, the one narrow corpus text scan the whole text-serving surface
@@ -1087,11 +1109,81 @@ object AnnIndex {
           pruneSiblings(s, vd)
       }
     }
+    // r15 (verdict r14 #8): threshold-triggered chain compaction. A long
+    // run of small appends accumulated one segment per append until the
+    // next full rebuild — N partition listings + N small-file scans per
+    // serve (the decay compactLex bounds for LXT), and the pair-graph
+    // builders (NP2/MP2/SP2) read these chains on EVERY rebuild/append.
+    // Signature tables are DISTINCT-CONTENT-sized, so the merge rewrite
+    // is cheap; the threshold keeps every serve at ≤ sigMaxChain
+    // segments (a 10-append chain compacts on its first over-threshold
+    // serve — which is the append itself, since appends serve).
+    if (chainDirs(s, vd, fam).size > sigMaxChain) compactSigs(s, d, fam)
     val sigs = chainDirs(s, vd, fam)
       .map(c => s.read.parquet(s"$c/$art")).reduce(_ unionByName _)
     val (_, _, params) = readMeta(s, vd, fam).get
     validate(vd, fam, params.toLong, sigs.count())
     sigs
+  }
+
+  /** Serve-side segment bound for the th-keyed signature chains: a serve
+    * reading more than this many segments compacts first, so the chain
+    * never decays past (threshold) segments no matter how many appends
+    * arrive between full rebuilds. 2 = the compacted tip plus at most
+    * one fresh delta segment.
+    */
+  private[graft] val sigMaxChain = 2
+
+  /** Spec hook: the current segment-chain length of a th-keyed signature
+    * family (1 = self-contained).
+    */
+  private[graft] def sigChainLen(s: SparkSession, d: String, fam: String): Int = {
+    val table = s"$d/documents.parquet"
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    chainDirs(s, versionDirFor(s, table, math.max(cnt, 1L), fp), fam).size
+  }
+
+  /** Collapse a th-keyed signature family's append chain (NG/MH/SH/WC —
+    * see [[textSigs]]) into one self-contained version: segments hold
+    * DISJOINT distinct-text sets (appends anti-join the chain's th
+    * registry), so the merge is a plain union rewrite — no re-encode, no
+    * corpus pass, output sized by the meta's exact row total. Write-aside
+    * + rename (the merge plan reads the very paths it replaces), meta
+    * cleared to self-contained, row total conserved and re-proven on the
+    * next serve (the compactLex posture), superseded versions swept.
+    * Returns false (no-op) on an unchained artifact. Triggered
+    * automatically by [[textSigs]] past [[sigMaxChain]] (verdict r14 #8);
+    * also callable as a maintenance hook like [[compactLex]].
+    */
+  private[graft] def compactSigs(s: SparkSession, d: String, fam: String): Boolean = {
+    val table = s"$d/documents.parquet"
+    if (!exists(s, table)) return false
+    val cnt = s.read.parquet(table).count()
+    val fp = Similarity.tableFingerprint(s, table)
+    val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
+    if (!exists(s, s"$vd/_GRAFT_OK_$fam")) return false
+    val art = s"${fam.toLowerCase}_sigs"
+    val chain = chainDirs(s, vd, fam)
+    if (chain.size <= 1) return false
+    val (_, nFit, params) = readMeta(s, vd, fam).get
+    boundFiles(
+        chain.map(c => s.read.parquet(s"$c/$art")).reduce(_ unionByName _),
+        math.max(1L, params.toLong))
+      .write.mode("overwrite").parquet(s"$vd/${art}_c")
+    val f = fs(s, vd)
+    f.delete(new org.apache.hadoop.fs.Path(s"$vd/$art"), true)
+    if (!f.rename(new org.apache.hadoop.fs.Path(s"$vd/${art}_c"),
+        new org.apache.hadoop.fs.Path(s"$vd/$art")))
+      throw new IllegalStateException(s"compactSigs: rename of $art failed")
+    writeMeta(s, vd, fam, None, nFit, params) // self-contained: no base
+    sweepAt(s, table, vd) // maintenance cadence — see compactLex
+    validatedVersions.remove(s"$vd#$fam")
+    // a session memo may hold a chain READER over the just-pruned
+    // segment files (same table fingerprint, different artifact layout —
+    // the one staleness the fingerprint check cannot see)
+    SessionMemo.evictDataset(d)
+    true
   }
 
   /** Persisted BPE vocabulary (`bpe_wf`: word → exact corpus frequency) —

@@ -556,6 +556,27 @@ object EltOps {
     * is the first-occurrence window: rank per (track, playlist) in run
     * order, rn>1 means a duplicate within the run. Liked library =
     * broadcast key set; one window shuffle, no driver state.
+    *
+    * Scale shape (r15, verdict r14 #2): through r14 the plan paid THREE
+    * fact-sized exchanges at 100× — the join shuffle, the window's hash
+    * exchange on (l_partkey, playlist), and the contract sort's range
+    * exchange. The window exchange and the contract sort now SHARE one
+    * exchange: the post-join frame is range-partitioned by exactly the
+    * window keys, which (a) satisfies the window's ClusteredDistribution
+    * (every range key is a clustering key — equal keys co-locate) and
+    * (b) is an order-compatible PREFIX of the contract sort, so the
+    * final orderBy plans as a partition-local sort with NO new exchange
+    * (RangePartitioning satisfies OrderedDistribution on prefix match).
+    * The output columns lead with (l_partkey, playlist) to make the
+    * contract sort start with the range keys — the oracle's ORDER BY ALL
+    * uses the same column order, and the driver's compare sorts columns
+    * by name before hashing, so column order is free to choose. The fact
+    * side is also projected to the window's columns BEFORE the fact-fact
+    * join, so the join and range exchanges move 3-4 narrow columns.
+    * The window formulation itself is REQUIRED (r14 adjudication): the
+    * fact carries duplicate (l_orderkey, l_linenumber) rows, and exactly
+    * one of a duplicated pair is "saved" — a min-key join-back would
+    * mark both.
     */
   val collectStatus: Q = Q(
     "q_collect_status",
@@ -566,16 +587,18 @@ object EltOps {
       val p = T.part(s, d)
       val liked = broadcast(p.where(col("p_size") % 7 === 0)
         .select(col("p_partkey").as("lk")))
-      val items = l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .select(l("l_orderkey"), l("l_linenumber"), l("l_partkey"),
-          o("o_orderpriority").as("playlist"))
+      val items = l.select("l_orderkey", "l_linenumber", "l_partkey")
+        .join(o.select(col("o_orderkey"), col("o_orderpriority").as("playlist")),
+          col("l_orderkey") === col("o_orderkey"))
+        .drop("o_orderkey")
       val w = Window.partitionBy("l_partkey", "playlist")
         .orderBy("l_orderkey", "l_linenumber")
       items
+        .repartitionByRange(col("l_partkey"), col("playlist"))
         .join(liked, col("l_partkey") === col("lk"), "left")
         .withColumn("rn", row_number().over(w))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("playlist"),
+        .select(col("l_partkey"), col("playlist"),
+          col("l_orderkey"), col("l_linenumber"),
           when(col("lk").isNotNull && col("playlist") === "1-URGENT",
             "skipped (saved before the run)")
             .when(col("rn") > 1, "skipped (saved during the run)")
@@ -583,8 +606,8 @@ object EltOps {
         .transform(Det.sortAll)
     },
     Some("""WITH items AS (
-            |  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
-            |         o.o_orderpriority AS playlist
+            |  SELECT l.l_partkey, o.o_orderpriority AS playlist,
+            |         l.l_orderkey, l.l_linenumber
             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             |), t AS (
             |  SELECT i.*, p.p_partkey IS NOT NULL AS liked,
@@ -594,7 +617,7 @@ object EltOps {
             |  LEFT JOIN (SELECT p_partkey FROM part WHERE p_size % 7 = 0) p
             |         ON i.l_partkey = p.p_partkey
             |)
-            |SELECT l_orderkey, l_linenumber, l_partkey, playlist,
+            |SELECT l_partkey, playlist, l_orderkey, l_linenumber,
             |       CASE WHEN liked AND playlist = '1-URGENT'
             |              THEN 'skipped (saved before the run)'
             |            WHEN rn > 1 THEN 'skipped (saved during the run)'

@@ -102,10 +102,9 @@ object SessionMemo {
           buildCounters
             .computeIfAbsent(family, _ => new java.util.concurrent.atomic.AtomicLong(0))
             .incrementAndGet()
-          val built = build.map(_.persist(StorageLevel.MEMORY_AND_DISK))
-          // Eagerly materialize the cached blocks (one count job per
-          // build, once per session) — left lazy, consumers that touch
-          // the frame only through BroadcastExchange collects and
+          // Eagerly persist + materialize the cached blocks (one count
+          // job per build, once per session) — left lazy, consumers that
+          // touch the frame only through BroadcastExchange collects and
           // shuffle-exchange subtrees re-compute the cached plan on
           // EVERY serve instead of populating the block store (measured
           // r13: q_dedup_contain re-ran the thg groupBy ~7x per run,
@@ -114,7 +113,17 @@ object SessionMemo {
           // consumer reads warm InMemoryTableScan rows like every later
           // one). The build is once per (session, dataset, family), so
           // this prices no per-serve job — the expansion-guard contract.
-          built.foreach(_.count())
+          // A frame the BUILDER already persisted is trusted as already
+          // materialized (martTable must count before unpersisting its
+          // build-scoped input) — re-persisting and re-counting it here
+          // ran one redundant count job per session and polluted Bench's
+          // cold-pass attribution (ADVICE r14).
+          val built = build.map { f =>
+            if (f.storageLevel == StorageLevel.NONE) {
+              val p = f.persist(StorageLevel.MEMORY_AND_DISK)
+              p.count(); p
+            } else f
+          }
           cache.update(key, Entry(s, fp, built))
           built
       }

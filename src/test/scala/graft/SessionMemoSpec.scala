@@ -11,6 +11,17 @@ import graft.operators.{Dedup, Members, SessionMemo, TextAnalysis}
 class SessionMemoSpec extends SparkSpec {
   import spark.implicits._
 
+  // temp-dir hygiene for the artifact-root tests, as AnnIndexSpec and
+  // GuardsSpec do (ADVICE r14: the finally blocks unset the conf but
+  // leaked the corpus and index artifacts per run)
+  private def rmTree(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   test("doc th memo: one derivation serves the whole family, values exact") {
     val tmp = java.nio.file.Files.createTempDirectory("memo_th").toString
     (0 until 30).map { i =>
@@ -137,6 +148,7 @@ class SessionMemoSpec extends SparkSpec {
           s"memo family $f must rebuild on an in-place rewrite")
     } finally {
       spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
     }
   }
 
@@ -179,6 +191,7 @@ class SessionMemoSpec extends SparkSpec {
         .collect()(0).getString(0) == "de")
     } finally {
       spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
     }
   }
 
@@ -218,6 +231,7 @@ class SessionMemoSpec extends SparkSpec {
       assert(byId(16L) == byId(0L))
     } finally {
       spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
     }
   }
 }
