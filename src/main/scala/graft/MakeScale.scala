@@ -101,13 +101,22 @@ object MakeScale {
           .withColumn("text", when(col("rep") === 0L, col("text"))
             .otherwise(concat(col("text"), lit(" rv"), col("rep"))))
         case "embeddings" => df = df
-          // perturb coordinate 0 by a per-replica epsilon: distinct
-          // vectors (eh groups, ANN rows) scale ×factor; geometry moves
-          // negligibly so recall floors stay meaningful
+          // per-coordinate multiplicative jitter (±~15%, two coprime
+          // moduli so every rep < 143 gets a distinct pattern): distinct
+          // vectors (eh groups, ANN index rows) scale ×factor with
+          // GENUINELY distinct directions. A coordinate-0 epsilon shift
+          // was tried first and rejected: it builds 100-member
+          // epsilon-clusters whose members share PQ codes (ADC ties →
+          // candidate cut loses true neighbors — measured pq/ivfpq
+          // recall 0.3 on that geometry), which is the near-dup regime
+          // again, not a realistic bigger corpus
           .withColumn("embedding", when(col("rep") === 0L, col("embedding"))
             .otherwise(transform(col("embedding"), (x, i) =>
-              when(i === 0, x + (col("rep") % 1000L).cast("float") * lit(1e-4f))
-                .otherwise(x))))
+              x * (lit(1.0f)
+                + ((col("rep") * 31L + i.cast("long") * 7L) % 13L - 6L)
+                  .cast("float") * lit(0.02f)
+                + ((col("rep") * 17L + i.cast("long") * 3L) % 11L - 5L)
+                  .cast("float") * lit(0.015f)))))
         case _ => ()
       }
       df.drop("rep")

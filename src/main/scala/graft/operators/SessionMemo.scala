@@ -292,6 +292,15 @@ object Members {
       thGroups(s, d)._2.count()
     }
 
+  /** Exact distinct-vector count, the embedding twin of [[thDistinct]] —
+    * the PQ family's ADC rescore depth scales with it (r15): one count
+    * over the already-materialized reps cache, memoized per session.
+    */
+  def ehDistinct(s: SparkSession, d: String): Long =
+    SessionMemo.scalar(s, d, "ehn", Seq("embeddings.parquet")) {
+      eh(s, d)._2.count()
+    }
+
   /** The embedding twin over `embeddings.parquet`:
     * members (rep, vec_id, eh) and reps (vec_id = the group's min member,
     * eh, v, nrm, gsz) — eh is the 128-bit content hash

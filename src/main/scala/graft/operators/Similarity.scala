@@ -894,6 +894,24 @@ object Similarity {
   private[graft] val pqKsub = 256
   private[graft] val pqRescore = 64
 
+  /** ADC candidate depth before the exact rescore, scaled by the
+    * DISTINCT-vector count (r15, verdict r14 #5): quantization noise
+    * admits more false candidates above a true neighbor as the corpus
+    * grows — at fixed geometry density the number of vectors within one
+    * quantization-cell radius of a query scales with n — so the fixed
+    * base depth that holds the 0.8 floor at 2k distinct vectors measured
+    * 0.68 at 200k (graft.ScaleRecall on the renumbered 100× corpus,
+    * jittered-cluster geometry; 0.3 under the harsher epsilon-cluster
+    * geometry). Depth = max(base, n/256) capped at 1024: the rescore is
+    * depth × |queries| exact dot products — ~20k per serve at the cap,
+    * trivial next to the code scan — and the cap bounds the serve at any
+    * corpus size. Per-corpus floors are MEASURED (ScaleRecall), never
+    * assumed; the count itself is the session-memoized [[Members
+    * .ehDistinct]] scalar, so the depth prices no per-serve job.
+    */
+  private[graft] def pqRescoreDepth(n: Long): Int =
+    math.max(pqRescore.toLong, math.min(1024L, n / 256L)).toInt
+
   /** Driver-local per-subspace Lloyd's over the collected sample (the
     * fit side of the PQ fit/serve split). One pass per iteration trains
     * all m subspaces simultaneously; assignment uses the SAME
@@ -1007,6 +1025,7 @@ object Similarity {
       // keeps pqRescore+1 reps: the query's own rep rides along at
       // rep-level (the member filter happens after expansion), so the
       // budget covers the same number of true candidates as before.
+      val depth = pqRescoreDepth(Members.ehDistinct(s, d))
       val wa = Window.partitionBy("query_id")
         .orderBy(col("adc_cos").desc, col("eh"))
       val cand = corpus.crossJoin(broadcast(queries))
@@ -1014,7 +1033,7 @@ object Similarity {
           (Vectors.pqAdc(col("code"), col("lut"), pqM) /
             (col("qnrm") * col("nrm"))).as("adc_cos"))
         .withColumn("ar", row_number().over(wa))
-        .where(col("ar") <= pqRescore + 1)
+        .where(col("ar") <= depth + 1)
         .select("query_id", "eh_q", "eh")
       val scored = cand
         .join(Members.eh(s, d)._2.select(col("eh"), col("v"), col("nrm")), "eh")
@@ -1075,6 +1094,7 @@ object Similarity {
       // PARTITION-PRUNED; candidates score by ADC (m table-adds) against
       // the broadcast per-query LUTs over one code row per DISTINCT
       // vector (r12) — no raw vector is read until the rescore join
+      val depth = pqRescoreDepth(Members.ehDistinct(s, d))
       val wa = Window.partitionBy("query_id")
         .orderBy(col("adc_cos").desc, col("eh"))
       val cand = codes.where(col("cluster").isin(probed.toIndexedSeq: _*))
@@ -1083,7 +1103,7 @@ object Similarity {
           (Vectors.pqAdc(col("code"), col("lut"), pqM) /
             (col("qnrm") * col("nrm"))).as("adc_cos"))
         .withColumn("ar", row_number().over(wa))
-        .where(col("ar") <= pqRescore + 1)
+        .where(col("ar") <= depth + 1)
         .select("query_id", "eh_q", "eh")
       // exact-cosine rescore of the ≤20·(pqRescore+1) surviving reps
       // (point reads of distinct raw vectors via the memo), rep-trim,
