@@ -1320,6 +1320,35 @@ object AnnIndex {
     concat(lpad(hex(xxhash64(v)), 16, "0"),
       lpad(hex(xxhash64(v, lit(42))), 16, "0"))
 
+  /** Refuse a quadratic EP candidate join BEFORE it runs (r15 — the
+    * expansion-guard contract extended to the fit side): the renumbered
+    * 100× corpus (200k distinct vectors) showed the qualifying-pair set
+    * at the dedup threshold is itself quadratic-class on realistic data
+    * (~10⁸+ exact-bucket collision pairs at fit geometry; the candidate
+    * shuffle filled 74 GB of local disk before failing). The estimate is
+    * the exact-bucket Σk(k−1)/2 over the capped signatures — one cheap
+    * map-side-combined aggregation per fit/append, and a strict LOWER
+    * bound on the ball-matched candidate volume, so a refusal is never a
+    * false positive. Same knob as the member expansions
+    * (graft.expand.maxRows): computing a 10⁸+-pair graph is a deliberate
+    * multi-TB-shuffle decision, not a default.
+    */
+  private def epCandidateGuard(s: SparkSession, capped: DataFrame): Unit = {
+    val budget = s.conf.get("graft.expand.maxRows", "100000000").toLong
+    val est = capped.groupBy("band_idx", "code")
+      .agg(count(lit(1)).as("k"))
+      .agg(coalesce(sum(expr("k * (k - 1L) div 2L")), lit(0L)))
+      .head().getLong(0)
+    if (est > budget) throw new IllegalStateException(
+      s"EP candidate join would emit ≥$est exact-bucket collision pairs " +
+        s"(before the multi-probe ball) — past graft.expand.maxRows=" +
+        s"$budget. At this corpus size the qualifying-pair set at the " +
+        "dedup threshold is quadratic-class; computing it is a deliberate " +
+        "multi-TB-shuffle decision — raise graft.expand.maxRows (and " +
+        "provision shuffle disk) to proceed, or serve the rep-level " +
+        "ANN/cluster surfaces that don't need the full pair graph.")
+  }
+
   /** Persisted embedding near-dup PAIR graph (family EP) — the fit/serve
     * split extended to the LAST per-session corpus-pass family: before
     * this, every q_dedup_embed / q_dedup_semantic run re-ran the whole
@@ -1412,6 +1441,7 @@ object AnnIndex {
           Dedup.capBuckets(unionSigs, Seq("band_idx", "code"), 256)
             .write.mode("overwrite").parquet(s"$vd/ep_sigs")
           val capped = s.read.schema(sigSchema).parquet(s"$vd/ep_sigs")
+          epCandidateGuard(s, capped)
           // candidates touching a NEW vector: the new side probes its
           // full hamming-≤radius ball against the union's EXACT codes —
           // for pairs with ≥1 new endpoint this is the same candidate set
@@ -1421,7 +1451,11 @@ object AnnIndex {
             .withColumn("mask", explode(lit(Similarity.probeMasks(bits, radius))))
             .select(col("eh").as("eh_n"), col("band_idx"),
               col("code").bitwiseXOR(col("mask")).as("code"))
-          val cand = capped.join(probed, Seq("band_idx", "code"))
+          // merge-hinted like the fresh build's split-ball join: the
+          // probed side is (batch distinct × bands × full-ball masks)
+          // runtime rows behind a Generate the estimator can't see — a
+          // drift-bound append (≤30% of the corpus) is still corpus-class
+          val cand = capped.hint("merge").join(probed, Seq("band_idx", "code"))
             .where(col("eh") =!= col("eh_n"))
             .select(least(col("eh"), col("eh_n")).as("eh_a"),
               greatest(col("eh"), col("eh_n")).as("eh_b"))
@@ -1482,6 +1516,7 @@ object AnnIndex {
         Dedup.capBuckets(encodeSigs(reps, bands, bits), Seq("band_idx", "code"), 256)
           .write.mode("overwrite").parquet(s"$vd/ep_sigs")
         val capped = s.read.schema(sigSchema).parquet(s"$vd/ep_sigs")
+        epCandidateGuard(s, capped)
         // split-ball self-join (see Similarity.splitProbeMasks): each side
         // probes the full radius restricted to its own half of the bit
         // positions; the popcount-sum predicate restores exactly the
@@ -1492,7 +1527,16 @@ object AnnIndex {
               col("code").bitwiseXOR(col("mask")).as("code"),
               expr("bit_count(mask)").as("mbits"))
         val (lowMasks, highMasks) = Similarity.splitProbeMasks(bits, radius)
-        val cand = expand(capped, lowMasks).as("a")
+        // merge-hinted: Catalyst's size estimate CANNOT see the explode
+        // multiplier (Generate keeps the child scan's sizeInBytes), so a
+        // 26 MB ep_sigs scan estimate hid 10.5M×29 = 303M runtime rows
+        // behind a below-threshold BroadcastExchange — a 2.3 GB driver
+        // collect that killed the fit at 200k distinct vectors (r15,
+        // found by the renumbered 100× corpus; the duplicated corpus's
+        // 2k distinct vectors made the same broadcast harmlessly tiny).
+        // Both sides are corpus-sized signature expansions — the join is
+        // a shuffled sort-merge at every scale by construction.
+        val cand = expand(capped, lowMasks).as("a").hint("merge")
           .join(expand(capped, highMasks).as("b"),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.code") === col("b.code") &&

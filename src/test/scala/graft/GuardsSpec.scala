@@ -52,6 +52,40 @@ class GuardsSpec extends SparkSpec {
     }
   }
 
+  test("EP fit candidate guard: quadratic-class bucket collisions refuse BEFORE the join; a raised budget fits exactly (r15)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftepg").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftepgroot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // 40 DISTINCT near-parallel vectors: every pair lands in the same
+    // band buckets (cosine ≈ 1), so exact-bucket Σ k(k−1)/2 at fit
+    // geometry is ≥ bands × C(40,2) — far past a lowered budget. The
+    // renumbered 100× corpus hit this for real: the fit's candidate
+    // shuffle filled 74 GB of disk before r15 added the refusal.
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Array.tabulate(8)(j => (10f + j) + i * 1e-3f)))
+    try {
+      vecs.toDF("vec_id", "embedding")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      spark.conf.set("graft.expand.maxRows", "100")
+      Similarity.clearMemos()
+      val e = intercept[IllegalStateException] {
+        Similarity.dedupEmbed.run(spark, tmp).collect()
+      }
+      assert(e.getMessage.contains("EP candidate join"),
+        s"refusal must name the EP fit: ${e.getMessage}")
+      assert(e.getMessage.contains("graft.expand.maxRows"))
+      // raised budget: the fit completes and serves the full pair set
+      // (all C(40,2) near-parallel pairs qualify at the dedup threshold)
+      spark.conf.set("graft.expand.maxRows", "2000000000")
+      Similarity.clearMemos()
+      assert(Similarity.dedupEmbed.run(spark, tmp).count() == 780L)
+    } finally {
+      spark.conf.unset("graft.expand.maxRows")
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
   test("mart union: global numbering is placement-independent — no spark_partition_id, ids equal the global row_number") {
     val out = Marts.martUnion.run(spark, sfDir)
     // the r12 hazard: spark_partition_id() over repartitionByRange made
