@@ -195,6 +195,42 @@ class SessionMemoSpec extends SparkSpec {
     }
   }
 
+  test("THM auto-compaction: 9 appends keep the id-hash chain within corpusMaxChain, values intact, no re-hash (r15)") {
+    import graft.operators.AnnIndex
+    val tmp = java.nio.file.Files.createTempDirectory("thm_chain").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("thm_chainroot").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    def docs(rows: Seq[Long], mode: String): Unit =
+      rows.map(i => (i, s"chain doc body $i", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+        .repartition(1).write.mode(mode).parquet(s"$tmp/documents.parquet")
+    try {
+      docs(0L until 10L, "overwrite")
+      assert(Members.th(spark, tmp).count() == 10)
+      val e0 = AnnIndex.thmEncodes.get()
+      // 9 micro-batch appends, each served: the corpus-classed chain
+      // compacts automatically past corpusMaxChain segments (r15,
+      // verdict r14 #8 extended) — a merged rewrite every 8 appends,
+      // never an unbounded segment union, never a re-hash
+      for (k <- 1 to 9) {
+        docs(Seq(100L + 2 * k, 101L + 2 * k), "append")
+        assert(Members.th(spark, tmp).count() == 10 + 2 * k)
+        assert(AnnIndex.sigChainLen(spark, tmp, "THM") <= AnnIndex.corpusMaxChain,
+          s"append $k decayed past the ${AnnIndex.corpusMaxChain}-segment bound")
+      }
+      assert(AnnIndex.thmEncodes.get() == e0,
+        "compaction is a pure parquet merge — the corpus must never re-hash")
+      // served hashes equal a direct computation across the compaction
+      val direct = spark.read.parquet(s"$tmp/documents.parquet")
+        .select(col("doc_id").as("d2"), md5(col("text")).as("th2"))
+      assert(Members.th(spark, tmp).join(direct, col("doc_id") === col("d2"))
+        .where(col("th") =!= col("th2")).count() == 0)
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
   test("EHM artifact: vector hash pass once per content; append delta-encodes; eh values stable (r13)") {
     import graft.operators.AnnIndex
     val tmp = java.nio.file.Files.createTempDirectory("ehm_art").toString
