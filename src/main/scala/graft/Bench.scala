@@ -83,6 +83,7 @@ object Bench {
         npEncodes.get + npAppends.get +
         ecEncodes.get + ecAppends.get + tpEncodes.get + tpAppends.get +
         thmEncodes.get + thmAppends.get + ehmEncodes.get + ehmAppends.get +
+        knEncodes.get + knAppends.get + klEncodes.get + // r16: KNN graph
         graft.operators.Bpe.bpeTrains.get +
         graft.operators.Unigram.unigramTrains.get +
         graft.operators.SessionMemo.totalBuilds() // r12: every session-
@@ -251,9 +252,22 @@ object Bench {
               case (Some(p), Some(c)) => c > 0.3 && c > factor * p
               case _ => baseline.get(q.name).exists(p => mn > 0.3 && mn > factor * p)
             }
+          // loosened WALL backstop alongside the cpu triggers (ADVICE r15):
+          // once cpu baselines exist, (b)/(c) compare ONLY cpuSec — but a
+          // reproducible wall-only regression (driver-side work like a
+          // BroadcastExchange collect, or added I/O wait) never moves
+          // executorCpuTime and slows BOTH passes equally, so neither
+          // pass_disagree nor the cpu triggers would fire. Flag cpu-flat
+          // readings whose min still sits >2.5x the wall ratchet.
+          def wallBackstop: Boolean =
+            cpuPrior.get(q.name).zip(cmn).exists { case (p, c) =>
+              c <= 1.5 * p &&
+                prior.get(q.name).exists(w => mn > 0.5 && mn > 2.5 * w)
+            }
           if (mn > 0.3 && math.max(a, b) > 3 * mn) Some("pass_disagree")
           else if (above(prior, cpuPrior, 1.5)) Some("above_prior")
           else if (above(lastRun, cpuLast, 1.3)) Some("above_last")
+          else if (wallBackstop) Some("wall_backstop")
           else if (forced(q.name)) Some("forced") else None
         case _ => if (forced(q.name)) Some("forced") else None
       }
@@ -326,7 +340,7 @@ object Bench {
     val loads = passLoads.map { case (n, (a, b)) => s""""$n":[$a,$b]""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuJson,"passes":$passes,"cpu_passes":$cpuPasses,"cold":$cold,"retimed":$retimed,"load":$loads,"failed":$fs,"drain":"${ledger.drainMode}","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuJson,"passes":$passes,"cpu_passes":$cpuPasses,"cold":$cold,"retimed":$retimed,"load":$loads,"failed":$fs,"drain":"${ledger.drainMode}","drain_degraded":${ledger.degradedDrains.get},"sf":"$sfDir"}"""
     // land the full line as a file, so per-query numbers are machine-
     // readable without scraping an sbt log tail (cwd-relative; create the
     // parent so a non-sbt launcher's cwd can't fail a finished run)

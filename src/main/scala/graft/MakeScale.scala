@@ -58,17 +58,27 @@ object MakeScale {
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
     // Rotate a foreign key within [mn, mx] by a replica-dependent stride —
-    // deterministic, referential integrity preserved (dims are copied
-    // as-is, so every rotated key still resolves), and each replica's
+    // deterministic, referential integrity preserved, and each replica's
     // fact→dim join pattern lands on different dim rows. The stride is a
     // prime so consecutive replicas decorrelate even on dense key spans.
+    // ADVICE r15: integrity needs the span DENSE (every key in [mn, mx]
+    // present in the dim — a gap would dangle rotated FKs and silently
+    // shrink inner-join cardinality vs replica 0), so density is asserted
+    // rather than assumed; and when span divides the prime (span == 7919
+    // or 1) the modular stride degenerates to 0 — fall back to stride 1
+    // so replicas still rotate instead of silently keeping identical FKs.
     def rotate(k: Column, mn: Long, mx: Long): Column = {
       val span = mx - mn + 1L
-      (k - mn + col("rep") * (7919L % span)) % span + mn
+      val stride = if (7919L % span == 0L) 1L else 7919L % span
+      (k - mn + col("rep") * stride) % span + mn
     }
     def keySpan(t: String, k: String): (Long, Long) = {
-      val r = load(t).agg(min(col(k)), max(col(k))).head()
-      (r.getLong(0), r.getLong(1))
+      val r = load(t).agg(min(col(k)), max(col(k)), countDistinct(col(k))).head()
+      val (mn, mx, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(nd == mx - mn + 1L,
+        s"$t.$k span [$mn,$mx] has gaps ($nd distinct keys) — rotated FKs " +
+          "would dangle; renum mode requires dense dimension key spans")
+      (mn, mx)
     }
     lazy val (pMn, pMx) = keySpan("part", "p_partkey")
     lazy val (sMn, sMx) = keySpan("supplier", "s_suppkey")

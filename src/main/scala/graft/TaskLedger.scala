@@ -68,17 +68,36 @@ final class TaskLedger(sc: org.apache.spark.SparkContext) {
     */
   def drainMode: String = if (busWait.isDefined) "bus" else "poll"
 
-  def drain(): Unit =
-    busWait match {
-      case Some(w) => try w() catch { case _: Throwable => pollStable() }
+  /** Count of DEGRADED drains (ADVICE r15): the bus wait timed out AND
+    * the quiescence poll exited on its deadline with counters still
+    * moving — the one case where drain() returns with a possibly-bled
+    * attribution window. Surfaced in the bench artifact next to
+    * `drain` so a window whose attribution is suspect says so itself
+    * instead of silently reporting drain:"bus".
+    */
+  val degradedDrains = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def drain(): Unit = {
+    val clean = busWait match {
+      case Some(w) =>
+        (try { w(); true } catch { case _: Throwable => false }) || pollStable()
       case None => pollStable()
     }
+    if (!clean) {
+      degradedDrains.incrementAndGet()
+      System.err.println("[ledger] WARNING: degraded drain — bus wait " +
+        "timed out and the quiescence poll hit its deadline with counters " +
+        "still moving; this attribution window may include bled events")
+    }
+  }
 
   /** Quiescence fallback: re-read the (jobs, taskMs, cpuNs) triple every
     * 25 ms until it holds still for 3 consecutive reads (75 ms), bounded
-    * at 1 s — a stability check rather than a magic fixed sleep.
+    * at 1 s — a stability check rather than a magic fixed sleep. Returns
+    * whether stability was actually reached (false = deadline exit with
+    * counters still moving, a degraded drain).
     */
-  private def pollStable(): Unit = {
+  private def pollStable(): Boolean = {
     val deadline = System.nanoTime() + 1000L * 1000 * 1000
     var last = (jobs.get(), taskMs.get(), cpuNs.get())
     var stable = 0
@@ -88,5 +107,6 @@ final class TaskLedger(sc: org.apache.spark.SparkContext) {
       if (now == last) stable += 1
       else { stable = 0; last = now }
     }
+    stable >= 3
   }
 }

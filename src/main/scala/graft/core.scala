@@ -141,6 +141,16 @@ object Det {
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
 }
 
+/** The typed refusal every quadratic-class cost guard throws (r16): a
+  * deliberate "this output/join is quadratic in duplication or corpus
+  * size — not a default" stop, distinguishable from a genuine failure so
+  * consumers with a LINEAR alternative (q_dedup_semantic's degree-capped
+  * k-NN path) can catch exactly the refusal and fall back, without ever
+  * masking a real error. Subclasses IllegalStateException so existing
+  * callers/specs that match the broad type keep working.
+  */
+final class QuadraticRefusal(msg: String) extends IllegalStateException(msg)
+
 /** One registered engine operation: the Spark implementation plus (when
   * SQL-expressible) a DuckDB oracle for the driver's hash-compare.
   */

@@ -273,6 +273,124 @@ object NearestCentroid {
   }
 }
 
+/** Top-`p` centroid ids by cosine for an Array[Double] column against the
+  * same plan-constant codebook as [[NearestCentroid]] — the multi-probe
+  * cell assignment for the k-NN pair-graph build (r16) as ONE narrow
+  * codegen'd projection.
+  *
+  * Why a second kernel instead of crossJoin + window over the probe rank:
+  * the k-NN graph build assigns probe cells to EVERY distinct corpus
+  * vector (not 20 queries), so the n·k exploded crossJoin — 90M+ rows each
+  * carrying a 64-dim vector at 200k distinct × 450 cells — is exactly the
+  * corpus-sized Window Exchange the singular kernel exists to avoid.
+  *
+  * Ordering is [[NearestCentroid.compute]]'s (`ccos DESC, c_id` under
+  * Spark's NaN-greatest double total order), so element 0 of the result
+  * ALWAYS equals the singular kernel's assignment; output is in rank
+  * order. p is tiny (≤8) — selection is an insertion pass per candidate.
+  */
+case class NearestCentroids(child: Expression, cids: Array[Long],
+    cents: Array[Double], cnorms: Array[Double], p: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> argument, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() * cids.length != cents.length) null
+    else new GenericArrayData(
+      NearestCentroids.computeTop(a, cids, cents, cnorms, p))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", cids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centroidVecs", cents, "double[]")
+    val nrmsRef = ctx.addReferenceObj("centroidNorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |if ($v.numElements() * ${cids.length} != $vecsRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.expressions.NearestCentroids.computeTop(
+         |      $v, $idsRef, $vecsRef, $nrmsRef, $p));
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+object NearestCentroids {
+  /** Shared interpreted/codegen kernel: ids of the top-min(p,k) centroids
+    * in (ccos DESC NaN-greatest, c_id ASC) rank order. Caller guarantees
+    * v.numElements() * cids.length == cents.length.
+    */
+  def computeTop(v: ArrayData, cids: Array[Long], cents: Array[Double],
+      cnorms: Array[Double], p: Int): Array[Long] = {
+    val dim = v.numElements()
+    val k = cids.length
+    val keep = math.min(p, k)
+    // null slot → every cosine null → all centroids tie (NULLS LAST) →
+    // smallest ids win, ascending (the singular kernel's tie rule)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) {
+        val sorted = cids.clone()
+        java.util.Arrays.sort(sorted)
+        return java.util.Arrays.copyOf(sorted, keep)
+      }
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < dim) { val x = v.getDouble(i); ss += x * x; i += 1 }
+    val vnrm = math.sqrt(ss)
+    val topIds = new Array[Long](keep)
+    val topCos = new Array[Double](keep)
+    val topNaN = new Array[Boolean](keep)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var d = 0
+      val off = c * dim
+      while (d < dim) { dot += v.getDouble(d) * cents(off + d); d += 1 }
+      val cos = dot / (vnrm * cnorms(c))
+      val isNaN = java.lang.Double.isNaN(cos)
+      val id = cids(c)
+      // rank: NaN > any value; equal → smaller id first
+      def beats(j: Int): Boolean =
+        if (topNaN(j)) isNaN && id < topIds(j)
+        else isNaN || cos > topCos(j) || (cos == topCos(j) && id < topIds(j))
+      var pos = filled
+      while (pos > 0 && beats(pos - 1)) pos -= 1
+      if (pos < keep) {
+        val stop = math.min(filled, keep - 1)
+        var m = stop
+        while (m > pos) {
+          topIds(m) = topIds(m - 1); topCos(m) = topCos(m - 1)
+          topNaN(m) = topNaN(m - 1); m -= 1
+        }
+        topIds(pos) = id; topCos(pos) = cos; topNaN(pos) = isNaN
+        if (filled < keep) filled += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(topIds, filled)
+  }
+}
+
 object VectorExpressions {
   /** Column API for the native kernel. */
   def dot(a: Column, b: Column): Column =
@@ -289,4 +407,10 @@ object VectorExpressions {
       cnorms: Array[Double]): Column =
     ColumnBridge.column(NearestCentroid(
       ColumnBridge.expression(v), cids, cents, cnorms))
+
+  /** Column API for the top-p multi-probe centroid assignment. */
+  def nearestCentroids(v: Column, cids: Array[Long], cents: Array[Double],
+      cnorms: Array[Double], p: Int): Column =
+    ColumnBridge.column(NearestCentroids(
+      ColumnBridge.expression(v), cids, cents, cnorms, p))
 }

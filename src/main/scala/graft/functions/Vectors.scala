@@ -42,6 +42,13 @@ object Vectors {
       cnorms: Array[Double]): Column =
     graft.expressions.VectorExpressions.nearestCentroid(v, cids, cents, cnorms)
 
+  /** Top-p centroid ids by cosine, rank-ordered (multi-probe assignment
+    * for the k-NN graph build) — element 0 equals [[nearestCentroid]].
+    */
+  def nearestCentroids(v: Column, cids: Array[Long], cents: Array[Double],
+      cnorms: Array[Double], p: Int): Column =
+    graft.expressions.VectorExpressions.nearestCentroids(v, cids, cents, cnorms, p)
+
   /** Packed 64-bit product-quantization code (native codegen kernel):
     * m subspaces, ksub sub-centroids each, nearest-L2 assignment per
     * subspace, 8 bits per code field. `cents` is the flat [m][ksub][dsub]

@@ -169,7 +169,7 @@ object Dedup {
       cross + within
     }
     if (est > budget)
-      throw new IllegalStateException(
+      throw new graft.QuadraticRefusal(
         s"$family member-pair expansion would emit up to $est rows — past " +
           s"graft.expand.maxRows=$budget. The expanded output is quadratic " +
           "in the duplication factor by contract and unwritable at this " +

@@ -401,28 +401,59 @@ object Similarity {
     * is_dup), keep = cluster_id == vec_id. Approximate (inherits LSH
     * candidate recall) ⇒ rows-only driver check.
     */
+  /** Count of q_dedup_semantic serves that fell back to the KNN label
+    * family — spec observability for the guarded two-path serve.
+    */
+  private[graft] val semanticKnnServes =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The shared semantic-dedup serve tail: resolve each component's min
+    * member vec_id with one map-side-combined groupBy over the content
+    * key (equals the direct propagation's min-label output because every
+    * rep is its group's min vec_id), expand to members, attach sizes.
+    */
+  private def semanticServe(s: SparkSession, d: String,
+      labels: DataFrame): DataFrame = {
+    val (members, reps) = Members.eh(s, d) // r12: session-memoized collapse
+    val repLab = reps.select(col("eh"), col("vec_id").as("rep"))
+      .join(labels, "eh")
+    val compMin = repLab.groupBy("ck").agg(min("rep").as("cluster_id"))
+    val repCluster = repLab.join(compMin, "ck")
+      .select(col("rep").as("id"), col("cluster_id"))
+    members
+      .join(repCluster, members("rep") === repCluster("id"))
+      .select(col("vec_id"), col("cluster_id"))
+      .transform(Dedup.withClusterSize)
+      .withColumn("is_dup", col("vec_id") =!= col("cluster_id"))
+  }
+
   val semanticDedup: Q = Q(
     "q_dedup_semantic",
     (s, d) => {
       // r10: the component labels serve from the persisted EC artifact
       // (one ec_labels table per EP version — see AnnIndex.ecLabels; the
       // propagation was this query's whole remaining per-session cost
-      // once the pair graph persisted). The serve resolves each
-      // component's min member vec_id with one map-side-combined groupBy
-      // over the content key, which equals the direct propagation's
-      // min-label output because every rep is its group's min vec_id.
-      val (members, reps) = Members.eh(s, d) // r12: session-memoized collapse
-      val repLab = reps.select(col("eh"), col("vec_id").as("rep"))
-        .join(AnnIndex.ecLabels(s, d), "eh")
-      val compMin = repLab.groupBy("ck").agg(min("rep").as("cluster_id"))
-      val repCluster = repLab.join(compMin, "ck")
-        .select(col("rep").as("id"), col("cluster_id"))
-      members
-        .join(repCluster, members("rep") === repCluster("id"))
-        .select(col("vec_id"), col("cluster_id"))
-        .transform(Dedup.withClusterSize)
-        .withColumn("is_dup", col("vec_id") =!= col("cluster_id"))
-        .transform(Det.sortAll)
+      // once the pair graph persisted).
+      //
+      // r16 (verdict r15 #1): where the ε-threshold EP fit REFUSES — the
+      // realistic-corpus regime, where the qualifying-pair set itself is
+      // quadratic-class — the serve falls back to components over the
+      // persisted DEGREE-CAPPED k-NN pair graph (AnnIndex.knLabels),
+      // which is linear in distinct content by construction. The catch
+      // is the TYPED refusal only (QuadraticRefusal): a genuine failure
+      // still propagates. Output shape identical; the fallback inherits
+      // the k-NN family's candidate-recall approximation axis (already
+      // rows-only), and a transitive ε-chain wider than the degree cap
+      // may split components the exact graph would join — the SemDeDup
+      // trade, documented, measured via the ScaleRecall knn audit.
+      val labels =
+        try AnnIndex.ecLabels(s, d)
+        catch {
+          case _: graft.QuadraticRefusal =>
+            semanticKnnServes.incrementAndGet()
+            AnnIndex.knLabels(s, d)
+        }
+      semanticServe(s, d, labels).transform(Det.sortAll)
     },
     None
   )
@@ -450,6 +481,49 @@ object Similarity {
         .join(gsz.select(col("vec_id").as("rep_a"), col("gsz").as("n_a")), "rep_a")
         .join(gsz.select(col("vec_id").as("rep_b"), col("gsz").as("n_b")), "rep_b")
         .select(col("rep_a"), col("rep_b"), col("cosine"), col("n_a"), col("n_b"))
+        .transform(Det.sortAll)
+    },
+    None
+  )
+
+  /** G. Degree-capped k-NN embedding near-dup pairs (r16, verdict r15
+    * #1) — the SemDeDup/FineWeb consumption shape that stays LINEAR on
+    * realistic corpora where the ε-threshold families refuse: per
+    * DISTINCT vector, its top-[[AnnIndex.knK]] neighbors with cosine ≥ τ
+    * among its [[AnnIndex.knProbes]] nearest IVF cells, symmetrized to
+    * one row per unordered rep pair with both groups' member counts
+    * (the q_dedup_embed_rep output contract). Output ≤ knK·n rows BY
+    * CONSTRUCTION; every pair exact-rescored (no false pairs, the spec
+    * pins it); candidate recall is the approximation axis — measured vs
+    * the exact ε-graph at dev scale in the spec and audited per scale
+    * corpus by graft.ScaleRecall's knn family. Serves from the persisted
+    * KN pair graph ([[AnnIndex.knnPairs]] — fit once per corpus version
+    * under the standard append/validate/GC discipline); a serve is
+    * joins over the ≤ knK·n artifact plus the session id↔eh mapping.
+    */
+  val dedupEmbedKnn: Q = Q(
+    "q_dedup_embed_knn",
+    (s, d) => {
+      val pairs = AnnIndex.knnPairs(s, d)
+      val (_, reps) = Members.eh(s, d)
+      val ehRep = reps.select(col("eh"), col("vec_id").as("rep"),
+        col("gsz"))
+      // symmetrize the directed top-k graph: dot(a,b) and dot(b,a) sum
+      // the same products in the same index order, so a both-ways edge
+      // carries the bit-identical cosine and distinct() collapses it
+      val und = pairs
+        .select(least(col("eh_q"), col("eh_n")).as("eh_a"),
+          greatest(col("eh_q"), col("eh_n")).as("eh_b"), col("cosine"))
+        .distinct()
+      und
+        .join(ehRep.select(col("eh").as("eh_a"), col("rep").as("ra"),
+          col("gsz").as("na")), "eh_a")
+        .join(ehRep.select(col("eh").as("eh_b"), col("rep").as("rb"),
+          col("gsz").as("nb")), "eh_b")
+        .select(least(col("ra"), col("rb")).as("rep_a"),
+          greatest(col("ra"), col("rb")).as("rep_b"), col("cosine"),
+          when(col("ra") <= col("rb"), col("na")).otherwise(col("nb")).as("n_a"),
+          when(col("ra") <= col("rb"), col("nb")).otherwise(col("na")).as("n_b"))
         .transform(Det.sortAll)
     },
     None
@@ -1378,6 +1452,7 @@ object Similarity {
     },
     None)
 
-  val all: Seq[Q] = Seq(dedupEmbed, dedupEmbedRep, semanticDedup, annTopK,
-    annLsh, annIvf, annPq, annIvfPq, rrfHybrid, mmrRerank, clusterMix)
+  val all: Seq[Q] = Seq(dedupEmbed, dedupEmbedRep, dedupEmbedKnn,
+    semanticDedup, annTopK, annLsh, annIvf, annPq, annIvfPq, rrfHybrid,
+    mmrRerank, clusterMix)
 }

@@ -540,6 +540,100 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("KN pair graph: no false pairs, degree ≤ k, measured ε-graph recall at dev scale; fit once per version (r16)") {
+    val dir = "/root/testdata/sf0.01"
+    val (e0, a0) = (AnnIndex.knEncodes.get(), AnnIndex.knAppends.get())
+    val out = Similarity.dedupEmbedKnn.run(spark, dir)
+    val knnPairs = out.select("rep_a", "rep_b").as[(Long, Long)].collect().toSet
+    // no false pairs: the degree-capped graph is exact-rescored, so its
+    // pair set must be a SUBSET of the exact ε-graph (restricted to
+    // rep-level — the graph never emits within-group member pairs)
+    val reps = operators.Members.eh(spark, dir)._2
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.bruteForcePairs(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      .filter(p => reps(p._1) && reps(p._2))
+    assert(knnPairs.subsetOf(brute),
+      s"false pairs: ${(knnPairs -- brute).take(5)}")
+    // measured pair-recall vs the exact ε-graph (verdict r15 #1 bar):
+    // at dev scale the ε-degree distribution sits under the cap, so the
+    // miss axis is cell-probe recall
+    val recall = knnPairs.size.toDouble / brute.size
+    info(f"kNN pair recall vs exact ε-graph at sf0.01: $recall%.3f (${knnPairs.size}/${brute.size})")
+    assert(recall >= 0.8, s"kNN pair recall $recall below the 0.8 floor")
+    // degree cap on the persisted directed artifact
+    val maxDeg = AnnIndex.knnPairs(spark, dir)
+      .groupBy("eh_q").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= AnnIndex.knK, s"degree $maxDeg past the cap")
+    // cosines are the exact kernel's bits: re-derive from raw vectors
+    val vecsById = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecsById(a), vecsById(b))
+      def dot(p: Seq[Double], q: Seq[Double]): Double =
+        p.indices.foldLeft(0.0)((s, i) => s + p(i) * q(i))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    out.select("rep_a", "rep_b", "cosine").as[(Long, Long, Double)]
+      .collect().take(50).foreach { case (a, b, c) =>
+        assert(c == cos(a, b), s"cosine of ($a,$b) diverges from the kernel")
+      }
+    // second serve loads — the fit ran at most once this session (the
+    // IVF artifact may already have existed from earlier suites)
+    val e1 = AnnIndex.knEncodes.get()
+    assert(e1 <= e0 + 1 && AnnIndex.knAppends.get() == a0)
+    Similarity.dedupEmbedKnn.run(spark, dir).collect()
+    assert(AnnIndex.knEncodes.get() == e1, "second run must load, not re-fit")
+  }
+
+  test("KN append: delta-only merge equals a frozen-geometry rebuild bit-exactly (r16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftkn").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftknidx").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // 80 + 12 DISTINCT pseudo-random vectors (no dup collapse — every id
+    // is a rep); drift 12/92 = 13% < refitFraction, so the append path
+    // runs with the IVF codebook frozen from the base fit
+    def wv(ids: Range, mode: String): Unit = ids.map(i => (i.toLong,
+      Array.tabulate(8)(j => ((i * 31 + j * 17) % 101 - 50).toFloat)))
+      .toDF("vec_id", "embedding")
+      .repartition(1).write.mode(mode).parquet(s"$tmp/embeddings.parquet")
+    try {
+      wv(0 until 80, "overwrite")
+      val (e0, a0) = (AnnIndex.knEncodes.get(), AnnIndex.knAppends.get())
+      AnnIndex.knnPairs(spark, tmp).collect()
+      assert(AnnIndex.knEncodes.get() == e0 + 1)
+      wv(80 until 92, "append")
+      val appended = AnnIndex.knnPairs(spark, tmp)
+        .collect().map(_.toString).sorted.toSeq
+      assert(AnnIndex.knAppends.get() == a0 + 1 &&
+        AnnIndex.knEncodes.get() == e0 + 1,
+        "append must merge delta edges, never refit")
+      // frozen-geometry rebuild: drop ONLY the KN artifacts (both the
+      // tip and the base marker, so appendBase can't re-append) and
+      // rebuild — the IVF chain still serves the FROZEN base codebook,
+      // so the fresh build sees the exact candidate universe the append
+      // merged over, and top-k(A ∪ B) = top-k(top-k(A) ∪ B) must make
+      // the two artifacts row-identical including ranks
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      for (vdir <- tableDir.listFiles(); if vdir.isDirectory) {
+        rmTree(s"${vdir.getAbsolutePath}/kn_pairs")
+        rmTree(s"${vdir.getAbsolutePath}/kn_ehs")
+        new java.io.File(vdir, "_GRAFT_OK_KN").delete()
+        new java.io.File(vdir, "_GRAFT_META_KN").delete()
+      }
+      val rebuilt = AnnIndex.knnPairs(spark, tmp)
+        .collect().map(_.toString).sorted.toSeq
+      assert(AnnIndex.knEncodes.get() == e0 + 2,
+        "marker removal must force a fresh KN build")
+      assert(appended == rebuilt,
+        "appended KN graph diverges from the frozen-geometry rebuild")
+    } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
   test("EC labels: an EP append relabels via the reduced union-find — delta-sized, identical to a fresh build (r13)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftec").toString
     val idxRoot = java.nio.file.Files.createTempDirectory("graftecidx").toString

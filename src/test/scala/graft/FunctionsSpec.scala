@@ -87,6 +87,59 @@ class FunctionsSpec extends SparkSpec {
     assert(bad(30L) == null)
   }
 
+  test("Vectors.nearestCentroids: top-p assignment matches a local reference; element 0 equals the singular kernel (r16)") {
+    // 5 centroids, ids deliberately out of order; 16 deterministic query
+    // vectors — the reference ranks every centroid by (cosine with NaN
+    // greatest) desc, then id asc, exactly the singular kernel's order
+    val cids = Array(7L, 2L, 9L, 4L, 5L)
+    val dim = 4
+    val cents = Array.tabulate(cids.length * dim)(i =>
+      (((i * 13 + 5) % 11) - 5).toDouble)
+    val cnorms = Array.tabulate(cids.length) { c =>
+      math.sqrt((0 until dim).map(d => cents(c * dim + d))
+        .foldLeft(0.0)((s, x) => s + x * x))
+    }
+    val rows = (0 until 16).map(i =>
+      i.toLong -> (0 until dim).map(d => (((i * 7 + d * 3) % 9) - 4).toDouble))
+    def localRank(v: Seq[Double]): Seq[Long] = {
+      val vn = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+      cids.indices.map { c =>
+        var dot = 0.0
+        (0 until dim).foreach(d => dot += v(d) * cents(c * dim + d))
+        (dot / (vn * cnorms(c)), cids(c))
+      }.sortWith { case ((ca, ia), (cb, ib)) =>
+        val na = ca.isNaN; val nb = cb.isNaN
+        if (na != nb) na // NaN greatest
+        else if (na) ia < ib
+        else if (ca != cb) ca > cb else ia < ib
+      }.map(_._2)
+    }
+    val out = rows.toDF("id", "v")
+      .select(col("id"),
+        Vectors.nearestCentroids(col("v"), cids, cents, cnorms, 3).as("top"),
+        Vectors.nearestCentroid(col("v"), cids, cents, cnorms).as("one"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    for ((id, v) <- rows) {
+      val (top, one) = (out(id)._1, out(id)._2)
+      assert(top == localRank(v).take(3), s"vector $id: $top vs reference")
+      assert(top.head == one, s"vector $id: element 0 must equal nearestCentroid")
+    }
+    // zero vector: every cosine NaN → ties resolve to ascending ids
+    val z = Seq(99L -> Seq(0.0, 0.0, 0.0, 0.0)).toDF("id", "v")
+      .select(Vectors.nearestCentroids(col("v"), cids, cents, cnorms, 3).as("t"))
+      .head().getSeq[Long](0)
+    assert(z == Seq(2L, 4L, 5L))
+    // p > k clamps; dimension mismatch is null, never a silent ranking
+    val wide = Seq(1L -> Seq(1.0, 0.0, 0.0, 0.0)).toDF("id", "v")
+      .select(Vectors.nearestCentroids(col("v"), cids, cents, cnorms, 9).as("t"))
+      .head().getSeq[Long](0)
+    assert(wide.length == cids.length)
+    val bad = Seq(1L -> Seq(1.0, 0.0)).toDF("id", "v")
+      .select(Vectors.nearestCentroids(col("v"), cids, cents, cnorms, 3).as("t"))
+      .head()
+    assert(bad.isNullAt(0))
+  }
+
   test("Vectors.cosine matches a hand computation") {
     val df = Seq((Array(1.0, 0.0, 2.0), Array(2.0, 1.0, 4.0))).toDF("a", "b")
       .select(Vectors.cosine(col("a"), col("b")).as("c"))

@@ -74,11 +74,119 @@ class GuardsSpec extends SparkSpec {
       assert(e.getMessage.contains("EP candidate join"),
         s"refusal must name the EP fit: ${e.getMessage}")
       assert(e.getMessage.contains("graft.expand.maxRows"))
+      // r16 (verdict r15 #6): the refusal is an estimated-cost ANSWER —
+      // it must carry the measured lower bound and a τ feasibility hint
+      // a user can act on without re-running
+      assert("""≥\d+""".r.findFirstIn(e.getMessage).isDefined,
+        s"refusal must report the measured pair bound: ${e.getMessage}")
+      assert(e.getMessage.contains("fits the budget at this corpus") ||
+        e.getMessage.contains("no τ ≤ 0.99 fits"),
+        s"refusal must carry the τ feasibility hint: ${e.getMessage}")
+      // the refusal must be TYPED (the semantic fallback catches exactly
+      // this, never a genuine failure)
+      assert(e.isInstanceOf[graft.QuadraticRefusal])
+      // the refusal is session-memoized per (version, budget): a retry
+      // throws the same message without re-running the signature encode
+      val e2 = intercept[IllegalStateException] {
+        Similarity.dedupEmbed.run(spark, tmp).collect()
+      }
+      assert(e2.getMessage == e.getMessage)
       // raised budget: the fit completes and serves the full pair set
       // (all C(40,2) near-parallel pairs qualify at the dedup threshold)
       spark.conf.set("graft.expand.maxRows", "2000000000")
       Similarity.clearMemos()
       assert(Similarity.dedupEmbed.run(spark, tmp).count() == 780L)
+    } finally {
+      spark.conf.unset("graft.expand.maxRows")
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
+  test("EP append guard sizes the estimate to the delta: a small append to a large fitted corpus is not refused by the full-pair bound (ADVICE r15)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftepa").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftepaidx").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // 40 near-parallel DISTINCT vectors: full-pair exact-bucket bound at
+    // fit geometry ≈ bands × C(40,2) = 9 × 780 = 7020; one appended
+    // near-parallel vector adds only new-endpoint candidates
+    // ≈ bands × 40 = 360. A budget between the two (1000) must let the
+    // append through — the r15 full-pair estimate refused it.
+    def vecs(ids: Range) = ids.map(i => (i.toLong,
+      Array.tabulate(8)(j => (10f + j) + i * 1e-3f))).toDF("vec_id", "embedding")
+    try {
+      vecs(0 until 40).repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      Similarity.clearMemos()
+      val (e0, a0) = (graft.operators.AnnIndex.epEncodes.get(),
+        graft.operators.AnnIndex.epAppends.get())
+      Similarity.dedupEmbed.run(spark, tmp).count() // full fit, default budget
+      assert(graft.operators.AnnIndex.epEncodes.get() == e0 + 1)
+      vecs(40 until 41).repartition(1)
+        .write.mode("append").parquet(s"$tmp/embeddings.parquet")
+      spark.conf.set("graft.expand.maxRows", "1000")
+      Similarity.clearMemos()
+      val out = Similarity.dedupEmbed.run(spark, tmp).count()
+      assert(graft.operators.AnnIndex.epAppends.get() == a0 + 1,
+        "the delta-sized append must pass the new-endpoint guard")
+      assert(out == 820L, s"append lost pairs: $out") // C(41,2)
+    } finally {
+      spark.conf.unset("graft.expand.maxRows")
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
+  test("semantic dedup serves the degree-capped KNN path where the EP fit refuses — labels are the closure of the served graph (r16, verdict r15 #1)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftsemk").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftsemkidx").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // two near-parallel families (20 vectors each around orthogonal
+    // axes): the ε-pair set is 2 × C(20,2) × bands exact-bucket
+    // collisions — refused under a tiny budget — while the degree-capped
+    // graph stays ≤ k·n rows and must serve the same corpus
+    def fam(axis: Int, ids: Range) = ids.map(i => (i.toLong,
+      Array.tabulate(8)(j =>
+        (if (j == axis) 10f + i * 1e-3f
+         else if (j == (axis + 1) % 8) i * 1e-3f else 0f))))
+    try {
+      (fam(0, 0 until 20) ++ fam(4, 20 until 40)).toDF("vec_id", "embedding")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      spark.conf.set("graft.expand.maxRows", "100")
+      Similarity.clearMemos()
+      // the ε families refuse by design on this budget…
+      intercept[graft.QuadraticRefusal] {
+        Similarity.dedupEmbed.run(spark, tmp).collect()
+      }
+      // …but the semantic serve falls back to the persisted KNN labels
+      val k0 = Similarity.semanticKnnServes.get()
+      val sem = Similarity.semanticDedup.run(spark, tmp)
+        .select("vec_id", "cluster_id").as[(Long, Long)].collect()
+      assert(Similarity.semanticKnnServes.get() == k0 + 1,
+        "the refusal path must serve KNN labels")
+      assert(sem.length == 40)
+      // labels must be the exact closure of the SERVED graph: replay the
+      // persisted degree-capped pairs through a local union-find
+      val knn = Similarity.dedupEmbedKnn.run(spark, tmp)
+        .select("rep_a", "rep_b").as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      knn.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      sem.foreach { case (id, cl) =>
+        assert(cl == find(id), s"vec $id labeled $cl, closure says ${find(id)}")
+      }
+      // the two families are far apart — no cross-family pair can be in
+      // the graph, so the label space has ≥ 2 clusters
+      assert(sem.map(_._2).distinct.length >= 2)
+      // the degree-capped family itself runs under the refused budget
+      // and is bounded by k·n rows
+      assert(knn.length <= 40 * graft.operators.AnnIndex.knK)
     } finally {
       spark.conf.unset("graft.expand.maxRows")
       spark.conf.unset("graft.ann.indexRoot")

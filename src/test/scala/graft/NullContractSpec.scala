@@ -92,7 +92,8 @@ class NullContractSpec extends SparkSpec {
     "q_dedup_contain" -> "npd", "q_dedup_minhash" -> "npd",
     "q_dedup_minhash_rep" -> "npd", "q_dedup_simhash" -> "npd",
     "q_dedup_simhash_rep" -> "npd", "q_dedup_embed" -> "npd",
-    "q_dedup_embed_rep" -> "npd", "q_dedup_semantic" -> "npd",
+    "q_dedup_embed_rep" -> "npd", "q_dedup_embed_knn" -> "npd",
+    "q_dedup_semantic" -> "npd",
     "q_ann_topk" -> "npd", "q_ann_lsh" -> "npd", "q_ann_ivf" -> "npd",
     "q_ann_pq" -> "npd", "q_ann_ivfpq" -> "npd",
     "q_rrf_hybrid" -> "npd", "q_mmr_rerank" -> "npd",
