@@ -85,7 +85,7 @@ object ScaleRecall {
         s""","floor":$floor,"pass":$pass,"n_exact":${brute.size},""" +
           s""""knn_exact_pairs":${exact.size},"n_distinct":$nDist,""" +
           s""""adc_depth":$depth,"k":${AnnIndex.knK},""" +
-          s""""probes":${AnnIndex.knProbes},"sf":"$d"}""")
+          s""""kn_miss":${AnnIndex.knMiss},"sf":"$d"}""")
     println(line)
     // artifact of record (verdict r15 #4): mechanical round-over-round
     // recall diffs, like bench windows

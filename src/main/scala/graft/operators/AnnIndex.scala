@@ -1814,89 +1814,160 @@ object AnnIndex {
     */
   private[graft] val knK = 10
 
-  /** Probe cells per query vector in the k-NN graph build — candidates
-    * per distinct vector are bounded by knProbes × probed-cell size.
+  /** Candidate-recall miss target of the KN banded solve: bands/radius
+    * solved by [[Similarity.lshParams]] for ≥ 1−knMiss per-pair
+    * candidate recall AT τ — the same guarantee machinery as the EP
+    * fit, at a relaxed design point (0.9 vs EP's 0.98): the graph
+    * consumer tolerates a thinner tail, and the band count (the build's
+    * cost multiplier) roughly halves.
     */
+  private[graft] val knMiss = 0.1
+
+  private[graft] val knSeed = 7919L
+
+  /** Probe cells per query vector in the KN locality (ivf) mode. */
   private[graft] val knProbes = 8
 
+  /** Ball-matched candidate-pair budget that selects the KN build mode
+    * (conf `graft.knn.candBudget`): past it the banded path's rescore
+    * would shuffle vector-carrying rows at the qualifying-pair volume —
+    * the EP 74 GB disk-fill class — so the build switches to the
+    * IVF-cell locality path, whose shuffles are corpus-sized regardless
+    * of pair density.
+    */
+  private def knCandBudget(s: SparkSession): Long =
+    s.conf.get("graft.knn.candBudget", "30000000").toLong
+
   /** Persisted DEGREE-CAPPED k-NN embed-pair graph (family KN, r16 —
-    * verdict r15 #1): per DISTINCT vector, its top-[[knK]] neighbors with
-    * cosine ≥ τ among the vectors in its [[knProbes]] nearest IVF cells —
-    * the SemDeDup/FineWeb consumption shape (Abbas et al. 2023,
-    * arXiv:2303.09540 compute pairwise similarity WITHIN k-means
-    * clusters; this is that device with multi-cell probing and a
-    * per-vector degree cap). Output is ≤ knK·n rows BY CONSTRUCTION —
-    * linear in distinct content — where the ε-threshold EP family's
-    * qualifying-pair set is itself quadratic-class on realistic corpora
-    * (484M pairs at τ=0.35 over 200k distinct vectors, measured r15) and
-    * correctly refuses. Every emitted edge is exact-rescored (the raw
-    * vectors ride the IVF cells), so the graph can never hold a FALSE
-    * pair; the approximation axis is candidate recall (a true neighbor
-    * outside the probed cells, or past the degree cap).
+    * verdict r15 #1): per DISTINCT vector, its top-[[knK]] neighbors
+    * with cosine ≥ τ — the SemDeDup/FineWeb consumption shape (Abbas et
+    * al. 2023, arXiv:2303.09540) that stays LINEAR on realistic corpora
+    * where the ε-threshold EP family's own OUTPUT is quadratic-class
+    * (484M qualifying pairs at τ=0.35 over 200k distinct vectors,
+    * measured r15) and correctly refuses. Output is ≤ knK·n rows BY
+    * CONSTRUCTION; every emitted edge is exact-rescored, so the graph
+    * can never hold a FALSE pair; the approximation axis is candidate
+    * recall.
     *
-    * Build: the IVF index is brought current first ([[ivf]] — its own
-    * fit/append discipline; the KN build consumes its codebook + cells
-    * and versions in the same dir). Each distinct vector's probe cells
-    * come from ONE narrow codegen'd projection
-    * ([[graft.expressions.NearestCentroids]] — the crossJoin+window
-    * assignment would explode n·k corpus-sized rows through an
-    * Exchange), then one merge-hinted equi-join on `cluster` against the
-    * cells (merge: the probe side hides an explode multiplier behind a
-    * Generate, exactly the EP broadcast-misestimate class), exact cosine
-    * per candidate, τ filter, and a row_number top-[[knK]] per query —
-    * the filter plans as a map-side WindowGroupLimit, so the window
-    * Exchange carries ≤ knK rows per (query, map partition), never the
-    * candidate volume. The window partitions by eh_q but its group size
-    * is bounded by probe geometry (knProbes × cell cap), NOT by
-    * duplication — members never enter the graph (the annPq ADC-window
-    * class, not the banned content-key window class).
+    * TWO candidate modes, chosen by a MEASURED estimate and frozen in
+    * the meta — because no single device is right on both density
+    * regimes:
     *
-    * 100 TB note: candidate volume is n · knProbes · cellSize with
-    * cellSize ≈ n/k and k = min(1024, √n) — linear-ish to ~1M distinct
-    * vectors, then the 1024-cell cap makes the build O(n²·p/1024); a
-    * corpus-scale deployment raises the cell-count cap (a layout
-    * constant, like lexSlots) so cellSize stays bounded. The SERVE is
-    * always a linear scan of ≤ knK·n persisted rows.
+    *  - `lsh` (sparse ε-graphs — the solvable regime): banded
+    *    hyperplane signatures (bits ≈ log2(n/32), bands+radius solving
+    *    ≥ 1−[[knMiss]] per-pair recall at τ), ≤256-distinct-vector
+    *    bucket caps, split-ball self-join, exact rescore, both
+    *    orientations, top-k. Recall is SOLVED, not hoped: an IVF-cell
+    *    build measured 0.57 pair recall at 2k vectors/45 cells on the
+    *    boundary-pair corpus, the banded build measures 0.92 at the
+    *    same point. Candidate volume rides the qualifying-pair density.
     *
-    * Append (frozen geometry — the IVF codebook; [[ivf]] delta-encodes
-    * cells under it): fresh = cells not in the base eh registry. Edges
-    * with a fresh QUERY side probe the full union cells; OLD queries
-    * gain candidates only among FRESH corpus rows (their probe cells are
-    * a frozen function of the codebook, and their old candidates are
-    * already ranked in the base pairs) — so re-windowing
-    * base-pairs ∪ old→fresh ∪ fresh→all reproduces the rebuild's top-k
-    * exactly over the same candidate sets: top-k(A ∪ B) =
-    * top-k(top-k(A) ∪ B), since an edge outside the old top-k can never
-    * re-enter. The pair table is ≤ knK·n rows — self-contained rewrite
-    * per version (the vocab/CC posture), no chain. If a drift-refit
-    * replaced the IVF codebook, probe sets shift: edges stay exact-
-    * rescored (never false), only candidate recall drifts — the family's
-    * declared axis — and past [[refitFraction]] KN refits anyway.
+    *  - `ivf` (dense ε-graphs — the quadratic regime): when the
+    *    ball-matched candidate estimate (an EXACT bucket-size
+    *    convolution over the ≤ bands·2^bits bucket table — cheap,
+    *    data-derived, the guard-estimate discipline) exceeds
+    *    [[knCandBudget]], per-pair-solved generation is unaffordable BY
+    *    MEASUREMENT — the same fact that makes EP refuse. There the
+    *    corpus is dense BECAUSE it is clustered, and locality serves
+    *    the top-k contract: each vector probes its [[knProbes]] nearest
+    *    IVF cells ([[graft.expressions.NearestCentroids]], one narrow
+    *    codegen'd projection — a crossJoin+window assignment would
+    *    Exchange n·k corpus-sized rows) and candidates are the probed
+    *    cells' members via ONE merge-hinted equi-join on `cluster` —
+    *    the shuffles are corpus-sized (n·probes probe rows + n cell
+    *    rows) no matter how dense the pair set; the dense candidate
+    *    stream exists only inside the streamed join output feeding the
+    *    τ filter and the map-side WindowGroupLimit. Recall here is NOT
+    *    solved — it is MEASURED per corpus (ScaleRecall's knn audit).
+    *
+    * In both modes the final top-[[knK]] filter plans as a map-side
+    * WindowGroupLimit, so the window Exchange carries ≤ knK rows per
+    * (query, map partition), never the candidate volume; the window
+    * partitions by eh_q but its group is candidate-bounded, NOT
+    * duplication-bounded — members never enter the graph (the annPq
+    * ADC-window class, not the banned content-key window class).
+    *
+    * 100 TB note: lsh mode is linear in DISTINCT content at FIXED pair
+    * density (sigs n·bands, ball expansion n·bands·ballmasks,
+    * candidates ≤ n·bands·cap/2); ivf mode is linear in corpus size at
+    * ANY density (the candidate stream is compute, not shuffle), with
+    * the documented 1024-cell codebook cap to revisit past ~1M distinct
+    * (cellSize grows — a layout constant, the lexSlots class). The
+    * serve is always a scan of ≤ knK·n persisted rows. No
+    * epCandidateGuard here: the guard protects unbounded pair OUTPUT;
+    * this family's output is degree-capped and its build mode is
+    * budget-selected.
+    *
+    * Append (mode + geometry frozen in the meta):
+    *  - lsh: fresh = delta distinct vectors anti-joined against
+    *    `kn_ehs`; signatures re-capped over base ∪ delta; candidates
+    *    touching a fresh vector via the one-sided full-radius ball
+    *    probe against the union's exact codes (the EP append device).
+    *  - ivf: [[ivf]] delta-encodes the cells under its frozen codebook;
+    *    fresh = cells not in `kn_ehs`; fresh queries probe the full
+    *    union cells, OLD queries gain candidates only among FRESH cell
+    *    rows (probe sets are a frozen function of the codebook).
+    * Either way the merge re-windows base ∪ new-endpoint edges, and
+    * top-k(A ∪ B) = top-k(top-k(A) ∪ B) — an edge outside the old
+    * top-k can never re-enter when candidates are only added — so a
+    * no-cap-crossing append is ROW-IDENTICAL to a frozen-geometry
+    * rebuild including ranks (spec-pinned per mode); a cap-crossing lsh
+    * append diverges one-sided on candidate recall only (the EP
+    * posture — never a false pair). The pair table is ≤ knK·n rows:
+    * self-contained rewrite per version (the vocab/CC posture), no
+    * chain. Drift past [[refitFraction]] refits (which re-decides the
+    * mode from the grown corpus).
     *
     * Artifacts (ID-FREE, distinct-content-sized): `kn_pairs`
-    * (eh_q, eh_n, cosine, rn — the DIRECTED rank-ordered graph) and
-    * `kn_ehs` (the known-content registry). Meta params:
-    * k,probes,nReps,nPairs; pair count validated loud on first serve.
+    * (eh_q, eh_n, cosine, rn — the DIRECTED rank-ordered graph),
+    * `kn_ehs` (the known-content registry), and in lsh mode `kn_sigs`
+    * (capped banded signatures under the frozen solve). Meta params:
+    * mode,bits,bands,radius,nReps,nPairs; pair count validated loud on
+    * first serve.
     */
   private[graft] def knnPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val table = s"$d/embeddings.parquet"
-    val e = deltaVecs(s, Seq(table))
-    val (cb, cells) = ivf(s, d, e) // IVF current; KN shares its version dir
     val cnt = s.read.parquet(table).count()
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     val pairSchema = StructType(Seq(StructField("eh_q", StringType),
       StructField("eh_n", StringType), StructField("cosine", DoubleType),
       StructField("rn", IntegerType)))
-    val ids = cb.map(_._1); val flat = cb.flatMap(_._2); val nrms = cb.map(_._3)
-    // candidates: probe-cell equi-join + exact cosine + τ filter — every
-    // emitted edge is already exact-verified
-    def score(q: DataFrame, c: DataFrame): DataFrame =
+    val sigSchema = StructType(Seq(StructField("eh", StringType),
+      StructField("band_idx", IntegerType), StructField("code", LongType)))
+    def encodeSigs(reps: DataFrame, bands: Int, bits: Int): DataFrame =
+      reps.select(col("eh"),
+        posexplode(Vectors.hyperplaneBands(col("v"), knSeed, bands, bits))
+          .as(Seq("band_idx", "code")))
+    // exact rescore + τ filter against the session rep frame, then BOTH
+    // orientations (the artifact is the directed rank-ordered graph);
+    // dot(a,b) and dot(b,a) sum the same products in the same index
+    // order, so the two orientations carry the bit-identical cosine
+    def directedScored(cand: DataFrame): DataFrame = {
+      val reps = Members.eh(s, d)._2.select("eh", "v", "nrm")
+      val scored = cand
+        .join(reps.select(col("eh").as("eh_a"), col("v").as("va"),
+          col("nrm").as("na")), "eh_a")
+        .join(reps.select(col("eh").as("eh_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "eh_b")
+        .select(col("eh_a"), col("eh_b"),
+          (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+            .as("cosine"))
+        .where(col("cosine") >= Similarity.dedupTau)
+      scored.select(col("eh_a").as("eh_q"), col("eh_b").as("eh_n"), col("cosine"))
+        .unionByName(scored.select(col("eh_b").as("eh_q"),
+          col("eh_a").as("eh_n"), col("cosine")))
+    }
+    // ivf-mode candidate scorer: probe cells → streamed equi-join →
+    // exact cosine → τ filter, emitted DIRECTED (the query side is the
+    // probing side)
+    def cellScore(q: DataFrame, c: DataFrame,
+        cb: Array[(Long, Seq[Double], Double)]): DataFrame =
       q.select(col("eh").as("eh_q"), col("v").as("qv"),
           col("nrm").as("qnrm"),
-          explode(Vectors.nearestCentroids(col("v"), ids, flat, nrms,
-            knProbes)).as("cluster"))
+          explode(Vectors.nearestCentroids(col("v"), cb.map(_._1),
+            cb.flatMap(_._2), cb.map(_._3), knProbes)).as("cluster"))
         .hint("merge")
         .join(c.select(col("eh").as("eh_n"), col("v").as("nv"),
           col("nrm").as("nnrm"), col("cluster")), Seq("cluster"))
@@ -1910,40 +1981,133 @@ object AnnIndex {
         .orderBy(col("cosine").desc, col("eh_n"))
       cand.withColumn("rn", row_number().over(w)).where(col("rn") <= knK)
     }
+    // exact ball-matched candidate-pair count from the bucket-size
+    // table: Σ over (band, code, code′⊕mask within the hamming ball)
+    // of k·k′, self-pairs removed, halved — the bucket table is
+    // ≤ bands·2^bits rows and the ball ≤ 697 masks, so this is a tiny
+    // driver-free aggregation, never a corpus pass
+    def ballEstimate(capped: DataFrame, bits: Int, radius: Int): Long = {
+      val bsz = capped.groupBy("band_idx", "code").agg(count(lit(1)).as("k"))
+      val masks = Similarity.probeMasks(bits, radius)
+      val probedSz = bsz.withColumn("mask", explode(lit(masks)))
+        .select(col("band_idx"),
+          col("code").bitwiseXOR(col("mask")).as("code"), col("k").as("kp"))
+      val total = bsz.join(probedSz, Seq("band_idx", "code"))
+        .agg(coalesce(sum(col("k") * col("kp")), lit(0L))).head().getLong(0)
+      val self = bsz.agg(coalesce(sum(col("k")), lit(0L))).head().getLong(0)
+      (total - self) / 2
+    }
     if (!exists(s, s"$vd/_GRAFT_OK_KN")) {
       val cur = physFiles(s, table)
-      val reps = cells.select("eh", "v", "nrm")
+      def finish(mode: String, bits: Int, bands: Int, radius: Int): Unit = {
+        val nReps = s.read.schema("eh string").parquet(s"$vd/kn_ehs").count()
+        val nPairs = s.read.schema(pairSchema).parquet(s"$vd/kn_pairs").count()
+        writeFileList(s, vd, cur)
+        writeMeta(s, vd, "KN", None, math.max(cnt, 1L),
+          s"$mode,$bits,$bands,$radius,$nReps,$nPairs")
+      }
       appendBase(s, vd, "KN", cur) match {
-        case Some((base, _, nFit, params))
+        case Some((base, delta, nFit, params))
             if params.nonEmpty &&
               (cnt - nFit).toDouble / math.max(cnt, 1L) <= refitFraction =>
           knAppends.incrementAndGet()
+          val ps = params.split(",")
+          val (mode, bits, bands, radius) =
+            (ps(0), ps(1).toInt, ps(2).toInt, ps(3).toInt)
           val baseEhs = s.read.schema("eh string").parquet(s"$base/kn_ehs")
-          val freshCells = cells.join(baseEhs, Seq("eh"), "left_anti")
-          val oldCells = cells.join(baseEhs, Seq("eh"), "left_semi")
+          val newEdges = if (mode == "lsh") {
+            val fresh = deltaReps(s, delta).join(baseEhs, Seq("eh"), "left_anti")
+            val unionSigs = s.read.schema(sigSchema).parquet(s"$base/kn_sigs")
+              .unionByName(encodeSigs(fresh, bands, bits))
+            Dedup.capBuckets(unionSigs, Seq("band_idx", "code"), 256)
+              .write.mode("overwrite").parquet(s"$vd/kn_sigs")
+            val capped = s.read.schema(sigSchema).parquet(s"$vd/kn_sigs")
+            // candidates touching a NEW vector: one-sided full-radius
+            // ball probe of the fresh side against the union's exact
+            // codes (the EP append device — same ≥1-new-endpoint set as
+            // the fresh build's split-ball join)
+            val probed = capped.join(fresh.select("eh"), Seq("eh"), "left_semi")
+              .withColumn("mask",
+                explode(lit(Similarity.probeMasks(bits, radius))))
+              .select(col("eh").as("eh_n"), col("band_idx"),
+                col("code").bitwiseXOR(col("mask")).as("code"))
+            val cand = capped.hint("merge").join(probed, Seq("band_idx", "code"))
+              .where(col("eh") =!= col("eh_n"))
+              .select(least(col("eh"), col("eh_n")).as("eh_a"),
+                greatest(col("eh"), col("eh_n")).as("eh_b"))
+              .distinct()
+            directedScored(cand)
+          } else {
+            val (cb, cells) = ivf(s, d, deltaVecs(s, Seq(table)))
+            val freshCells = cells.join(baseEhs, Seq("eh"), "left_anti")
+            val oldCells = cells.join(baseEhs, Seq("eh"), "left_semi")
+            cellScore(freshCells.select("eh", "v", "nrm"), cells, cb)
+              .unionByName(cellScore(oldCells.select("eh", "v", "nrm"),
+                freshCells, cb))
+          }
           val merged =
             s.read.schema(pairSchema).parquet(s"$base/kn_pairs").drop("rn")
-              .unionByName(score(freshCells.select("eh", "v", "nrm"), cells))
-              .unionByName(score(oldCells.select("eh", "v", "nrm"),
-                freshCells))
+              .unionByName(newEdges)
           topK(merged).write.mode("overwrite").parquet(s"$vd/kn_pairs")
-          reps.select("eh").write.mode("overwrite").parquet(s"$vd/kn_ehs")
+          Members.eh(s, d)._2.select("eh")
+            .write.mode("overwrite").parquet(s"$vd/kn_ehs")
+          finish(mode, bits, bands, radius)
         case _ =>
           knEncodes.incrementAndGet()
-          topK(score(reps, cells))
-            .write.mode("overwrite").parquet(s"$vd/kn_pairs")
+          val reps = Members.eh(s, d)._2.select("eh", "v", "nrm")
+          val nDist = Members.ehDistinct(s, d)
+          val (bits, bands, radius) = Similarity.lshParams(
+            math.max(nDist, 2L), Similarity.dedupTau, knMiss, 96)
+          Dedup.capBuckets(encodeSigs(reps, bands, bits),
+              Seq("band_idx", "code"), 256)
+            .write.mode("overwrite").parquet(s"$vd/kn_sigs")
+          val capped = s.read.schema(sigSchema).parquet(s"$vd/kn_sigs")
+          val est = ballEstimate(capped, bits, radius)
+          val mode = if (est <= knCandBudget(s)) "lsh" else "ivf"
+          if (mode == "lsh") {
+            // split-ball self-join (see Similarity.splitProbeMasks);
+            // merge-hinted — both sides are corpus-sized sig expansions
+            // behind a Generate the estimator can't size (the EP
+            // broadcast misestimate class)
+            def expand(df: DataFrame, masks: Array[Long]): DataFrame =
+              df.withColumn("mask", explode(lit(masks)))
+                .select(col("eh"), col("band_idx"),
+                  col("code").bitwiseXOR(col("mask")).as("code"),
+                  expr("bit_count(mask)").as("mbits"))
+            val (lowMasks, highMasks) = Similarity.splitProbeMasks(bits, radius)
+            val cand = expand(capped, lowMasks).as("a").hint("merge")
+              .join(expand(capped, highMasks).as("b"),
+                col("a.band_idx") === col("b.band_idx") &&
+                  col("a.code") === col("b.code") &&
+                  col("a.mbits") + col("b.mbits") <= radius &&
+                  col("a.eh") < col("b.eh"))
+              .select(col("a.eh").as("eh_a"), col("b.eh").as("eh_b"))
+              .distinct()
+            topK(directedScored(cand))
+              .write.mode("overwrite").parquet(s"$vd/kn_pairs")
+          } else {
+            // dense regime: the measured ball estimate says the solved
+            // path would rescore at the qualifying-pair volume — serve
+            // the top-k contract by IVF-cell locality instead (the
+            // density comes from clustering, which is exactly what the
+            // cells capture); recall is measured per corpus, not solved
+            System.err.println(s"[graft] KN fit: ball-matched candidate " +
+              s"estimate $est exceeds graft.knn.candBudget=" +
+              s"${knCandBudget(s)} — building in ivf locality mode")
+            fs(s, vd).delete(
+              new org.apache.hadoop.fs.Path(s"$vd/kn_sigs"), true)
+            val (cb, cells) = ivf(s, d, deltaVecs(s, Seq(table)))
+            topK(cellScore(reps, cells, cb))
+              .write.mode("overwrite").parquet(s"$vd/kn_pairs")
+          }
           reps.select("eh").write.mode("overwrite").parquet(s"$vd/kn_ehs")
+          finish(mode, bits, bands, radius)
       }
-      val nReps = s.read.schema("eh string").parquet(s"$vd/kn_ehs").count()
-      val nPairs = s.read.schema(pairSchema).parquet(s"$vd/kn_pairs").count()
-      writeFileList(s, vd, cur)
-      writeMeta(s, vd, "KN", None, math.max(cnt, 1L),
-        s"$knK,$knProbes,$nReps,$nPairs")
       touch(s, s"$vd/_GRAFT_OK_KN")
       pruneSiblings(s, vd)
     }
     val (_, _, params) = readMeta(s, vd, "KN").get
-    validate(vd, "KN", params.split(",")(3).toLong,
+    validate(vd, "KN", params.split(",")(5).toLong,
       s.read.schema(pairSchema).parquet(s"$vd/kn_pairs").count())
     s.read.schema(pairSchema).parquet(s"$vd/kn_pairs")
   }

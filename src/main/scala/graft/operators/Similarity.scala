@@ -489,14 +489,15 @@ object Similarity {
   /** G. Degree-capped k-NN embedding near-dup pairs (r16, verdict r15
     * #1) — the SemDeDup/FineWeb consumption shape that stays LINEAR on
     * realistic corpora where the ε-threshold families refuse: per
-    * DISTINCT vector, its top-[[AnnIndex.knK]] neighbors with cosine ≥ τ
-    * among its [[AnnIndex.knProbes]] nearest IVF cells, symmetrized to
-    * one row per unordered rep pair with both groups' member counts
-    * (the q_dedup_embed_rep output contract). Output ≤ knK·n rows BY
-    * CONSTRUCTION; every pair exact-rescored (no false pairs, the spec
-    * pins it); candidate recall is the approximation axis — measured vs
-    * the exact ε-graph at dev scale in the spec and audited per scale
-    * corpus by graft.ScaleRecall's knn family. Serves from the persisted
+    * DISTINCT vector, its top-[[AnnIndex.knK]] neighbors with cosine ≥
+    * τ, symmetrized to one row per unordered rep pair with both groups'
+    * member counts (the q_dedup_embed_rep output contract). Output ≤
+    * knK·n rows BY CONSTRUCTION; every pair exact-rescored (no false
+    * pairs, the spec pins it); candidate recall is the approximation
+    * axis — SOLVED by the banded-LSH geometry at ≥ 1−[[AnnIndex.knMiss]]
+    * per qualifying pair, measured vs the exact ε-graph at dev scale in
+    * the spec and audited per scale corpus by graft.ScaleRecall's knn
+    * family (sampled exact-top-k oracle). Serves from the persisted
     * KN pair graph ([[AnnIndex.knnPairs]] — fit once per corpus version
     * under the standard append/validate/GC discipline); a serve is
     * joins over the ≤ knK·n artifact plus the session id↔eh mapping.
@@ -922,22 +923,17 @@ object Similarity {
       // instead of re-running Lloyd and re-assigning the corpus — at
       // 100 TB, re-assignment is a full corpus pass)
       val (cb, cells) = AnnIndex.ivf(s, d, vecsRaw(s, d))
-      // query side: 20 vectors × k centroids through the tiny window.
+      // query side: nprobe cells per query via the NearestCentroids
+      // top-p kernel — one narrow projection, tie-identical to the r14
+      // crossJoin + (ccos desc, c_id) window it replaces (kernel spec
+      // pins rank parity), with no join and no window in the serve DAG.
       // r14: the probed-assignment frame is SESSION-MEMOIZED (a pure
-      // function of table content — the codebook is content-keyed), so
-      // a serve no longer re-runs the crossJoin + window per query.
+      // function of table content — the codebook is content-keyed).
       val queries = SessionMemo.frames(s, d, "annqc", Seq("embeddings.parquet")) {
-        val centroids = broadcast(
-          s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
-        val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
         Seq(memberQueries(s, d)
-          .crossJoin(centroids)
-          .withColumn("ccos",
-            Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
-          .withColumn("crank", row_number().over(wq))
-          .where(col("crank") <= 4)
           .select(col("query_id"), col("eh_q"), col("qv"), col("qnrm"),
-            col("c_id").as("qcluster")))
+            explode(Vectors.nearestCentroids(col("qv"), cb.map(_._1),
+              cb.flatMap(_._2), cb.map(_._3), 4)).as("qcluster")))
       }.head
       // the probed cell ids are driver-known (nprobe·|queries| ≤ 80 values
       // — partition METADATA, the offsets size class), so the cells scan
@@ -1144,23 +1140,19 @@ object Similarity {
     "q_ann_ivfpq",
     (s, d) => {
       val (cb, cents, codes) = AnnIndex.ivfpq(s, d, vecsRaw(s, d))
-      // query side: 20 vectors × k centroids through the tiny window picks
-      // nprobe cells, then each probe row carries the query's ADC table
-      // (m·ksub doubles — 20·nprobe rows of it, driver-pennies).
-      // r14: session-memoized like the IVF probe assignments and PQ LUTs.
+      // query side: nprobe cells per query via the NearestCentroids
+      // top-p kernel (tie-identical to the crossJoin+window it replaces
+      // — kernel spec pins rank parity); each probe row carries the
+      // query's ADC table (m·ksub doubles — 20·nprobe rows of it,
+      // driver-pennies). r14: session-memoized like the PQ LUTs.
       val q = memberQueries(s, d)
       val queries = SessionMemo.frames(s, d, "annqp", Seq("embeddings.parquet")) {
-        val centroids = broadcast(
-          s.createDataFrame(cb.toIndexedSeq).toDF("c_id", "cv", "cnrm"))
-        val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("c_id"))
         Seq(q
-          .crossJoin(centroids)
-          .withColumn("ccos",
-            Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
-          .withColumn("crank", row_number().over(wq))
-          .where(col("crank") <= 4)
-          .select(col("query_id"), col("eh_q"), col("c_id").as("qcluster"),
-            Vectors.pqLut(col("qv"), cents, pqM, pqKsub).as("lut"), col("qnrm")))
+          .select(col("query_id"), col("eh_q"),
+            explode(Vectors.nearestCentroids(col("qv"), cb.map(_._1),
+              cb.flatMap(_._2), cb.map(_._3), 4)).as("qcluster"),
+            Vectors.pqLut(col("qv"), cents, pqM, pqKsub).as("lut"),
+            col("qnrm")))
       }.head
       val probed = queries.select("qcluster").distinct()
         .collect().map(_.getLong(0))

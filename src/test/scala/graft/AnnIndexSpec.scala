@@ -593,7 +593,7 @@ class AnnIndexSpec extends SparkSpec {
     spark.conf.set("graft.ann.indexRoot", idxRoot)
     // 80 + 12 DISTINCT pseudo-random vectors (no dup collapse — every id
     // is a rep); drift 12/92 = 13% < refitFraction, so the append path
-    // runs with the IVF codebook frozen from the base fit
+    // runs under the bits/bands/radius frozen in the base fit's meta
     def wv(ids: Range, mode: String): Unit = ids.map(i => (i.toLong,
       Array.tabulate(8)(j => ((i * 31 + j * 17) % 101 - 50).toFloat)))
       .toDF("vec_id", "embedding")
@@ -611,10 +611,11 @@ class AnnIndexSpec extends SparkSpec {
         "append must merge delta edges, never refit")
       // frozen-geometry rebuild: drop ONLY the KN artifacts (both the
       // tip and the base marker, so appendBase can't re-append) and
-      // rebuild — the IVF chain still serves the FROZEN base codebook,
-      // so the fresh build sees the exact candidate universe the append
-      // merged over, and top-k(A ∪ B) = top-k(top-k(A) ∪ B) must make
-      // the two artifacts row-identical including ranks
+      // rebuild — the fresh solve at n=92 equals the base solve at n=80
+      // (same bits bucket), so the rebuild sees the exact candidate
+      // universe the append merged over, and top-k(A ∪ B) =
+      // top-k(top-k(A) ∪ B) must make the two artifacts row-identical
+      // including ranks
       val tableDir = new java.io.File(idxRoot).listFiles().head
       for (vdir <- tableDir.listFiles(); if vdir.isDirectory) {
         rmTree(s"${vdir.getAbsolutePath}/kn_pairs")
@@ -629,6 +630,59 @@ class AnnIndexSpec extends SparkSpec {
       assert(appended == rebuilt,
         "appended KN graph diverges from the frozen-geometry rebuild")
     } finally {
+      spark.conf.unset("graft.ann.indexRoot")
+      rmTree(tmp); rmTree(idxRoot)
+    }
+  }
+
+  test("KN ivf-mode: a dense-regime budget flips the build to cell locality; append equals a frozen-codebook rebuild (r16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftkni").toString
+    val idxRoot = java.nio.file.Files.createTempDirectory("graftkniidx").toString
+    spark.conf.set("graft.ann.indexRoot", idxRoot)
+    // budget 1 forces the dense-regime path regardless of corpus — the
+    // mode decision itself is the ballEstimate > budget comparison
+    spark.conf.set("graft.knn.candBudget", "1")
+    def wv(ids: Range, mode: String): Unit = ids.map(i => (i.toLong,
+      Array.tabulate(8)(j => ((i * 31 + j * 17) % 101 - 50).toFloat)))
+      .toDF("vec_id", "embedding")
+      .repartition(1).write.mode(mode).parquet(s"$tmp/embeddings.parquet")
+    try {
+      wv(0 until 80, "overwrite")
+      val (e0, a0) = (AnnIndex.knEncodes.get(), AnnIndex.knAppends.get())
+      val out0 = AnnIndex.knnPairs(spark, tmp)
+      assert(AnnIndex.knEncodes.get() == e0 + 1)
+      // mode frozen in the meta; no sig artifact in ivf mode
+      val tableDir = new java.io.File(idxRoot).listFiles().head
+      val v80 = tableDir.listFiles().find(_.getName.endsWith("_80")).get
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(v80, "_GRAFT_META_KN").toPath), "UTF-8")
+      assert(meta.contains("params=ivf,"), s"dense regime must freeze ivf mode: $meta")
+      assert(!new java.io.File(v80, "kn_sigs").exists())
+      // degree cap + exactness hold in this mode too
+      assert(out0.groupBy("eh_q").count().agg(max("count"))
+        .head().getLong(0) <= AnnIndex.knK)
+      wv(80 until 92, "append")
+      val appended = AnnIndex.knnPairs(spark, tmp)
+        .collect().map(_.toString).sorted.toSeq
+      assert(AnnIndex.knAppends.get() == a0 + 1 &&
+        AnnIndex.knEncodes.get() == e0 + 1,
+        "append must merge delta edges under the frozen mode, never refit")
+      // frozen-codebook rebuild: drop only the KN artifacts — the IVF
+      // chain still serves the codebook frozen at the base fit, so the
+      // rebuild sees the exact candidate universe the append merged over
+      for (vdir <- tableDir.listFiles(); if vdir.isDirectory) {
+        rmTree(s"${vdir.getAbsolutePath}/kn_pairs")
+        rmTree(s"${vdir.getAbsolutePath}/kn_ehs")
+        new java.io.File(vdir, "_GRAFT_OK_KN").delete()
+        new java.io.File(vdir, "_GRAFT_META_KN").delete()
+      }
+      val rebuilt = AnnIndex.knnPairs(spark, tmp)
+        .collect().map(_.toString).sorted.toSeq
+      assert(AnnIndex.knEncodes.get() == e0 + 2)
+      assert(appended == rebuilt,
+        "ivf-mode appended KN graph diverges from the frozen-codebook rebuild")
+    } finally {
+      spark.conf.unset("graft.knn.candBudget")
       spark.conf.unset("graft.ann.indexRoot")
       rmTree(tmp); rmTree(idxRoot)
     }
