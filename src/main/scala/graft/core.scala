@@ -94,6 +94,34 @@ object T {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Spread a parallelism-deficient scan (optimization guide §2.5, "input
+    * skew: one huge unsplittable file ... otherwise repartition
+    * immediately after the read"). The local test tables are single-file,
+    * single-row-group parquet, so every scan is ONE effective task and
+    * all per-row compute that rides the scan stage — broadcast-join
+    * probes, heavy projections, explode + map-side partial aggregation —
+    * runs on 1 of N cores; under the `Det.sortAll` contract the range
+    * sampling pass then re-executes that same single-task work a second
+    * time (r16 measured: q_star_join spent 2×2.1 s in back-to-back
+    * 1-effective-task stages at sf0.1 while 31 cores idled).
+    *
+    * The repartition is CONDITIONAL on the scan actually planning fewer
+    * splits than half the cores, so it is scale-adaptive rather than a
+    * local-mode constant: any multi-split production table (every
+    * MakeScale corpus — `outParts` ≥ cores — and anything at 100 TB)
+    * keeps its native scan partitioning and no exchange enters the plan.
+    * `getNumPartitions` only plans the scan (no job). Round-robin, not
+    * key-hash: the callers' downstream keys differ, and output
+    * determinism never rests on placement (every oracled query ends in
+    * a total sort; aggregation is exact-integer by the graft.Num rule).
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val parts = df.rdd.getNumPartitions
+    if (parts * 2 < s.sparkContext.defaultParallelism)
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
+  }
 }
 
 /** Numeric conventions for engine-independent determinism.

@@ -142,7 +142,10 @@ object Analyses {
   val havingAgg: Q = Q(
     "q_having_agg",
     (s, d) => {
-      val l = T.lineitem(s, d)
+      // r16: spread the fact scan — orders broadcasts on the dev corpus,
+      // so the join probe + map-side partial collect_list otherwise ride
+      // the single scan task (see T.spread)
+      val l = T.spread(s, T.lineitem(s, d))
       val o = T.orders(s, d)
       // The link/status strings RENDER AFTER the aggregation (r14): the
       // collected structs carry only what the sort semantics need — the

@@ -351,7 +351,7 @@ object AnnIndex {
     */
   private[graft] def sweepVersions(s: SparkSession, tablePath: String): Int = {
     if (!exists(s, tablePath)) return 0
-    val cnt = s.read.parquet(tablePath).count()
+    val cnt = tableCount(s, tablePath) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, tablePath)
     sweepAt(s, tablePath, versionDirFor(s, tablePath, math.max(cnt, 1L), fp))
   }
@@ -448,6 +448,26 @@ object AnnIndex {
       validatedVersions.add(s"$vd#$fam")
     }
 
+  /** Session memo of source-table row counts, keyed by (path, physical
+    * fingerprint) — r16. Every artifact serve needs the table count to
+    * resolve its version dir, which cost one count JOB per family per
+    * query execution (2-6 jobs on the composed queries, pure fixed
+    * latency at dev scale and a per-serve footer scan at 100 TB). Within
+    * a session the count can only change when the file inventory does,
+    * and the (path, length, mtime) fingerprint is exactly the staleness
+    * authority every other memo in the engine already trusts
+    * (SessionMemo / bloomCache / appendBase): an in-session append or
+    * rewrite changes the fingerprint and re-counts, so serve-side
+    * staleness behavior is unchanged.
+    */
+  private val tableCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  private[graft] def tableCount(s: SparkSession, path: String): Long =
+    tableCounts.computeIfAbsent(
+      (path, Similarity.tableFingerprint(s, path)),
+      _ => s.read.parquet(path).count()).longValue
+
   /** Ensure the IVF index (codebook + cell-partitioned corpus) is
     * persisted for `d`'s embeddings table — fitting at most once per
     * table content, encoding only appended files on a pure append — and
@@ -457,7 +477,7 @@ object AnnIndex {
     */
   private[graft] def ivf(s: SparkSession, d: String,
       e: DataFrame): (Array[(Long, Seq[Double], Double)], DataFrame) = {
-    val cnt = e.count()
+    val cnt = tableCount(s, s"$d/embeddings.parquet") // r16: e is the full-table projection
     val n = math.max(cnt, 1L)
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, n, fp)
@@ -543,7 +563,7 @@ object AnnIndex {
     */
   private[graft] def pq(s: SparkSession, d: String,
       e: DataFrame): (Array[Double], Int, DataFrame) = {
-    val cnt = e.count()
+    val cnt = tableCount(s, s"$d/embeddings.parquet") // r16: e is the full-table projection
     val n = math.max(cnt, 1L)
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, n, fp)
@@ -620,7 +640,7 @@ object AnnIndex {
     */
   private[graft] def lsh(s: SparkSession, d: String,
       e: DataFrame): (Int, Int, Int, DataFrame) = {
-    val nRaw = e.count()
+    val nRaw = tableCount(s, s"$d/embeddings.parquet") // r16: e is the full-table projection
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, math.max(nRaw, 1L), fp)
     // r12: signatures are eh-keyed — one row per (DISTINCT vector, band),
@@ -703,7 +723,7 @@ object AnnIndex {
     */
   private[graft] def ivfpq(s: SparkSession, d: String,
       e: DataFrame): (Array[(Long, Seq[Double], Double)], Array[Double], DataFrame) = {
-    val cnt = e.count()
+    val cnt = tableCount(s, s"$d/embeddings.parquet") // r16: e is the full-table projection
     val n = math.max(cnt, 1L)
     val fp = Similarity.tableFingerprint(s, s"$d/embeddings.parquet")
     val vd = versionDir(s, d, n, fp)
@@ -839,7 +859,7 @@ object AnnIndex {
   private[graft] def lex(s: SparkSession,
       d: String): (DataFrame, DataFrame, Long) = {
     val table = s"$d/documents.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     def dlOf(tf: DataFrame): DataFrame =
@@ -936,7 +956,7 @@ object AnnIndex {
       tableName: String, art: String, chained: Boolean,
       encode: Seq[String] => DataFrame): DataFrame = {
     val table = s"$d/$tableName"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     if (!exists(s, s"$vd/_GRAFT_OK_$fam")) {
@@ -1072,7 +1092,7 @@ object AnnIndex {
   private[graft] def textSigs(s: SparkSession, d: String, fam: String,
       encode: DataFrame => DataFrame): DataFrame = {
     val table = s"$d/documents.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     val art = s"${fam.toLowerCase}_sigs"
@@ -1142,7 +1162,7 @@ object AnnIndex {
     */
   private[graft] def sigChainLen(s: SparkSession, d: String, fam: String): Int = {
     val table = s"$d/documents.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     chainDirs(s, versionDirFor(s, table, math.max(cnt, 1L), fp), fam).size
   }
@@ -1162,7 +1182,7 @@ object AnnIndex {
   private[graft] def compactSigs(s: SparkSession, d: String, fam: String): Boolean = {
     val table = s"$d/documents.parquet"
     if (!exists(s, table)) return false
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     if (!exists(s, s"$vd/_GRAFT_OK_$fam")) return false
@@ -1216,7 +1236,7 @@ object AnnIndex {
     */
   private[graft] def bpeVocab(s: SparkSession, d: String): (DataFrame, Long) = {
     val table = s"$d/documents.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     if (!exists(s, s"$vd/_GRAFT_OK_BPE")) {
@@ -1287,7 +1307,7 @@ object AnnIndex {
       full: () => DataFrame,
       tryDelta: (Seq[String], DataFrame) => Option[DataFrame]): DataFrame = {
     val table = s"$d/documents.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     if (!exists(s, s"$vd/_GRAFT_OK_CC")) {
@@ -1472,7 +1492,7 @@ object AnnIndex {
   private[graft] def embedPairs(s: SparkSession, d: String): (DataFrame, Long) = {
     import org.apache.spark.sql.types._
     val table = s"$d/embeddings.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     val refuseKey = s"$vd#${s.conf.get("graft.expand.maxRows", "100000000")}"
@@ -1666,7 +1686,7 @@ object AnnIndex {
   private[graft] def epRepsIfReady(s: SparkSession, d: String): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val table = s"$d/embeddings.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     if (!exists(s, s"$vd/_GRAFT_OK_EP")) None
@@ -1717,7 +1737,7 @@ object AnnIndex {
     import org.apache.spark.sql.types._
     val (pairs, _) = embedPairs(s, d) // EP current for this corpus version
     val table = s"$d/embeddings.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     val labSchema = StructType(Seq(StructField("eh", StringType),
@@ -1928,7 +1948,7 @@ object AnnIndex {
   private[graft] def knnPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val table = s"$d/embeddings.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     val pairSchema = StructType(Seq(StructField("eh_q", StringType),
@@ -2127,7 +2147,7 @@ object AnnIndex {
     import org.apache.spark.sql.types._
     val pairs = knnPairs(s, d) // KN current for this corpus version
     val table = s"$d/embeddings.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     val labSchema = StructType(Seq(StructField("eh", StringType),
@@ -2198,7 +2218,7 @@ object AnnIndex {
       payload: DataFrame => DataFrame): (DataFrame, Long) = {
     import org.apache.spark.sql.types._
     val table = s"$d/documents.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     val lc = fam.toLowerCase
@@ -2405,7 +2425,7 @@ object AnnIndex {
   private[graft] def ngPairs(s: SparkSession, d: String): (DataFrame, DataFrame, Long, Long) = {
     import org.apache.spark.sql.types._
     val table = s"$d/documents.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     val pairSchema = StructType(Seq(StructField("th_a", StringType),
@@ -2557,7 +2577,7 @@ object AnnIndex {
     */
   private[graft] def compactLex(s: SparkSession, d: String): Boolean = {
     val table = s"$d/documents.parquet"
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     if (!exists(s, s"$vd/_GRAFT_OK_LXT")) lex(s, d) // ensure the tip exists
@@ -2617,7 +2637,7 @@ object AnnIndex {
       tableName: String, art: String): Boolean = {
     val table = s"$d/$tableName"
     if (!exists(s, table)) return false
-    val cnt = s.read.parquet(table).count()
+    val cnt = tableCount(s, table) // r16: session-memoized (fp-keyed)
     val fp = Similarity.tableFingerprint(s, table)
     val vd = versionDirFor(s, table, math.max(cnt, 1L), fp)
     if (!exists(s, s"$vd/_GRAFT_OK_$fam")) return false

@@ -1163,8 +1163,9 @@ object Dedup {
   val decontaminate: Q = Q(
     "q_decontaminate",
     (s, d) => {
-      val docs = T.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      // r16: conditional spread (identity on multi-split tables) instead
+      // of the unconditional round-robin
+      val docs = T.spread(s, T.documents(s, d))
       def grams(df: DataFrame): DataFrame = df
         .select(col("doc_id"), words(col("text")).as("w"))
         .where(size(col("w")) >= 8)
@@ -1236,13 +1237,14 @@ object Dedup {
     "q_dedup_span",
     (s, d) => {
       val span = 8
-      // no up-front repartition (unlike the candidate-pair family, which
-      // spreads a single-file local corpus before its bucket joins): the
-      // gram pipeline's first Exchange is the (span, doc) collapse right
-      // after the narrow explode, so scan parallelism is already what
-      // drives the map side — at 100 TB a round-robin here would move
-      // every text byte across the cluster before hashing it down to 8
-      val docs = T.documents(s, d)
+      // r16: T.spread replaces the old "no up-front repartition" stance —
+      // the objection (at 100 TB a round-robin here would move every text
+      // byte across the cluster before hashing it down to 8) still holds
+      // and the conditional spread honors it: on a multi-split production
+      // table it is the identity, while on the single-row-group local
+      // corpus it stops the explode + map-side (span, doc) collapse from
+      // riding ONE scan task
+      val docs = T.spread(s, T.documents(s, d))
       // explicit isNotNull: the left-outer join below pushes an
       // IsNotNull(doc_id) into the probe branch's scan; without the same
       // filter on the stats branch the two g2 subtrees are canonically
@@ -1404,7 +1406,9 @@ object Dedup {
 
   val paragraphDedup: Q = Q(
     "q_dedup_paragraph",
-    (s, d) => paragraphClean(T.documents(s, d), blockParas),
+    // r16: conditional spread — the paragraph pack/explode otherwise
+    // rides the local corpus's one scan task (see T.spread)
+    (s, d) => paragraphClean(T.spread(s, T.documents(s, d)), blockParas),
     Some("""WITH w AS (
             |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
@@ -1513,6 +1517,9 @@ object Dedup {
     (s, d) => {
       val prefixKey =
         md5(concat_ws(" ", slice(split(normText, " "), 1, 8)))
+      // r16 note: deliberately NOT T.spread — the corpus side's
+      // shuffle-free path to the semi join is spec-pinned (PlanGuardSpec),
+      // and an up-front exchange would break exactly that property
       val hashed = T.documents(s, d)
         .select(col("doc_id"), col("source"), prefixKey.as("content_hash"))
       val fresh = hashed.where(col("source") === "src7")
@@ -1690,6 +1697,9 @@ object Dedup {
     (s, d) => {
       val prefixKey =
         md5(concat_ws(" ", slice(split(normText, " "), 1, 8)))
+      // r16 note: deliberately NOT T.spread — the corpus side's
+      // shuffle-free path to the semi join is spec-pinned (PlanGuardSpec),
+      // and an up-front exchange would break exactly that property
       val hashed = T.documents(s, d)
         .select(col("doc_id"), col("source"), prefixKey.as("content_hash"))
       val fresh = hashed.where(col("source") === "src7")

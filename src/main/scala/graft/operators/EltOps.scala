@@ -103,7 +103,9 @@ object EltOps {
     "q_best_match",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val l = T.lineitem(s, d)
+      // r16: spread — broadcast-join probe + cent projection otherwise
+      // single-task on the local single-row-group scan (see T.spread)
+      val l = T.spread(s, T.lineitem(s, d))
       val o = T.orders(s, d)
       val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
         .select(l("l_orderkey"), l("l_linenumber"), l("l_partkey"),
@@ -177,8 +179,10 @@ object EltOps {
     "q_iso8601",
     (s, d) => {
       // single-file test layout -> spread the scan before the regex-heavy
-      // narrow parse (no-op on a multi-split production table)
-      val l = T.lineitem(s, d).repartition(s.sparkContext.defaultParallelism)
+      // narrow parse (r16: via T.spread, so it is literally the identity
+      // on a multi-split production table instead of an unconditional
+      // exchange)
+      val l = T.spread(s, T.lineitem(s, d))
       val h = col("l_linenumber").cast("long")
       val m = col("l_quantity").cast("long")
       val sec = (col("l_partkey") % 60).cast("long")
@@ -244,7 +248,10 @@ object EltOps {
   val foundPredicate: Q = Q(
     "q_found_predicate",
     (s, d) => {
-      val l = T.lineitem(s, d)
+      // r16: spread the fact scan — all three joins broadcast on the dev
+      // corpus, so the synth-title/regex narrow map otherwise rides the
+      // single scan task twice (contract-sort sampling; see T.spread)
+      val l = T.spread(s, T.lineitem(s, d))
       val o = T.orders(s, d)
       val p = T.part(s, d)
       val sup = T.supplier(s, d)

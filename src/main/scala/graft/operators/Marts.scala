@@ -47,11 +47,18 @@ object Marts {
   /** B. The flagship 6-way star join. Fact-to-fact (lineitem↔orders)
     * shuffles on the key; every dimension is broadcast — at 100 TB only
     * the single fact↔fact shuffle remains, dims stay map-side.
+    *
+    * r16: the fact scan is `T.spread` — on the single-row-group local
+    * tables every join probe plus the 14-column projection rode ONE scan
+    * task and was executed twice by the contract sort's range sampling
+    * (measured 2×2.1 s serial at sf0.1); the conditional spread makes
+    * that work 32-way while staying the identity on any multi-split
+    * production table.
     */
   val starJoin: Q = Q(
     "q_star_join",
     (s, d) => {
-      val l = T.lineitem(s, d)
+      val l = T.spread(s, T.lineitem(s, d))
       val o = T.orders(s, d)
       val c = T.customer(s, d)
       val n = T.nation(s, d)
@@ -332,7 +339,10 @@ object Marts {
   val foundAgg: Q = Q(
     "q_found_agg",
     (s, d) => {
-      val l = T.lineitem(s, d)
+      // r16: spread the fact scan — the broadcast-supplier probe and the
+      // grouped branch's map-side partial collect_set otherwise run on
+      // the local corpus's one scan task (see T.spread)
+      val l = T.spread(s, T.lineitem(s, d))
       val o = T.orders(s, d)
       val sup = T.supplier(s, d)
       val base = l.join(o, l("l_orderkey") === o("o_orderkey"))

@@ -369,8 +369,7 @@ object Multimodal {
   val binaryDedup: Q = Q(
     "q_dedup_binary",
     (s, d) => {
-      val hashed = T.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val hashed = T.spread(s, T.documents(s, d)) // r16: conditional spread
         .where(col("text").isNotNull)
         // md5(text) IS md5 of the payload bytes: the binary cast is the
         // identity on the UTF-8 encoding md5 already hashes

@@ -856,7 +856,7 @@ object Similarity {
     */
   private[graft] def codebookRows(s: SparkSession, d: String,
       e: DataFrame): Array[(Long, Seq[Double], Double)] = {
-    val n = math.max(e.count(), 1L)
+    val n = math.max(AnnIndex.tableCount(s, s"$d/embeddings.parquet"), 1L) // r16: memoized
     val fp = tableFingerprint(s, s"$d/embeddings.parquet")
     codebookRowsAt(s, d, e, n, fp)
   }
@@ -1029,7 +1029,7 @@ object Similarity {
     */
   private[graft] def pqCodebook(s: SparkSession, d: String,
       e: DataFrame): (Array[Double], Int) = {
-    val n = math.max(e.count(), 1L)
+    val n = math.max(AnnIndex.tableCount(s, s"$d/embeddings.parquet"), 1L) // r16: memoized
     val fp = tableFingerprint(s, s"$d/embeddings.parquet")
     pqCodebookAt(s, d, e, n, fp)
   }
@@ -1235,6 +1235,11 @@ object Similarity {
       var selected: DataFrame = null
       val wpick = Window.partitionBy("query_id").orderBy(col("mmr").desc, col("cand_id"))
       for (step <- 1 to 5) {
+        // r16: pick is NOT checkpointed — it is one deterministic window
+        // over the (checkpointed) remaining frame, so its ≤2 evaluations
+        // (selected-union + state-update join) cost less than the eager
+        // checkpoint job each round; lineage stays bounded because
+        // remaining itself is cut every round. 5 fewer jobs per run.
         val pick = remaining
           .withColumn("mmr",
             lit(lambda) * col("rel") - lit(1 - lambda) * col("maxsim"))
@@ -1242,7 +1247,6 @@ object Similarity {
           .where(col("rk") === 1)
           .select(col("query_id"), col("cand_id"), col("mmr"),
             lit(step.toLong).as("mmr_rank"))
-          .localCheckpoint()
         selected = if (selected == null) pick else selected.unionByName(pick)
         remaining = remaining
           .join(pick.select(col("query_id"), col("cand_id").as("picked")), Seq("query_id"))

@@ -895,8 +895,13 @@ object TextAnalysis {
       val docs = T.documents(s, d)
         .where(col("doc_id").isNotNull)
         .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"))
-      val b = scores.join(docs, "doc_id")
-        .withColumn("sbucket", floor(col("lm_score") * 256).cast("long"))
+      // r16: CacheBag-cache the scored frame — it feeds BOTH the
+      // (lang, sbucket) count subtree and the final classed join, so an
+      // uncached plan re-ran the whole composed q_lm_score stack twice
+      // per execution (the scaladoc's "corpus touched once beyond the
+      // score computation" only holds with this cache in place)
+      val b = CacheBag.track(scores.join(docs, "doc_id")
+        .withColumn("sbucket", floor(col("lm_score") * 256).cast("long")))
       val cnt = b.groupBy("lang", "sbucket").agg(count(lit(1)).as("c"))
       val wCum = Window.partitionBy("lang").orderBy("sbucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1333,7 +1338,9 @@ object TextAnalysis {
     val stop = stopwordsEn
       .map(w => array_contains(split(trim(lower(col("text"))), " +"), w)
         .cast("long")).reduce(_ + _)
-    T.documents(s, d).select(
+    // r16: conditional spread — the whole rule battery is per-row string
+    // work riding the scan task (see T.spread)
+    T.spread(s, T.documents(s, d)).select(
       col("doc_id"), words.as("words"), charsum.as("word_chars"),
       sym.as("sym_hits"), nLines.as("n_lines"),
       bullet.as("bullet_lines"), ellip.as("ellipsis_lines"),
@@ -1527,7 +1534,12 @@ object TextAnalysis {
       // rows contributing to the sums (sum() silently drops nulls, but n
       // used to count them, biasing μ/σ and the gradient step) and only
       // scored rows are emitted.
-      val feats = g.select(
+      // r16: the CACHE sits on the feature frame, not the z-frame — the
+      // moments pass below materializes it, so the gopher rule battery
+      // (the corpus-pass cost) runs ONCE; previously the uncached moments
+      // aggregate paid the full gopherFrame and the z-frame's first
+      // iteration paid it a second time (two corpus passes for one).
+      val feats = CacheBag.track(g.select(
         col("doc_id"),
         col("gopher_pass").cast("long").as("y"),
         q6(log(lit(1.0) + col("words").cast("double"))).as("q1"),
@@ -1535,7 +1547,7 @@ object TextAnalysis {
         q6(col("sym_hits").cast("double") / col("words").cast("double")).as("q3"),
         q6(col("word_chars").cast("double") / col("words").cast("double")).as("q4"),
         q6(col("alpha_words").cast("double") / col("words").cast("double")).as("q5"))
-        .where(col("y").isNotNull)
+        .where(col("y").isNotNull))
       // exact moments -> driver-side μ/σ (plan constants thereafter)
       val mrow = feats.agg(
         count(lit(1)).as("n"),
@@ -1551,13 +1563,16 @@ object TextAnalysis {
         val v = ssj / n - mu * mu
         (mu, if (v > 0) math.sqrt(v) else 0.0)
       }
-      val zf = CacheBag.track(feats.select(
+      // z-standardization is 5 subtract/divides per row over the CACHED
+      // feature frame — recomputed per GD pass for free, so the z-frame
+      // itself no longer needs a second cache (r16)
+      val zf = feats.select(
         col("doc_id") +: col("y") +:
           Seq(1, 2, 3, 4, 5).map { j =>
             val (mu, sg) = muSig(j - 1)
             (if (sg == 0.0) lit(0.0)
              else (col(s"q$j").cast("double") - lit(mu)) / lit(sg)).as(s"z$j")
-          }: _*))
+          }: _*)
       val lr = 1.0; val iters = 15
       var w = Array.fill(6)(0.0) // bias + 5
       def marginOf(wts: Array[Double]) =
