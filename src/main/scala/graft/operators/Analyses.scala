@@ -142,10 +142,11 @@ object Analyses {
   val havingAgg: Q = Q(
     "q_having_agg",
     (s, d) => {
-      // r16: spread the fact scan — orders broadcasts on the dev corpus,
-      // so the join probe + map-side partial collect_list otherwise ride
-      // the single scan task (see T.spread)
-      val l = T.spread(s, T.lineitem(s, d))
+      // r16: T.spread measured and REJECTED here (same verdict as
+      // q_found_agg): collect_list partials do not combine, so the
+      // 32-way fan-out multiplied aggregation-buffer allocation for no
+      // exchange reduction — wall 1.27→1.95 s, cpuSec 2.1→14.8 at sf0.1
+      val l = T.lineitem(s, d)
       val o = T.orders(s, d)
       // The link/status strings RENDER AFTER the aggregation (r14): the
       // collected structs carry only what the sort semantics need — the

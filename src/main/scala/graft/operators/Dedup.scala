@@ -1237,14 +1237,15 @@ object Dedup {
     "q_dedup_span",
     (s, d) => {
       val span = 8
-      // r16: T.spread replaces the old "no up-front repartition" stance —
-      // the objection (at 100 TB a round-robin here would move every text
-      // byte across the cluster before hashing it down to 8) still holds
-      // and the conditional spread honors it: on a multi-split production
-      // table it is the identity, while on the single-row-group local
-      // corpus it stops the explode + map-side (span, doc) collapse from
-      // riding ONE scan task
-      val docs = T.spread(s, T.documents(s, d))
+      // no up-front repartition — re-measured r16: T.spread was tried and
+      // REJECTED (wall 1.74→2.05 s, cpuSec 2.6→13.4 at sf0.1). The
+      // (span, doc) collapse's keys are near-unique per row, so the
+      // partial agg does no map-side reduction and the 32-way fan-out
+      // just multiplies hash-buffer allocation; the first real Exchange
+      // right after the narrow explode remains the parallelism source,
+      // and at 100 TB a round-robin here would move every text byte
+      // across the cluster before hashing it down to 8
+      val docs = T.documents(s, d)
       // explicit isNotNull: the left-outer join below pushes an
       // IsNotNull(doc_id) into the probe branch's scan; without the same
       // filter on the stats branch the two g2 subtrees are canonically
@@ -1406,9 +1407,10 @@ object Dedup {
 
   val paragraphDedup: Q = Q(
     "q_dedup_paragraph",
-    // r16: conditional spread — the paragraph pack/explode otherwise
-    // rides the local corpus's one scan task (see T.spread)
-    (s, d) => paragraphClean(T.spread(s, T.documents(s, d)), blockParas),
+    // r16: T.spread tried and REJECTED (the q_dedup_span verdict: the
+    // para groupBy keys are near-unique, cpuSec 1.1→15.0 for ~0.1 s of
+    // wall at sf0.1 — not worth the work-ledger distortion)
+    (s, d) => paragraphClean(T.documents(s, d), blockParas),
     Some("""WITH w AS (
             |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL

@@ -103,9 +103,11 @@ object EltOps {
     "q_best_match",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // r16: spread — broadcast-join probe + cent projection otherwise
-      // single-task on the local single-row-group scan (see T.spread)
-      val l = T.spread(s, T.lineitem(s, d))
+      // r16: T.spread measured and REJECTED here — the argmin window's
+      // exchange immediately follows, so the spread added an exchange
+      // and 32-way window sort buffers for a net loss (wall 1.54→1.69,
+      // cpuSec 1.5→14.2 at sf0.1)
+      val l = T.lineitem(s, d)
       val o = T.orders(s, d)
       val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
         .select(l("l_orderkey"), l("l_linenumber"), l("l_partkey"),

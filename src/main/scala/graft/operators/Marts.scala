@@ -339,10 +339,13 @@ object Marts {
   val foundAgg: Q = Q(
     "q_found_agg",
     (s, d) => {
-      // r16: spread the fact scan — the broadcast-supplier probe and the
-      // grouped branch's map-side partial collect_set otherwise run on
-      // the local corpus's one scan task (see T.spread)
-      val l = T.spread(s, T.lineitem(s, d))
+      // r16: T.spread measured and REJECTED here — the grouped branch's
+      // partial collect_set does no map-side row reduction, so fanning
+      // the scan to 32 tasks multiplied the per-task aggregation-buffer
+      // allocation without shrinking the exchange (bench: wall
+      // 1.87→2.26 s, cpuSec 3.0→18.6 at sf0.1); the single-task scan IS
+      // the cheaper map side for this shape
+      val l = T.lineitem(s, d)
       val o = T.orders(s, d)
       val sup = T.supplier(s, d)
       val base = l.join(o, l("l_orderkey") === o("o_orderkey"))

@@ -1338,9 +1338,10 @@ object TextAnalysis {
     val stop = stopwordsEn
       .map(w => array_contains(split(trim(lower(col("text"))), " +"), w)
         .cast("long")).reduce(_ + _)
-    // r16: conditional spread — the whole rule battery is per-row string
-    // work riding the scan task (see T.spread)
-    T.spread(s, T.documents(s, d)).select(
+    // r16: T.spread tried and REJECTED — the battery is cheap enough
+    // (0.6 cpuSec at sf0.1) that the fan-out's allocation overhead ate
+    // the win (wall flat, cpuSec 0.6→6.6); the scan stays native
+    T.documents(s, d).select(
       col("doc_id"), words.as("words"), charsum.as("word_chars"),
       sym.as("sym_hits"), nLines.as("n_lines"),
       bullet.as("bullet_lines"), ellip.as("ellipsis_lines"),
@@ -1578,7 +1579,52 @@ object TextAnalysis {
       def marginOf(wts: Array[Double]) =
         Seq(1, 2, 3, 4, 5).foldLeft(lit(wts(0)): org.apache.spark.sql.Column)(
           (acc, j) => acc + col(s"z$j") * lit(wts(j)))
-      for (_ <- 1 to iters) {
+      // r16: bounded DRIVER-LOCAL trainer fast path. The 15 GD rounds are
+      // inherently sequential, and at dev scale each round's one
+      // aggregate job was pure scheduling latency (measured: ~2 s of the
+      // operator's ~3.4 s wall for ~1.9 s cpuSec total). When the
+      // training frame fits a hard row budget (graft.gd.localMaxRows,
+      // default 200k ⇒ ≤ ~10 MB of 6-long rows — the k-means-codebook
+      // collect class), the quantized features collect ONCE and the
+      // rounds run on the driver. BIT-IDENTICAL to the distributed
+      // aggregates by construction: the per-row IEEE chain (z-standardize,
+      // left-to-right margin fold, exp, HALF_UP nano-unit rounding via
+      // string-constructed BigDecimal — exactly Spark's Round on
+      // DoubleType) is mirrored op for op, and the cross-row sum is exact
+      // integer arithmetic in both forms, so order cannot matter. The
+      // corpus-scale path is unchanged (a 100× corpus exceeds the budget
+      // and trains distributed); GuardsSpec pins both paths equal.
+      val localMax = s.conf.getOption("graft.gd.localMaxRows")
+        .map(_.toLong).getOrElse(200000L)
+      if (n > 0 && n <= localMax) {
+        val rows = feats.select(
+          col("y").cast("double") +: Seq(1, 2, 3, 4, 5).map(j => col(s"q$j")): _*)
+          .collect()
+        val zrows: Array[(Double, Array[Double])] = rows.map { r =>
+          val z = Array.tabulate(5) { i =>
+            val (mu, sg) = muSig(i)
+            if (sg == 0.0) 0.0 else (r.getLong(i + 1).toDouble - mu) / sg
+          }
+          (r.getDouble(0), z)
+        }
+        def nano(v: Double): BigInt =
+          BigDecimal(v * 1000000000d)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+        for (_ <- 1 to iters) {
+          val g = Array.fill(6)(BigInt(0))
+          zrows.foreach { case (y, z) =>
+            var margin = w(0)
+            var j = 0
+            while (j < 5) { margin += z(j) * w(j + 1); j += 1 }
+            val err = 1.0 / (1.0 + math.exp(-margin)) - y
+            g(0) += nano(err)
+            j = 0
+            while (j < 5) { g(j + 1) += nano(err * z(j)); j += 1 }
+          }
+          w = w.indices.map(j =>
+            w(j) - lr * (BigDecimal(g(j)).doubleValue / 1e9) / n).toArray
+        }
+      } else for (_ <- 1 to iters) {
         val p = lit(1.0) / (lit(1.0) + exp(-marginOf(w)))
         val err = p - col("y").cast("double")
         // nano-unit exact gradient sums — order-independent

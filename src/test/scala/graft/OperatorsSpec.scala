@@ -2440,6 +2440,26 @@ class OperatorsSpec extends SparkSpec {
       s"classifier must learn its own objective: $correct correct vs majority $majority")
   }
 
+  test("quality classifier: driver-local and distributed GD paths are bit-identical") {
+    // r16: the trainer takes a bounded driver-local fast path when the
+    // feature frame fits graft.gd.localMaxRows (the default covers the
+    // test corpus); forcing the budget to 0 pins the DISTRIBUTED
+    // aggregate path to the same weights, scores and verdicts row for
+    // row — the fast path may never drift from the scale-path result.
+    val fast = TextAnalysis.qualityClassifier.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("label"),
+        r.getAs[Double]("score"), r.getAs[Boolean]("pred"))).toMap
+    spark.conf.set("graft.gd.localMaxRows", "0")
+    try {
+      val dist = TextAnalysis.qualityClassifier.run(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("label"),
+          r.getAs[Double]("score"), r.getAs[Boolean]("pred"))).toMap
+      assert(dist.size == fast.size)
+      for ((id, v) <- fast)
+        assert(dist(id) == v, s"doc $id: fast $v vs distributed ${dist(id)}")
+    } finally spark.conf.unset("graft.gd.localMaxRows")
+  }
+
   test("source divergence: TV and cosine match hand-computed distributions") {
     // A and B share the exact word multiset (tv 0, cos 1), C is disjoint
     // from A (tv 1, cos 0), D half-overlaps A with hand-computable mass:
