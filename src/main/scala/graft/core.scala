@@ -53,6 +53,12 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         math.max(65536L, math.min(1000000L,
           Runtime.getRuntime.maxMemory / math.max(1, shufflePartitions) / 1024 / 4)).toString)
+      // r17 (verdict r16 next-round #1): local file:// I/O must never fork
+      // a child process — the default RawLocalFileSystem shells out to
+      // `chmod` on every create() when the native hadoop lib is absent,
+      // and the driver's sandbox cannot spawn processes (the VERIFY_r16
+      // tests_ok=false failure). See [[NoForkFs]].
+      .config("spark.hadoop.fs.file.impl", classOf[NoForkLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

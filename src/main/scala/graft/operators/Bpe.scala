@@ -77,12 +77,23 @@ object Bpe {
       (a, b) => struct(a.as("l"), b.as("r")))
 
   /** One BPE merge (left, right) → left+right applied to a symbol array:
-    * a left fold that replaces every LEFTMOST, NON-OVERLAPPING
-    * occurrence of the adjacent pair — the paper's replacement rule.
-    * CaseWhen branches evaluate lazily in order, so the element_at on
-    * the accumulator only runs once the array is known non-empty.
+    * replaces every LEFTMOST, NON-OVERLAPPING occurrence of the adjacent
+    * pair — the paper's replacement rule. r17 (guide §4): evaluation
+    * moved from the `aggregate` HOF fold — interpreted lambda evaluation
+    * per symbol per merge, never codegen'd — to the compiled
+    * [[graft.expressions.BpeMerges]] kernel; the HOF form stays below as
+    * [[applyMergeRef]], the executable spec the kernel-parity test pins
+    * against.
     */
   private[graft] def applyMerge(syms: Column, l: String, r: String): Column =
+    graft.expressions.TokenizerExpressions.bpeMerges(syms, Array(l), Array(r))
+
+  /** The original HOF formulation of [[applyMerge]] — the executable
+    * reference for the kernel-parity spec. CaseWhen branches evaluate
+    * lazily in order, so the element_at on the accumulator only runs
+    * once the array is known non-empty.
+    */
+  private[graft] def applyMergeRef(syms: Column, l: String, r: String): Column =
     aggregate(
       syms,
       array().cast("array<string>"),
@@ -93,11 +104,20 @@ object Bpe {
               array(concat(element_at(acc, size(acc)), x))))
           .otherwise(concat(acc, array(x))))
 
-  /** All learned merges applied in rank order (the fold is static — the
-    * merge table is a plan constant, one codegen'd expression).
+  /** All learned merges applied in rank order inside ONE compiled kernel
+    * call (r17 — was a foldLeft of per-merge HOF folds).
     */
-  private[graft] def applyMerges(syms: Column, merges: Seq[Merge]): Column =
-    merges.sortBy(_.rank).foldLeft(syms)((c, m) => applyMerge(c, m.left, m.right))
+  private[graft] def applyMerges(syms: Column, merges: Seq[Merge]): Column = {
+    val sorted = merges.sortBy(_.rank)
+    graft.expressions.TokenizerExpressions.bpeMerges(syms,
+      sorted.map(_.left).toArray, sorted.map(_.right).toArray)
+  }
+
+  /** The original per-merge foldLeft of [[applyMerges]] — the executable
+    * reference for the kernel-parity spec.
+    */
+  private[graft] def applyMergesRef(syms: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(syms)((c, m) => applyMergeRef(c, m.left, m.right))
 
   /** Word frequencies of a text frame — the tokenize side of the ONE
     * corpus pass (also the delta encoder of the persisted vocabulary,

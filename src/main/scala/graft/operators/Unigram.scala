@@ -84,12 +84,21 @@ object Unigram {
     * piece→micro-log-prob map: best(i) = max over split points j of
     * best(j) + lp(w[j..i)), candidates bounded to the last [[maxLen]]
     * characters; ties keep the SMALLEST j (longest last piece — scanned
-    * first, replaced only on strictly greater score). Runs entirely in
-    * the per-word expression tree (two HOF folds: forward DP with
-    * backpointers, then the backpointer walk), zero joins, zero
-    * shuffles — the [[Bpe.applyMerges]] device with a DP accumulator.
+    * first, replaced only on strictly greater score). Zero joins, zero
+    * shuffles. r17 (guide §4, verdict r16 next-round #4): evaluation
+    * moved from the nested `aggregate` HOF encoding — interpreted lambda
+    * evaluation per character per split point, never codegen'd — to the
+    * compiled [[graft.expressions.UnigramSegment]] kernel; the HOF form
+    * stays below as [[segmentRef]], the executable spec OperatorsSpec
+    * pins the kernel against bit-for-bit.
     */
-  private[graft] def segment(w: Column, lp: Map[String, Long]): Column = {
+  private[graft] def segment(w: Column, lp: Map[String, Long]): Column =
+    graft.expressions.TokenizerExpressions.unigramSegment(w, lp)
+
+  /** The original HOF formulation of [[segment]] — kept as the
+    * executable reference the kernel-parity spec compares against.
+    */
+  private[graft] def segmentRef(w: Column, lp: Map[String, Long]): Column = {
     val m = typedLit(lp)
     val n = length(w)
     val fwd = aggregate(
@@ -135,8 +144,16 @@ object Unigram {
   /** The Viterbi path SCORE in micro-log-prob units (the word's NLL
     * under the piece model, negated) — same DP as [[segment]], score
     * only. Exact long; per-doc sums of it are partition-order-free.
+    * r17: compiled kernel ([[graft.expressions.UnigramScore]]), HOF spec
+    * kept as [[segScoreRef]].
     */
-  private[graft] def segScore(w: Column, lp: Map[String, Long]): Column = {
+  private[graft] def segScore(w: Column, lp: Map[String, Long]): Column =
+    graft.expressions.TokenizerExpressions.unigramScore(w, lp)
+
+  /** The original HOF formulation of [[segScore]] — the executable
+    * reference for the kernel-parity spec.
+    */
+  private[graft] def segScoreRef(w: Column, lp: Map[String, Long]): Column = {
     val m = typedLit(lp)
     aggregate(
       sequence(lit(1), length(w)),

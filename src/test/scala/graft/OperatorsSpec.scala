@@ -2128,6 +2128,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer kernels: compiled segment/segScore/applyMerges == HOF reference (r17)") {
+    // r17 moved the unigram Viterbi DP and the BPE merge fold from
+    // interpreted Catalyst HOF folds to compiled kernels
+    // (graft.expressions.TokenizerExpressions); the HOF forms stay as
+    // *Ref executable specs and this pin holds them bit-identical over
+    // the real corpus vocabulary PLUS adversarial words the corpus
+    // lacks: non-BMP code points (substr/length count code points, not
+    // UTF-16 units), fully-unknown characters (unkMicro fallback), and
+    // words straddling the maxLen=6 candidate bound.
+    val pieces = Unigram.trainPieces(spark, sfDir)
+    val lp = pieces.map(p => p.piece -> p.lpMicro).toMap
+    val adversarial = Seq(
+      "💼🎵💼", "a💼b", "💼" * 7, "žluťoučký", "ααββγγ",
+      "zzzzzzz", "q", "abcdefabcdef", "ab", "é́x")
+    val words = Bpe.wordFreq(spark, sfDir).select("w").limit(2000)
+      .unionByName(adversarial.toDF("w"))
+    val segDiff = words
+      .select(Unigram.segment(col("w"), lp).as("k"),
+        Unigram.segmentRef(col("w"), lp).as("r"),
+        Unigram.segScore(col("w"), lp).as("ks"),
+        Unigram.segScoreRef(col("w"), lp).as("rs"))
+      .where(col("k") =!= col("r") || col("ks") =!= col("rs"))
+      .count()
+    assert(segDiff == 0, "unigram kernel diverges from the HOF reference")
+    val merges = Bpe.trainMerges(spark, sfDir, 16)
+    val bpeDiff = words
+      .select(Bpe.applyMerges(Bpe.chars(col("w")), merges).as("k"),
+        Bpe.applyMergesRef(Bpe.chars(col("w")), merges).as("r"))
+      .where(col("k") =!= col("r"))
+      .count()
+    assert(bpeDiff == 0, "bpe merge kernel diverges from the HOF reference")
+    // merged-token re-merge interaction: (a,a) then (aa,a) on runs of a's
+    val runMerges = Seq(Bpe.Merge(0, "a", "a", 0L), Bpe.Merge(1, "aa", "a", 0L))
+    val runDiff = Seq("a", "aa", "aaa", "aaaa", "aaaaa", "baaab")
+      .toDF("w")
+      .select(Bpe.applyMerges(Bpe.chars(col("w")), runMerges).as("k"),
+        Bpe.applyMergesRef(Bpe.chars(col("w")), runMerges).as("r"))
+      .where(col("k") =!= col("r"))
+      .count()
+    assert(runDiff == 0, "bpe kernel diverges on interacting merges")
+  }
+
   // ---- unigram LM tokenizer: independent local reference (mirrors the
   // engine's arithmetic exactly: same seed, same Viterbi-EM rounds, same
   // integer micro-log-probs, same smallest-split-point tie rule) ----
